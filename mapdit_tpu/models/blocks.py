@@ -1,0 +1,304 @@
+"""DiT blocks: conditioning modulation, embedders, final layer.
+
+Parity targets (reference): `src/blocks/dit_block.py`, `timestep_embedder.py`,
+`label_embedder.py`, `final_layer.py`. Rotation modulation is implemented
+from the paper (arXiv 2505.19122) — it has no reference code (SURVEY.md
+fact #2): the shift half of adaLN modulation is replaced by a learned Givens
+rotation of channel pairs, which is exactly magnitude-preserving.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mapdit_tpu.models.config import DiTConfig
+from mapdit_tpu.models.layers import MLP, Attention, MPEmbedding, MPLinear, MPLinearSplit, activation
+from mapdit_tpu.ops.mp import modulate, mp_sum, rotate_pairs
+
+Array = jax.Array
+
+
+def modulation_dims(cfg: DiTConfig, with_gate: bool) -> Tuple[int, ...]:
+    """Output chunk sizes of one branch's modulation head.
+
+    adaln: (shift, scale[, gate]) — 2-3 chunks of size D
+    rotation: (theta[, gate]) — D/2 angles
+    rotation_scale: (theta, scale[, gate]) — the ~5.4%-fewer-params variant
+    """
+    h = cfg.hidden_size
+    base = {
+        "adaln": (h, h),
+        "rotation": (h // 2,),
+        "rotation_scale": (h // 2, h),
+    }[cfg.modulation]
+    return base + ((h,) if with_gate else ())
+
+
+def apply_modulation(x: Array, mods: Tuple[Array, ...], gain, cfg: DiTConfig) -> Array:
+    """Inject conditioning into token activations.
+
+    MP-style adaln is the reference's ``modulate`` = mp_sum(x*scale, shift, gain)
+    (`src/utils.py:11-12`, learned gain as lerp weight); vanilla adaln is the
+    classic adaLN-Zero ``x * (1 + scale) + shift``. Rotation variants rotate
+    channel pairs by ``gain * theta`` (gain init 0 ⇒ identity at init, the
+    zero-init-modulation principle).
+    """
+    if cfg.modulation == "adaln":
+        shift, scale = mods
+        if cfg.mp_style:
+            return modulate(x, shift, scale, gain)
+        return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    if cfg.modulation == "rotation":
+        (theta,) = mods
+        return rotate_pairs(x, gain * theta)
+    theta, scale = mods
+    scale = scale if cfg.mp_style else 1.0 + scale
+    return rotate_pairs(x * scale[:, None, :], gain * theta)
+
+
+class ModulationHead(nn.Module):
+    """act -> fused linear producing modulation chunks for both branches.
+
+    Reference: ``nn.Sequential(MPSiLU, MPLinearChunk(h, h, 6))``
+    (`src/blocks/dit_block.py:24-33`); vanilla mode zero-inits the linear
+    (adaLN-Zero).
+    """
+
+    cfg: DiTConfig
+    dims: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, c: Array) -> Tuple[Array, ...]:
+        cfg = self.cfg
+        return MPLinearSplit(
+            cfg.hidden_size,
+            self.dims,
+            use_wn=cfg.use_weight_normalization,
+            zero_init=not cfg.mp_style,
+            dtype=cfg.dtype,
+            name="linear",
+        )(activation(c, cfg))
+
+
+class DiTBlock(nn.Module):
+    """Transformer block with modulated attention/MLP branches.
+
+    MP path (reference `src/blocks/dit_block.py:10-37`): learned scalar gains
+    (init 0) drive the modulation mix, residuals are fixed-t mp_sum
+    ``mp_sum(x, gate * branch, t=0.3)`` (EDM2-style 0.3/0.7 renormalized mix).
+    Vanilla path: pre-LayerNorm (no affine) + adaLN-Zero + plain residual add.
+    """
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x: Array, c: Array) -> Array:
+        cfg = self.cfg
+        dims = modulation_dims(cfg, with_gate=True)
+        mods = ModulationHead(cfg, dims + dims, name="modulation")(c)
+        n = len(dims)
+        msa_mods, gate_msa = mods[: n - 1], mods[n - 1]
+        mlp_mods, gate_mlp = mods[n : 2 * n - 1], mods[2 * n - 1]
+
+        gain_msa = self.param("gain_msa", nn.initializers.zeros, ())
+        gain_mlp = self.param("gain_mlp", nn.initializers.zeros, ())
+
+        def maybe_norm(z):
+            if cfg.use_no_layernorm:
+                return z
+            return nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(z)
+
+        def residual(z, branch, gate):
+            gated = gate[:, None, :] * branch
+            if cfg.use_mp_residual:
+                return mp_sum(z, gated, t=0.3)
+            return z + gated
+
+        h = apply_modulation(maybe_norm(x), msa_mods, gain_msa, cfg)
+        x = residual(x, Attention(cfg, cfg.hidden_size, name="attn")(h), gate_msa)
+
+        h = apply_modulation(maybe_norm(x), mlp_mods, gain_mlp, cfg)
+        x = residual(
+            x,
+            MLP(cfg, cfg.hidden_size, cfg.hidden_size, mlp_ratio=cfg.mlp_ratio, name="mlp")(h),
+            gate_mlp,
+        )
+        return x
+
+
+class MPFourier(nn.Module):
+    """Random Fourier features (reference `src/blocks/timestep_embedder.py:8-21`).
+
+    scale = 2π·N(0,1), shift = 2π·U(0,1) are non-trainable constants drawn at
+    init — stored in the ``constants`` collection (the functional analog of
+    torch buffers; excluded from the optimizer and EMA, included in
+    checkpoints).
+    """
+
+    num_channels: int
+
+    @nn.compact
+    def __call__(self, t: Array) -> Array:
+        scale = self.variable(
+            "constants",
+            "scale",
+            lambda: 2.0 * jnp.pi * jax.random.normal(self.make_rng("params"), (self.num_channels,)),
+        ).value
+        shift = self.variable(
+            "constants",
+            "shift",
+            lambda: 2.0 * jnp.pi * jax.random.uniform(self.make_rng("params"), (self.num_channels,)),
+        ).value
+        res = jnp.cos(jnp.outer(t.astype(jnp.float32), scale) + shift)
+        return math.sqrt(2.0) * res
+
+
+def sinusoidal_embedding(t: Array, dim: int, max_period: float = 10000.0) -> Array:
+    """Vanilla DiT deterministic timestep features (cos | sin halves)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class TimestepEmbedder(nn.Module):
+    """Timestep -> conditioning vector (reference `timestep_embedder.py:24-43`).
+
+    Raw integer timesteps (0..999) enter as floats with no rescaling — the
+    reference comments out timestep rescaling (`diffusion/respace.py:127-128`).
+    """
+
+    cfg: DiTConfig
+    frequency_embedding_size: int = 256
+
+    @nn.compact
+    def __call__(self, t: Array) -> Array:
+        cfg = self.cfg
+        if cfg.use_mp_embedding:
+            feats = MPFourier(self.frequency_embedding_size, name="fourier")(t)
+        else:
+            feats = sinusoidal_embedding(t, self.frequency_embedding_size)
+        return MLP(
+            cfg,
+            self.frequency_embedding_size,
+            cfg.hidden_size,
+            hidden_dim=cfg.hidden_size,
+            name="mlp",
+        )(feats)
+
+
+class LabelEmbedder(nn.Module):
+    """Class label -> conditioning vector with CFG token dropout
+    (reference `src/blocks/label_embedder.py:6-34`). The null (unconditional)
+    class occupies row ``num_classes``.
+    """
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        labels: Array,
+        train: bool,
+        force_drop_ids: Optional[Array] = None,
+    ) -> Array:
+        cfg = self.cfg
+        use_cfg_embedding = cfg.class_dropout_prob > 0
+        if (train and use_cfg_embedding) or (force_drop_ids is not None):
+            if force_drop_ids is None:
+                drop = (
+                    jax.random.uniform(self.make_rng("label_dropout"), labels.shape)
+                    < cfg.class_dropout_prob
+                )
+            else:
+                drop = force_drop_ids == 1
+            labels = jnp.where(drop, cfg.num_classes, labels)
+        return MPEmbedding(
+            cfg.num_classes + int(use_cfg_embedding),
+            cfg.hidden_size,
+            use_wn=cfg.use_mp_embedding,
+            dtype=cfg.dtype,
+            name="embedding",
+        )(labels)
+
+
+class MPScale(nn.Module):
+    """Learned per-sample output scale in (0, 1)
+    (reference `src/blocks/final_layer.py:12-22`):
+    ``sigmoid(<MPLinear(c), reference> / sqrt(angle_dim))``; zero reference
+    starts the scale at 0.5.
+    """
+
+    cfg: DiTConfig
+    angle_dim: int = 8
+    zero_init: bool = True
+
+    @nn.compact
+    def __call__(self, c: Array) -> Array:
+        cfg = self.cfg
+        proj = MPLinear(
+            cfg.hidden_size,
+            self.angle_dim,
+            use_wn=cfg.use_weight_normalization,
+            dtype=cfg.dtype,
+            name="linear",
+        )(c)
+        ref = self.param(
+            "reference",
+            nn.initializers.zeros if self.zero_init else nn.initializers.ones,
+            (self.angle_dim,),
+        )
+        angle = (proj @ ref.astype(proj.dtype)) / math.sqrt(self.angle_dim)
+        return jax.nn.sigmoid(angle)
+
+
+class FinalLayer(nn.Module):
+    """Output head (reference `src/blocks/final_layer.py:24-61`).
+
+    MP path: own 2-way modulation with learned gain (init 0), fused
+    mean/sigma head, per-sample MPScale on each output (mean scale starts at
+    ~its sigmoid midpoint with a ones reference, sigma at 0.5 with zeros).
+    Vanilla path: LayerNorm + adaLN modulation + zero-init head (DiT paper).
+    Returns (mean, sigma) when learn_sigma else mean, each (N, T, P*P*C).
+    """
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x: Array, c: Array):
+        cfg = self.cfg
+        out_dim = cfg.patch_size * cfg.patch_size * cfg.out_channels
+        n_out = 2 if cfg.learn_sigma else 1
+
+        mods = ModulationHead(cfg, modulation_dims(cfg, with_gate=False), name="modulation")(c)
+        gain_mod = self.param("gain_mod", nn.initializers.zeros, ())
+
+        if not cfg.use_no_layernorm:
+            x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        x_mod = apply_modulation(x, mods, gain_mod, cfg)
+
+        heads = MPLinearSplit(
+            cfg.hidden_size,
+            (out_dim,) * n_out,
+            use_wn=cfg.use_weight_normalization,
+            zero_init=not cfg.mp_style,
+            dtype=cfg.dtype,
+            name="linear",
+        )(x_mod)
+
+        if not cfg.mp_style:
+            # Vanilla DiT: zero-init head, no learned output scaling.
+            return heads if cfg.learn_sigma else heads[0]
+
+        mean_scale = MPScale(cfg, zero_init=False, name="mean_scale")(c)
+        if cfg.learn_sigma:
+            mean, sigma = heads
+            sigma_scale = MPScale(cfg, zero_init=True, name="sigma_scale")(c)
+            return mean * mean_scale[:, None, None], sigma * sigma_scale[:, None, None]
+        return heads[0] * mean_scale[:, None, None]

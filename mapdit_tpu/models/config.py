@@ -1,0 +1,99 @@
+"""Model configuration: the `--use-*` MaP feature flags as real switches.
+
+The reference README (`README.md:57-66`) documents eight `--use-*` flags that
+do not exist in the snapshot's argparse (`train.py:225-248`) — the MP design
+is hardwired on everywhere (SURVEY.md fact #1). Here they are first-class
+config switches. All flags default ON (reference behavior); all flags OFF
+with ``modulation="adaln"`` yields a vanilla DiT (LayerNorm + adaLN-Zero +
+standard Linear/SiLU, per Peebles & Xie 2023).
+
+``modulation`` selects the conditioning mechanism (SURVEY.md fact #2 —
+rotation modulation has no reference code; implemented from the paper,
+arXiv 2505.19122):
+  * ``adaln``          — shift/scale/gate (MP-style modulate when the MP flags
+                         are on, classic ``x*(1+scale)+shift`` when off)
+  * ``rotation``       — learned pairwise Givens rotation + gate
+  * ``rotation_scale`` — rotation composed with scaling + gate (the paper's
+                         "~5.4% fewer parameters" variant)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+MODULATION_KINDS = ("adaln", "rotation", "rotation_scale")
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    # Architecture (reference `src/dit.py:15-27`)
+    depth: int
+    hidden_size: int
+    patch_size: int
+    num_heads: int
+    input_size: int = 32
+    in_channels: int = 3
+    mlp_ratio: float = 4.0
+    class_dropout_prob: float = 0.1
+    num_classes: int = 1000
+    learn_sigma: bool = True
+
+    # --use-* MaP flags (reference README.md:57-66; hardwired on in the code)
+    use_cosine_attention: bool = True
+    use_weight_normalization: bool = True
+    use_forced_weight_normalization: bool = True
+    use_mp_residual: bool = True
+    use_mp_silu: bool = True
+    use_no_layernorm: bool = True
+    use_mp_pos_enc: bool = True
+    use_mp_embedding: bool = True
+
+    # Conditioning mechanism selector (paper ablation; "adaln" = reference)
+    modulation: str = "adaln"
+
+    # TPU execution knobs (no reference equivalent)
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+
+    def __post_init__(self):
+        assert self.hidden_size % self.num_heads == 0
+        assert self.hidden_size % 2 == 0, "rotation modulation needs even width"
+        assert self.modulation in MODULATION_KINDS, self.modulation
+        assert self.compute_dtype in ("float32", "bfloat16")
+        assert self.attention_impl in ("auto", "xla", "pallas")
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels
+
+    @property
+    def num_patches(self) -> int:
+        return (self.input_size // self.patch_size) ** 2
+
+    @property
+    def mp_style(self) -> bool:
+        """MP-family conditioning arithmetic vs classic adaLN-Zero arithmetic.
+
+        Keyed on use_no_layernorm: the classic ``x*(1+scale)+shift`` pairs
+        with pre-modulation LayerNorm (vanilla DiT), while the MP
+        ``mp_sum(x*scale, shift, gain)`` form assumes unit-magnitude
+        activations maintained by the MP machinery.
+        """
+        return self.use_no_layernorm
+
+    def replace(self, **kw) -> "DiTConfig":
+        return dataclasses.replace(self, **kw)
+
+    def flags_dict(self) -> dict:
+        return {
+            f.name: getattr(self, f.name)
+            for f in dataclasses.fields(self)
+            if f.name.startswith("use_") or f.name == "modulation"
+        }

@@ -1,0 +1,150 @@
+"""The DiT model (reference `src/dit.py`) and functional weight projection.
+
+TPU-native design notes:
+  * Pure functional module — parameters never mutate during apply. The
+    reference's forced weight normalization (in-place, every training
+    forward, `src/basic/mp_linear.py:38-40`) becomes
+    :func:`project_weights`, applied once per optimizer step in the jitted
+    train step. Because the in-graph "traditional" WN always renormalizes
+    before use, the forward math is identical either way; only the optimizer
+    geometry (Adam moments on a normalized iterate) depends on projection.
+  * The positional table is computed host-side in float64 and baked into the
+    jitted graph as a constant (reference registers a buffer,
+    `src/dit.py:46-48`).
+  * ``forward_with_cfg`` reproduces the GLIDE-style batched CFG split
+    (`src/dit.py:107-118`) and is scan-safe (shapes static).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mapdit_tpu.models.blocks import DiTBlock, FinalLayer, LabelEmbedder, TimestepEmbedder
+from mapdit_tpu.models.config import DiTConfig
+from mapdit_tpu.models.layers import MPLinear
+from mapdit_tpu.ops.mp import mp_sum, normalize
+from mapdit_tpu.ops.patch import patchify, unpatchify
+from mapdit_tpu.ops.pos_embed import get_2d_sincos_pos_embed
+
+Array = jax.Array
+
+
+class DiT(nn.Module):
+    """Diffusion Transformer with magnitude-preserving variants.
+
+    ``apply(variables, x, t, y, train=..., rngs={'label_dropout': ...})``
+    where x: (N, C, H, W), t: (N,) float timesteps, y: (N,) int labels.
+    Returns (N, 2C, H, W) when learn_sigma else (N, C, H, W).
+    """
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        t: Array,
+        y: Array,
+        train: bool = False,
+        force_drop_ids: Optional[Array] = None,
+    ) -> Array:
+        cfg = self.cfg
+        n = x.shape[0]
+
+        x = patchify(x, cfg.patch_size).astype(cfg.dtype)
+
+        pos = get_2d_sincos_pos_embed(cfg.hidden_size, cfg.input_size // cfg.patch_size)
+        pos = jnp.asarray(pos, jnp.float32)
+
+        if cfg.use_weight_normalization:
+            # Bias-free MP design: appended ones column acts as input bias
+            # (reference `src/dit.py:37-41, 81-82`).
+            x = jnp.concatenate([x, jnp.ones_like(x[:, :, :1])], axis=-1)
+        x = MPLinear(
+            x.shape[-1],
+            cfg.hidden_size,
+            use_wn=cfg.use_weight_normalization,
+            dtype=cfg.dtype,
+            name="x_embedder",
+        )(x)
+
+        if cfg.use_mp_pos_enc:
+            x = mp_sum(x, normalize(pos)[None].astype(cfg.dtype), t=0.5)
+        else:
+            x = x + pos[None].astype(cfg.dtype)
+
+        t_emb = TimestepEmbedder(cfg, name="t_embedder")(t)
+        y_emb = LabelEmbedder(cfg, name="y_embedder")(y, train, force_drop_ids)
+        c = mp_sum(t_emb, y_emb, t=0.5) if cfg.mp_style else t_emb + y_emb
+
+        for i in range(cfg.depth):
+            x = DiTBlock(cfg, name=f"blocks_{i}")(x, c)
+
+        out = FinalLayer(cfg, name="final_layer")(x, c)
+        if cfg.learn_sigma:
+            mean, sigma = out
+            return jnp.concatenate(
+                [
+                    unpatchify(mean, cfg.input_size, cfg.patch_size),
+                    unpatchify(sigma, cfg.input_size, cfg.patch_size),
+                ],
+                axis=1,
+            ).astype(jnp.float32)
+        return unpatchify(out, cfg.input_size, cfg.patch_size).astype(jnp.float32)
+
+    def forward_with_cfg(self, x: Array, t: Array, y: Array, cfg_scale) -> Array:
+        """Batched classifier-free guidance (reference `src/dit.py:107-118`).
+
+        The first half of x is the real batch; labels carry [cond; null].
+        Only the eps channels are guided; sigma channels pass through.
+        """
+        c = self.cfg
+        half = x[: x.shape[0] // 2]
+        combined = jnp.concatenate([half, half], axis=0)
+        model_out = self(combined, t, y)
+        eps, rest = model_out[:, : c.in_channels], model_out[:, c.in_channels :]
+        cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
+        half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+        eps = jnp.concatenate([half_eps, half_eps], axis=0)
+        return jnp.concatenate([eps, rest], axis=1)
+
+
+def project_weights(params, cfg: DiTConfig):
+    """Row-normalize all weight-normalized matrices (forced WN, functional).
+
+    Equivalent fixed point of the reference's in-forward mutation: stored
+    weights are re-projected onto the norm-sqrt(in_dim) manifold after each
+    optimizer update. Applied only when both WN flags are on.
+    """
+
+    def proj(path, leaf):
+        names = [p.key for p in path if hasattr(p, "key")]
+        if not names or names[-1] != "weight" or leaf.ndim != 2:
+            return leaf
+        is_embedding = len(names) >= 2 and names[-2] == "embedding"
+        flag = cfg.use_mp_embedding if is_embedding else cfg.use_weight_normalization
+        if flag and cfg.use_forced_weight_normalization:
+            return normalize(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(proj, params)
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def init_model(cfg: DiTConfig, seed: int = 0):
+    """Initialize (model, variables). `variables` holds 'params' and
+    'constants' (MPFourier buffers) collections."""
+    model = DiT(cfg)
+    x = jnp.zeros((1, cfg.in_channels, cfg.input_size, cfg.input_size), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    y = jnp.zeros((1,), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(seed), x, t, y)
+    return model, variables

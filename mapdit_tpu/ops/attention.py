@@ -1,0 +1,79 @@
+"""Multi-head attention compute paths.
+
+The reference reaches fused attention through
+``F.scaled_dot_product_attention`` (`src/layers/attention.py:47`) — third-party
+CUDA kernels. The TPU-native equivalents here are:
+
+  * ``xla``    — einsum + softmax left to the XLA fusion pipeline. For the
+                 tiny sequence lengths of latent DiT (T = (input/patch)^2,
+                 64-256 tokens) XLA already produces near-roofline code; this
+                 is also the CPU/test path.
+  * ``pallas`` — a hand-written fused cosine-attention kernel
+                 (``mapdit_tpu.ops.pallas.attention``) with q/k normalization
+                 folded into the kernel prologue.
+
+``dot_product_attention(..., impl="auto")`` picks pallas on TPU when the
+shapes are kernel-friendly, else xla.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mapdit_tpu.ops.mp import normalize
+
+Array = jax.Array
+
+
+def _xla_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """softmax(q k^T * scale) v over (B, H, T, D') operands."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    # Softmax in fp32 regardless of compute dtype: cheap at these sizes and
+    # removes bf16 renormalization error from the parity budget.
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+@functools.lru_cache(maxsize=1)
+def _tpu_available() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def dot_product_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: float,
+    *,
+    cosine: bool = False,
+    impl: str = "auto",
+) -> Array:
+    """Attention over (B, H, T, D') tensors.
+
+    With ``cosine=True``, q and k rows are normalized to norm sqrt(D') first
+    (reference `src/layers/attention.py:44-45`); combined with
+    ``scale = 1/sqrt(D')`` the logits are sqrt(D')-scaled cosine similarities.
+    """
+    if impl == "auto":
+        impl = "pallas" if (_tpu_available() and _pallas_supported(q)) else "xla"
+
+    if impl == "pallas":
+        from mapdit_tpu.ops.pallas.attention import fused_attention
+
+        return fused_attention(q, k, v, scale, cosine)
+
+    if cosine:
+        q = normalize(q)
+        k = normalize(k)
+    return _xla_attention(q, k, v, scale)
+
+
+def _pallas_supported(q: Array) -> bool:
+    b, h, t, d = q.shape
+    return d <= 256 and t >= 8

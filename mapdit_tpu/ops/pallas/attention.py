@@ -1,0 +1,117 @@
+"""Fused cosine-attention Pallas TPU kernel.
+
+Replaces the reference's ``F.scaled_dot_product_attention`` call site
+(`src/layers/attention.py:44-47`) with a single TPU kernel that folds the
+cosine-attention q/k row normalization into the prologue — one VMEM
+round-trip for normalize + logits + softmax + weighted sum instead of
+separate HBM-bound normalize ops feeding a generic attention.
+
+Shape regime (latent DiT): T = (input/patch)^2 ∈ [16, 1024] tokens,
+head_dim ∈ {64, 72, ...}. A whole (T, D') slice fits VMEM comfortably
+(256×128×4B = 128 KiB), so the kernel processes one (batch, head) pair per
+grid step with full-T blocks — no flash-style tiling needed at these sizes;
+the grid dimension provides the parallelism across B*H.
+
+Backward: custom VJP that recomputes through the XLA reference path —
+correctness-first; the fwd kernel is the sampling hot path (no grads).
+Falls back to interpreter mode off-TPU so tests exercise the same code.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, cosine: bool):
+    q = q_ref[0].astype(jnp.float32)  # (T, D')
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+
+    if cosine:
+        # normalize rows to norm sqrt(D') (mapdit_tpu.ops.mp.normalize)
+        d = q.shape[-1]
+        sqrt_d = jnp.sqrt(jnp.float32(d))
+        q = q * (sqrt_d / (jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True)) + 1e-4))
+        k = k * (sqrt_d / (jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True)) + 1e-4))
+
+    logits = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    o_ref[0] = jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _interpret() -> bool:
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except Exception:
+        return True
+
+
+def _fused_attention_fwd_impl(q: Array, k: Array, v: Array, scale: float, cosine: bool) -> Array:
+    b, h, t, d = q.shape
+    bh = b * h
+    qf, kf, vf = (z.reshape(bh, t, d) for z in (q, k, v))
+
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale, cosine=cosine),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * (t * t * d * 2),
+            bytes_accessed=4 * bh * t * d * 4,
+            transcendentals=bh * t * t,
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf)
+    return out.reshape(b, h, t, d)
+
+
+def _xla_reference(q, k, v, scale, cosine):
+    from mapdit_tpu.ops.attention import _xla_attention
+    from mapdit_tpu.ops.mp import normalize
+
+    if cosine:
+        q = normalize(q)
+        k = normalize(k)
+    return _xla_attention(q, k, v, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention(q: Array, k: Array, v: Array, scale: float, cosine: bool = True) -> Array:
+    return _fused_attention_fwd_impl(q, k, v, scale, cosine)
+
+
+def _fwd(q, k, v, scale, cosine):
+    return _fused_attention_fwd_impl(q, k, v, scale, cosine), (q, k, v)
+
+
+def _bwd(scale, cosine, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, scale, cosine), q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fwd, _bwd)

@@ -8,12 +8,26 @@ mesh/sharding code paths without TPU hardware (SURVEY.md §4.5).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize force-registers the TPU backend and sets
+# jax_platforms via jax.config (which outranks the env var). Override it
+# back to CPU and drop any initialized backends so the 8-device virtual CPU
+# mesh takes effect.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:
+    pass
 
 import pathlib
 

@@ -1,0 +1,179 @@
+"""Model golden-parity and property tests (SURVEY.md §4.1-2).
+
+The golden fixture `dit_xs2.npz` holds a torch-initialized DiT-XS/2's full
+state_dict plus eval-mode forward / forward_with_cfg outputs at fixed inputs.
+Parity is defined at identical weights and inputs (cross-framework RNG can't
+match — SURVEY.md §7 hard-part #2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mapdit_tpu.models import DiT, build_config, init_model, param_count, project_weights
+from mapdit_tpu.ops.mp import magnitude, normalize
+from mapdit_tpu.utils.torch_import import variables_from_torch_state_dict
+
+XS2 = dict(in_channels=4, input_size=16, num_classes=10)
+
+
+def _ref_variables(golden):
+    g = golden("dit_xs2")
+    sd = {k[len("sd.") :]: v for k, v in g.items() if k.startswith("sd.")}
+    return g, variables_from_torch_state_dict(sd)
+
+
+@pytest.fixture(scope="module")
+def ref(golden):
+    return _ref_variables(golden)
+
+
+class TestGoldenParity:
+    def test_forward_matches_reference(self, ref):
+        g, variables = ref
+        cfg = build_config("DiT-XS/2", **XS2)
+        model = DiT(cfg)
+        out = model.apply(variables, jnp.asarray(g["x"]), jnp.asarray(g["t"]), jnp.asarray(g["y"]))
+        assert out.shape == g["out"].shape
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=2e-4, atol=2e-4)
+
+    def test_forward_with_cfg_matches_reference(self, ref):
+        g, variables = ref
+        cfg = build_config("DiT-XS/2", **XS2)
+        model = DiT(cfg)
+        out = model.apply(
+            variables,
+            jnp.asarray(g["x_cfg"]),
+            jnp.asarray(g["t_cfg"]),
+            jnp.asarray(g["y_cfg"]),
+            4.0,
+            method=DiT.forward_with_cfg,
+        )
+        np.testing.assert_allclose(np.asarray(out), g["out_cfg"], rtol=2e-4, atol=2e-4)
+
+    def test_block_and_modules_match(self, ref, golden):
+        g, variables = ref
+        gm = golden("dit_xs2_modules")
+        cfg = build_config("DiT-XS/2", **XS2)
+        model = DiT(cfg)
+        xt, c = jnp.asarray(gm["xt"]), jnp.asarray(gm["c"])
+
+        from mapdit_tpu.models.blocks import DiTBlock, FinalLayer, TimestepEmbedder
+
+        blk_vars = {"params": variables["params"]["blocks_0"]}
+        blk_out = DiTBlock(cfg).apply(blk_vars, xt, c)
+        np.testing.assert_allclose(np.asarray(blk_out), gm["blk_out"], rtol=2e-4, atol=2e-4)
+
+        fin_vars = {"params": variables["params"]["final_layer"]}
+        mean, sigma = FinalLayer(cfg).apply(fin_vars, xt, c)
+        np.testing.assert_allclose(np.asarray(mean), gm["fin_mean"], rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(sigma), gm["fin_sigma"], rtol=2e-4, atol=2e-4)
+
+        t_vars = {
+            "params": variables["params"]["t_embedder"],
+            "constants": variables["constants"]["t_embedder"],
+        }
+        temb = TimestepEmbedder(cfg).apply(t_vars, jnp.asarray([0.0, 13.0, 999.0]))
+        np.testing.assert_allclose(np.asarray(temb), gm["temb"], rtol=2e-4, atol=2e-4)
+
+
+class TestInitAndShapes:
+    def test_init_shapes_match_reference_state_dict(self, ref):
+        g, ref_vars = ref
+        cfg = build_config("DiT-XS/2", **XS2)
+        _, variables = init_model(cfg, seed=0)
+
+        ref_shapes = jax.tree_util.tree_map(jnp.shape, ref_vars)
+        our_shapes = jax.tree_util.tree_map(jnp.shape, variables)
+        assert ref_shapes == our_shapes
+
+    @pytest.mark.parametrize("name", ["DiT-XS/8", "DiT-S/4"])
+    def test_forward_shapes(self, name):
+        cfg = build_config(name, in_channels=4, input_size=16, num_classes=10)
+        model, variables = init_model(cfg)
+        x = jnp.zeros((2, 4, 16, 16))
+        out = model.apply(variables, x, jnp.zeros((2,)), jnp.zeros((2,), jnp.int32))
+        assert out.shape == (2, 8, 16, 16)
+
+    def test_learn_sigma_false(self):
+        cfg = build_config("DiT-XS/8", learn_sigma=False, **XS2)
+        model, variables = init_model(cfg)
+        out = model.apply(
+            variables, jnp.zeros((2, 4, 16, 16)), jnp.zeros((2,)), jnp.zeros((2,), jnp.int32)
+        )
+        assert out.shape == (2, 4, 16, 16)
+
+
+class TestFlagFamilies:
+    """BASELINE configs: vanilla adaln+LN, full MP, MP+rotation(+scale)."""
+
+    VANILLA = dict(
+        use_cosine_attention=False,
+        use_weight_normalization=False,
+        use_forced_weight_normalization=False,
+        use_mp_residual=False,
+        use_mp_silu=False,
+        use_no_layernorm=False,
+        use_mp_pos_enc=False,
+        use_mp_embedding=False,
+    )
+
+    def test_vanilla_dit_runs_and_is_identity_at_init(self):
+        """adaLN-Zero: zero-init modulation heads make every block the
+        identity at init, and the zero-init final head makes the output 0."""
+        cfg = build_config("DiT-XS/8", **XS2, **self.VANILLA)
+        model, variables = init_model(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        out = model.apply(variables, x, jnp.full((2,), 10.0), jnp.ones((2,), jnp.int32))
+        assert out.shape == (2, 8, 16, 16)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    @pytest.mark.parametrize("mod", ["rotation", "rotation_scale"])
+    def test_rotation_modulation_runs(self, mod):
+        cfg = build_config("DiT-XS/8", modulation=mod, **XS2)
+        model, variables = init_model(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        out = model.apply(variables, x, jnp.full((2,), 10.0), jnp.ones((2,), jnp.int32))
+        assert out.shape == (2, 8, 16, 16)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_rotation_scale_saves_params_vs_adaln(self):
+        """Paper claim: rotation+scale ~5.4% fewer params than adaLN at
+        DiT-S scale (README.md:3). Accept 4-7%."""
+        base = dict(in_channels=4, input_size=32, num_classes=1000)
+        n_adaln = param_count(init_model(build_config("DiT-S/2", **base))[1]["params"])
+        n_rot = param_count(
+            init_model(build_config("DiT-S/2", modulation="rotation_scale", **base))[1][
+                "params"
+            ]
+        )
+        saving = 1 - n_rot / n_adaln
+        assert 0.04 < saving < 0.07, (n_adaln, n_rot, saving)
+
+
+class TestMagnitudePreservation:
+    def test_activation_magnitudes_near_unity(self):
+        """Unit-magnitude inputs keep RMS ~1 through the MP backbone
+        (the reference's own magnitude() probe, `src/dit.py:91-92`)."""
+        cfg = build_config("DiT-XS/2", **XS2)
+        model, variables = init_model(cfg, seed=1)
+        # Project weights as training would, then check the forward is sane.
+        variables = dict(variables, params=project_weights(variables["params"], cfg))
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 4, 16, 16))
+        out = model.apply(variables, x, jnp.full((4,), 500.0), jnp.ones((4,), jnp.int32))
+        m = float(magnitude(out.reshape(4, -1)))
+        assert 0.05 < m < 5.0, m
+
+    def test_project_weights_normalizes_rows(self):
+        cfg = build_config("DiT-XS/8", **XS2)
+        _, variables = init_model(cfg)
+        projected = project_weights(variables["params"], cfg)
+        w = projected["blocks_0"]["attn"]["qkv_proj"]["weight"]
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(w), axis=-1),
+            np.sqrt(w.shape[-1]),
+            rtol=1e-3,
+        )
+        # gains untouched
+        assert projected["blocks_0"]["gain_msa"].shape == ()
