@@ -1,0 +1,203 @@
+"""Diffusion golden-parity + sampler equivalence tests (SURVEY.md §4.3-4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mapdit_tpu.diffusion import create_diffusion, gd, respaced_betas, space_timesteps
+from mapdit_tpu.diffusion.schedules import get_named_beta_schedule
+
+TOL = dict(rtol=1e-5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def diff():
+    return create_diffusion("")
+
+
+class TestTables:
+    def test_beta_schedules(self, golden):
+        g = golden("diffusion")
+        np.testing.assert_allclose(
+            get_named_beta_schedule("linear", 1000), g["betas"], rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            get_named_beta_schedule("squaredcos_cap_v2", 1000),
+            g["cosine_betas"],
+            rtol=1e-12,
+        )
+
+    def test_coefficient_tables(self, golden, diff):
+        g = golden("diffusion")
+        for name in [
+            "betas",
+            "alphas_cumprod",
+            "alphas_cumprod_prev",
+            "sqrt_alphas_cumprod",
+            "sqrt_one_minus_alphas_cumprod",
+            "sqrt_recip_alphas_cumprod",
+            "sqrt_recipm1_alphas_cumprod",
+            "posterior_variance",
+            "posterior_log_variance_clipped",
+            "posterior_mean_coef1",
+            "posterior_mean_coef2",
+        ]:
+            np.testing.assert_allclose(
+                np.asarray(getattr(diff, name)),
+                g[name].astype(np.float32),
+                rtol=2e-5,
+                err_msg=name,
+            )
+
+    def test_respacing(self, golden):
+        g = golden("diffusion")
+        np.testing.assert_array_equal(
+            np.array(sorted(space_timesteps(1000, "250"))), g["space_250"]
+        )
+        np.testing.assert_array_equal(
+            np.array(sorted(space_timesteps(1000, "ddim25"))), g["space_ddim25"]
+        )
+        d250 = create_diffusion("250")
+        np.testing.assert_allclose(np.asarray(d250.betas), g["betas_250"], rtol=2e-5)
+        np.testing.assert_array_equal(np.asarray(d250.timestep_map), g["timestep_map_250"])
+        dddim = create_diffusion("ddim25")
+        np.testing.assert_allclose(np.asarray(dddim.betas), g["betas_ddim25"], rtol=2e-5)
+        np.testing.assert_array_equal(
+            np.asarray(dddim.timestep_map), g["timestep_map_ddim25"]
+        )
+
+    def test_multi_section_respacing(self):
+        steps = space_timesteps(300, [10, 15, 20])
+        assert len(steps) == 45
+        assert min(steps) == 0 and max(steps) < 300
+
+
+class TestProcessGolden:
+    def test_q_sample(self, golden, diff):
+        g = golden("diffusion")
+        xt = diff.q_sample(jnp.asarray(g["x0"]), jnp.asarray(g["t"], jnp.int32), jnp.asarray(g["noise"]))
+        np.testing.assert_allclose(np.asarray(xt), g["xt"], rtol=2e-5, atol=1e-5)
+
+    def test_p_mean_variance(self, golden, diff):
+        g = golden("diffusion")
+        model_fn = lambda x, t, **kw: jnp.asarray(g["model_out"])
+        t = jnp.asarray(g["t"], jnp.int32)
+        out = diff.p_mean_variance(model_fn, jnp.asarray(g["xt"]), t, clip_denoised=False)
+        np.testing.assert_allclose(np.asarray(out["mean"]), g["pmv_mean"], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["variance"]), g["pmv_var"], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["log_variance"]), g["pmv_logvar"], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["pred_xstart"]), g["pmv_xstart"], rtol=1e-4, atol=1e-4)
+
+        out_c = diff.p_mean_variance(model_fn, jnp.asarray(g["xt"]), t, clip_denoised=True)
+        np.testing.assert_allclose(np.asarray(out_c["mean"]), g["pmv_clip_mean"], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_c["pred_xstart"]), g["pmv_clip_xstart"], rtol=1e-4, atol=1e-5)
+
+    def test_p_mean_variance_respaced(self, golden):
+        g = golden("diffusion")
+        d250 = create_diffusion("250")
+        model_fn = lambda x, t, **kw: jnp.asarray(g["model_out"])
+        out = d250.p_mean_variance(
+            model_fn, jnp.asarray(g["xt"]), jnp.asarray(g["t_sub"], jnp.int32), clip_denoised=False
+        )
+        np.testing.assert_allclose(np.asarray(out["mean"]), g["pmv250_mean"], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["log_variance"]), g["pmv250_logvar"], rtol=1e-4, atol=1e-5)
+
+    def test_training_losses(self, golden, diff):
+        g = golden("diffusion")
+        model_fn = lambda x, t, **kw: jnp.asarray(g["model_out"])
+        terms = diff.training_losses(
+            model_fn,
+            jnp.asarray(g["x0"]),
+            jnp.asarray(g["t"], jnp.int32),
+            noise=jnp.asarray(g["noise"]),
+        )
+        np.testing.assert_allclose(np.asarray(terms["mse"]), g["loss_mse"], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(terms["vb"]), g["loss_vb"], rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(terms["loss"]), g["loss"], rtol=1e-3, atol=1e-4)
+
+
+class TestSamplers:
+    """Scan sampler vs per-step Python loop on a tiny analytic model."""
+
+    @staticmethod
+    def _model(x, t, **kw):
+        # deterministic pseudo-model: eps-hat and var values from x
+        return jnp.concatenate([0.1 * x, jnp.tanh(x)], axis=1)
+
+    def test_scan_matches_python_loop(self):
+        d = create_diffusion("10")
+        rng = jax.random.PRNGKey(0)
+        noise = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8))
+
+        scan_out = d.p_sample_loop(self._model, noise, rng, clip_denoised=False)
+
+        x, key = noise, rng
+        for i in reversed(range(d.num_timesteps)):
+            key, step_key = jax.random.split(key)
+            t = jnp.full((2,), i, jnp.int32)
+            x = d.p_sample(self._model, x, t, step_key, clip_denoised=False)["sample"]
+        np.testing.assert_allclose(np.asarray(scan_out), np.asarray(x), rtol=1e-5, atol=1e-5)
+
+    def test_progressive_matches_final(self):
+        d = create_diffusion("5")
+        rng = jax.random.PRNGKey(0)
+        noise = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8))
+        final = d.p_sample_loop(self._model, noise, rng, clip_denoised=False)
+        prog = d.p_sample_loop_progressive(self._model, noise, rng, clip_denoised=False)
+        assert prog["sample"].shape == (5, 2, 4, 8, 8)
+        np.testing.assert_allclose(np.asarray(prog["sample"][-1]), np.asarray(final), rtol=1e-6)
+
+    def test_ddim_deterministic(self):
+        d = create_diffusion("ddim10")
+        noise = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8))
+        a = d.ddim_sample_loop(self._model, noise, jax.random.PRNGKey(0), clip_denoised=False)
+        b = d.ddim_sample_loop(self._model, noise, jax.random.PRNGKey(7), clip_denoised=False)
+        # eta=0 => no stochasticity => rng must not matter
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        assert np.isfinite(np.asarray(a)).all()
+
+    def test_respaced_full_consistency(self):
+        """A 1000-step process respaced to all 1000 steps is the identity
+        respacing: identical tables."""
+        full = create_diffusion("")
+        same = create_diffusion("1000")
+        np.testing.assert_allclose(np.asarray(full.betas), np.asarray(same.betas), rtol=1e-12)
+        np.testing.assert_array_equal(
+            np.asarray(full.timestep_map), np.asarray(same.timestep_map)
+        )
+
+    def test_calc_bpd_loop_shapes(self):
+        d = create_diffusion("5")
+        x0 = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8, 8)) * 0.1
+        out = d.calc_bpd_loop(self._model, x0, jax.random.PRNGKey(3))
+        assert out["vb"].shape == (2, 5)
+        assert out["total_bpd"].shape == (2,)
+        assert np.isfinite(np.asarray(out["total_bpd"])).all()
+
+
+class TestTimestepSampler:
+    def test_uniform(self):
+        from mapdit_tpu.diffusion.timestep_sampler import UniformSampler
+
+        s = UniformSampler(1000)
+        t, w = s.sample(jax.random.PRNGKey(0), 512)
+        assert t.shape == (512,) and (np.asarray(t) >= 0).all() and (np.asarray(t) < 1000).all()
+        np.testing.assert_allclose(np.asarray(w), 1.0)
+
+    def test_loss_second_moment_warmup_and_weighting(self):
+        from mapdit_tpu.diffusion.timestep_sampler import LossSecondMomentResampler
+
+        s = LossSecondMomentResampler(4, history_per_term=2, uniform_prob=0.0)
+        state = s.init_state()
+        # before warmup: uniform
+        np.testing.assert_allclose(np.asarray(s.weights(state)), 0.25)
+        ts = jnp.array([0, 1, 2, 3, 0, 1, 2, 3])
+        losses = jnp.array([1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0])
+        state = s.update_with_local_losses(state, ts, losses)
+        w = np.asarray(s.weights(state))
+        np.testing.assert_allclose(w, np.array([1, 2, 3, 4]) / 10.0, rtol=1e-5)
+        # ring buffer: new losses displace old ones once full
+        state = s.update_with_local_losses(state, jnp.array([0, 0]), jnp.array([9.0, 9.0]))
+        w2 = np.asarray(s.weights(state))
+        assert w2[0] > w[0]
