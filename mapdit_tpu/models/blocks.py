@@ -81,6 +81,7 @@ class ModulationHead(nn.Module):
             self.dims,
             use_wn=cfg.use_weight_normalization,
             zero_init=not cfg.mp_style,
+            folded=cfg.fold_weights,
             dtype=cfg.dtype,
             name="linear",
         )(activation(c, cfg))
@@ -223,6 +224,7 @@ class LabelEmbedder(nn.Module):
             cfg.num_classes + int(use_cfg_embedding),
             cfg.hidden_size,
             use_wn=cfg.use_mp_embedding,
+            folded=cfg.fold_weights,
             dtype=cfg.dtype,
             name="embedding",
         )(labels)
@@ -246,6 +248,7 @@ class MPScale(nn.Module):
             cfg.hidden_size,
             self.angle_dim,
             use_wn=cfg.use_weight_normalization,
+            folded=cfg.fold_weights,
             dtype=cfg.dtype,
             name="linear",
         )(c)
@@ -288,6 +291,7 @@ class FinalLayer(nn.Module):
             (out_dim,) * n_out,
             use_wn=cfg.use_weight_normalization,
             zero_init=not cfg.mp_style,
+            folded=cfg.fold_weights,
             dtype=cfg.dtype,
             name="linear",
         )(x_mod)

@@ -57,6 +57,12 @@ class DiTConfig:
     # TPU execution knobs (no reference equivalent)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    # Inference: weights pre-normalized once (fold_weights_for_inference),
+    # skip the in-graph re-normalization inside the sampling scan. The
+    # in-graph WN is idempotent up to its 1e-4 eps, so this changes results
+    # by O(1e-5) relative while removing a full param renorm per denoise
+    # step. Training must keep this False.
+    fold_weights: bool = False
 
     def __post_init__(self):
         assert self.hidden_size % self.num_heads == 0

@@ -69,6 +69,7 @@ class DiT(nn.Module):
             x.shape[-1],
             cfg.hidden_size,
             use_wn=cfg.use_weight_normalization,
+            folded=cfg.fold_weights,
             dtype=cfg.dtype,
             name="x_embedder",
         )(x)

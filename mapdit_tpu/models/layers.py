@@ -49,6 +49,7 @@ class MPLinear(nn.Module):
     zero_init: bool = False
     learn_gain: bool = False
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -64,7 +65,9 @@ class MPLinear(nn.Module):
                 )
             else:
                 gain = 1.0
-            w = normalize(w) * (gain / math.sqrt(self.in_dim))
+            if not self.folded:
+                w = normalize(w)
+            w = w * (gain / math.sqrt(self.in_dim))
             return x.astype(self.dtype) @ w.T.astype(self.dtype)
 
         init = (
@@ -93,13 +96,16 @@ class MPLinearSplit(nn.Module):
     use_wn: bool = True
     zero_init: bool = False
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, ...]:
         total = sum(self.out_dims)
         if self.use_wn:
             w = self.param("weight", nn.initializers.normal(1.0), (total, self.in_dim))
-            w = normalize(w) / math.sqrt(self.in_dim)
+            if not self.folded:
+                w = normalize(w)
+            w = w / math.sqrt(self.in_dim)
             out = x.astype(self.dtype) @ w.T.astype(self.dtype)
         else:
             init = (
@@ -128,6 +134,7 @@ class MPEmbedding(nn.Module):
     embedding_dim: int
     use_wn: bool = True
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, idx: Array) -> Array:
@@ -137,7 +144,8 @@ class MPEmbedding(nn.Module):
                 nn.initializers.normal(1.0),
                 (self.num_embeddings, self.embedding_dim),
             )
-            w = normalize(w)
+            if not self.folded:
+                w = normalize(w)
         else:
             w = self.param(
                 "weight",
@@ -173,6 +181,7 @@ class Attention(nn.Module):
             self.in_dim,
             (self.in_dim,) * 3,
             use_wn=c.use_weight_normalization,
+            folded=c.fold_weights,
             dtype=c.dtype,
             name="qkv_proj",
         )(x)
@@ -193,6 +202,7 @@ class Attention(nn.Module):
             self.in_dim,
             self.in_dim,
             use_wn=c.use_weight_normalization,
+            folded=c.fold_weights,
             dtype=c.dtype,
             name="out_proj",
         )(out)
@@ -216,9 +226,9 @@ class MLP(nn.Module):
             else self.hidden_dim
         )
         x = MPLinear(
-            self.in_dim, hidden, use_wn=c.use_weight_normalization, dtype=c.dtype, name="fc1"
+            self.in_dim, hidden, use_wn=c.use_weight_normalization, folded=c.fold_weights, dtype=c.dtype, name="fc1"
         )(x)
         x = activation(x, c)
         return MPLinear(
-            hidden, self.out_dim, use_wn=c.use_weight_normalization, dtype=c.dtype, name="fc2"
+            hidden, self.out_dim, use_wn=c.use_weight_normalization, folded=c.fold_weights, dtype=c.dtype, name="fc2"
         )(x)

@@ -1,0 +1,79 @@
+"""Device mesh + sharding layout for data/tensor-parallel training.
+
+TPU-native replacement for the reference's (absent) distributed tier
+(SURVEY.md §2.7): a ``('data', 'model')`` `jax.sharding.Mesh` over ICI.
+
+  * **data**: batch dim sharded; XLA GSPMD inserts the gradient psum.
+  * **model**: optional tensor parallelism for the matmul-heavy weights —
+    QKV / MLP-in weights are split on the output (head) dim, out-proj /
+    MLP-out on the input dim, so each pair needs a single all-reduce on the
+    branch output and the MP row-normalization stays shard-local (rows are
+    never split).
+
+PP/SP/EP are intentionally absent: models are <=28 blocks on 64-256-token
+sequences and fit on one chip (SURVEY.md §5.7); a sequence axis would attach
+between 'data' and 'model' if inputs ever grew.
+
+Multi-host: call `jax.distributed.initialize()` before building the mesh;
+axes here are laid out data-outermost so the gradient reduction rides ICI
+within a slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devices.size // n_model
+    assert n_data * n_model == devices.size, (n_data, n_model, devices.size)
+    return Mesh(devices.reshape(n_data, n_model), (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Tensor-parallel layout: (out_dim, in_dim) weights.
+# Column-parallel (split out rows): qkv_proj, mlp fc1 — rows stay whole so
+# normalize() is shard-local. Row-parallel (split in cols): out_proj, fc2.
+_COL_PARALLEL = ("qkv_proj", "fc1")
+_ROW_PARALLEL = ("out_proj", "fc2")
+
+
+def param_sharding(params, mesh: Mesh):
+    """Pytree of NamedShardings: TP split for attention/MLP weights when the
+    mesh has a nontrivial 'model' axis, replicated otherwise."""
+    tp = mesh.shape[MODEL_AXIS] > 1
+
+    def rule(path, leaf):
+        names = [p.key for p in path if hasattr(p, "key")]
+        if tp and leaf.ndim == 2 and names and names[-1] == "weight":
+            parent = names[-2] if len(names) >= 2 else ""
+            # t_embedder's MLP is tiny and batch-1-per-token; keep replicated.
+            if "t_embedder" not in names:
+                if parent in _COL_PARALLEL and leaf.shape[0] % mesh.shape[MODEL_AXIS] == 0:
+                    return NamedSharding(mesh, P(MODEL_AXIS, None))
+                if parent in _ROW_PARALLEL and leaf.shape[1] % mesh.shape[MODEL_AXIS] == 0:
+                    return NamedSharding(mesh, P(None, MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_tree(tree, shardings):
+    """Device-put a pytree according to a matching pytree of shardings."""
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

@@ -1,0 +1,91 @@
+"""Sampling runtime: build jitted end-to-end denoising functions.
+
+One XLA program runs the entire respaced chain (scan over timesteps, model
+forward + ancestral step fused per iteration). With ``fold=True`` the
+weight-normalized matrices are pre-projected once and the in-graph
+re-normalization is skipped inside the scan (see DiTConfig.fold_weights).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mapdit_tpu.models.config import DiTConfig
+from mapdit_tpu.models.dit import DiT
+from mapdit_tpu.ops.mp import normalize
+
+Array = jax.Array
+
+
+def fold_weights_for_inference(params, cfg: DiTConfig):
+    """Normalize every weight-normalized matrix once so apply() can skip the
+    in-graph normalization (exact up to the normalize eps fixed point)."""
+
+    def proj(path, leaf):
+        names = [p.key for p in path if hasattr(p, "key")]
+        if not names or names[-1] != "weight" or leaf.ndim != 2:
+            return leaf
+        is_embedding = len(names) >= 2 and names[-2] == "embedding"
+        flag = cfg.use_mp_embedding if is_embedding else cfg.use_weight_normalization
+        return normalize(leaf) if flag else leaf
+
+    return jax.tree_util.tree_map_with_path(proj, params)
+
+
+def build_model_fn(
+    cfg: DiTConfig,
+    variables: Dict,
+    cfg_scale: Optional[float] = None,
+    fold: bool = True,
+):
+    """(model_fn(x, t, y), prepared_variables).
+
+    With ``cfg_scale`` the function is the GLIDE-style batched-CFG forward
+    (caller supplies [cond; null] label halves, reference `sample.py:46-48`).
+    """
+    if fold and cfg.use_weight_normalization:
+        cfg = cfg.replace(fold_weights=True)
+        variables = dict(
+            variables, params=fold_weights_for_inference(variables["params"], cfg)
+        )
+    model = DiT(cfg)
+
+    if cfg_scale is None:
+
+        def model_fn(x, t, y):
+            return model.apply(variables, x, t, y)
+
+    else:
+
+        def model_fn(x, t, y):
+            return model.apply(
+                variables, x, t, y, cfg_scale, method=DiT.forward_with_cfg
+            )
+
+    return model_fn
+
+
+def build_sample_fn(
+    cfg: DiTConfig,
+    variables: Dict,
+    diffusion,
+    cfg_scale: Optional[float] = None,
+    fold: bool = True,
+    progress: bool = False,
+):
+    """Jitted (noise, y, rng) -> samples over the full denoising chain.
+
+    Sampling scripts pass clip_denoised=False (reference `sample.py:57`).
+    """
+    model_fn = build_model_fn(cfg, variables, cfg_scale=cfg_scale, fold=fold)
+
+    @jax.jit
+    def sample_fn(noise: Array, y: Array, rng: Array) -> Array:
+        return diffusion.p_sample_loop(
+            model_fn, noise, rng, clip_denoised=False, model_kwargs={"y": y}
+        )
+
+    return sample_fn

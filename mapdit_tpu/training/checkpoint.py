@@ -1,0 +1,54 @@
+"""Checkpointing + resume.
+
+The reference writes {model, opt} state dicts every --ckpt-every steps
+(`train.py:124-132`) but has **no resume path** (SURVEY.md §5.3-4). Here the
+full TrainState (params, constants, optimizer moments, both EMA trees, step,
+rng) round-trips through flax msgpack — pytree checkpoints, no name
+mangling (the reference's torch.compile `_orig_mod.` key bug class can't
+exist, SURVEY.md §2.8) — and `latest_checkpoint` + `restore_state` give
+train.py a --resume flag.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+from flax import serialization
+
+
+def checkpoint_path(exp_dir: str, step: int) -> str:
+    return os.path.join(exp_dir, "checkpoints", f"{step:07d}.msgpack")
+
+
+def save_state(exp_dir: str, step: int, state) -> str:
+    import jax
+
+    path = checkpoint_path(exp_dir, step)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+    return path
+
+
+_CKPT_RE = re.compile(r"^(\d+)\.msgpack$")
+
+
+def latest_checkpoint(exp_dir: str) -> Optional[str]:
+    ckpt_dir = os.path.join(exp_dir, "checkpoints")
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(m.group(1))
+        for f in os.listdir(ckpt_dir)
+        if (m := _CKPT_RE.match(f))
+    ]
+    return checkpoint_path(exp_dir, max(steps)) if steps else None
+
+
+def restore_state(path: str, state_template):
+    """Restore into a structurally-matching template (e.g. a freshly built
+    TrainState) — shapes/dtypes validated by flax deserialization."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(state_template, f.read())

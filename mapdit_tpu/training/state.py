@@ -1,0 +1,167 @@
+"""Train state and the fused jitted train step.
+
+The reference's per-step work — loss forward/backward, Adam, LR schedule,
+forced weight re-normalization, power-EMA lerp x2 stds
+(`train.py:80-139`, `src/basic/mp_linear.py:38-40`, `src/ema.py:125-140`) —
+is one XLA program here: ``train_step`` is jitted with the state donated, so
+parameters, optimizer moments, and both EMA trees update in place on device
+with zero host round-trips. VAE-posterior sampling + normalization
+(reference does this in DataLoader workers, `train.py:168-176`) also happens
+inside the step, so the host only feeds raw (mean, std, label) tensors.
+
+Ordering parity (SURVEY.md §7 hard-part #1): grads are taken w.r.t. the
+in-graph-normalized weights; Adam updates the stored (normalized) weights;
+EMA lerps the *post-Adam, pre-projection* params (the reference calls
+ema.update before the next forward's forced WN); projection then restores
+the norm manifold for the next step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mapdit_tpu.models.config import DiTConfig
+from mapdit_tpu.models.dit import DiT, project_weights
+from mapdit_tpu.training import ema as ema_lib
+
+Array = jax.Array
+
+EMA_STDS = (0.05, 0.1)  # reference default (train.py:54)
+
+
+@struct.dataclass
+class TrainState:
+    step: Array
+    params: Any
+    constants: Any
+    opt_state: Any
+    ema: Dict[str, Any]  # "0.050" -> param pytree
+    rng: Array
+
+
+def ema_key(std: float) -> str:
+    return f"{std:.3f}"
+
+
+def create_optimizer(
+    lr_schedule: Callable, b1: float = 0.9, b2: float = 0.99
+) -> optax.GradientTransformation:
+    """Adam(0.9, 0.99) + schedule (reference `train.py:57`)."""
+    return optax.adam(learning_rate=lr_schedule, b1=b1, b2=b2)
+
+
+def create_train_state(
+    cfg: DiTConfig,
+    tx: optax.GradientTransformation,
+    seed: int = 0,
+    ema_stds: Tuple[float, ...] = EMA_STDS,
+) -> TrainState:
+    from mapdit_tpu.models.dit import init_model
+
+    _, variables = init_model(cfg, seed=seed)
+    params = variables["params"]
+    constants = variables.get("constants", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        constants=constants,
+        opt_state=tx.init(params),
+        # Distinct buffers per EMA tree: aliasing params would make the
+        # donated train-step state donate the same buffer multiple times.
+        ema={
+            ema_key(s): jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params)
+            for s in ema_stds
+        },
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+def make_train_step(
+    cfg: DiTConfig,
+    diffusion,
+    tx: optax.GradientTransformation,
+    stats_mean: Optional[Array] = None,
+    stats_std: Optional[Array] = None,
+    ema_stds: Tuple[float, ...] = EMA_STDS,
+):
+    """Build the pure train-step function (jit/donate applied by the caller
+    or `mapdit_tpu.training.train_loop`).
+
+    Batch formats:
+      {"x": (N,C,H,W), "y": (N,)}                      — pre-sampled latents
+      {"mean": ..., "std": ..., "y": ...}              — VAE posterior params;
+        a fresh latent mu + eps*sigma is drawn and normalized on device every
+        step (the reference's stochastic posterior augmentation,
+        `train.py:168-176`).
+    """
+    model = DiT(cfg)
+    beta_fns = {ema_key(s): ema_lib.make_beta_fn(s) for s in ema_stds}
+
+    def train_step(state: TrainState, batch: Dict[str, Array]):
+        rng, rng_noise, rng_t, rng_drop, rng_post = jax.random.split(state.rng, 5)
+
+        y = batch["y"]
+        if "x" in batch:
+            x = batch["x"]
+        else:
+            eps = jax.random.normal(rng_post, batch["mean"].shape, batch["mean"].dtype)
+            x = batch["mean"] + eps * batch["std"]
+            x = (x - stats_mean.reshape(1, -1, 1, 1)) / stats_std.reshape(1, -1, 1, 1)
+
+        n = x.shape[0]
+        t = jax.random.randint(rng_t, (n,), 0, diffusion.num_timesteps)
+
+        def loss_fn(params):
+            def model_fn(xt, tt, y):
+                return model.apply(
+                    {"params": params, "constants": state.constants},
+                    xt,
+                    tt,
+                    y,
+                    train=True,
+                    rngs={"label_dropout": rng_drop},
+                )
+
+            terms = diffusion.training_losses(
+                model_fn, x, t, model_kwargs={"y": y}, rng=rng_noise
+            )
+            return jnp.mean(terms["loss"]), terms
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # EMA sees post-Adam, pre-projection params (reference ordering);
+        # beta is computed from the 1-indexed step so step 1 copies the model.
+        step1 = state.step + 1
+        new_ema = {
+            k: ema_lib.ema_update(state.ema[k], params, beta_fns[k](step1))
+            for k in state.ema
+        }
+
+        params = project_weights(params, cfg)
+
+        metrics = {
+            "loss": loss,
+            "mse": jnp.mean(terms["mse"]) if "mse" in terms else loss,
+            "vb": jnp.mean(terms["vb"]) if "vb" in terms else jnp.zeros(()),
+            "grad_norm": optax.global_norm(grads),
+        }
+        new_state = TrainState(
+            step=step1,
+            params=params,
+            constants=state.constants,
+            opt_state=opt_state,
+            ema=new_ema,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Sample a grid of images from a trained run (reference sample.py parity).
+
+Loads config.yaml from the experiment dir, reconstructs the post-hoc EMA at
+--ema-std (or a specific checkpoint via --ckpt), runs the full 250-step
+respaced DDPM chain with batched CFG as ONE jitted scan, denormalizes by the
+dataset stats, optionally decodes through the SD-VAE (JAX port, local
+weights), and writes a PNG grid.
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapdit_tpu.diffusion import create_diffusion
+from mapdit_tpu.runtime import build_sample_fn
+from mapdit_tpu.training.checkpoint import checkpoint_path, restore_state
+from mapdit_tpu.training.ema import calculate_posthoc_ema
+from mapdit_tpu.utils import class_name, load_config
+from mapdit_tpu.utils.experiment import config_from_args
+from mapdit_tpu.utils.image import save_image_grid
+
+
+def load_variables(result_dir: str, train_args: dict, ckpt=None, ema_std=0.05):
+    """EMA-reconstructed (default) or raw-checkpoint variables
+    (reference sample.py:27-34)."""
+    from flax import serialization
+
+    if ckpt is not None:
+        path = os.path.join(result_dir, "checkpoints", f"{ckpt}.msgpack")
+        with open(path, "rb") as f:
+            state = serialization.msgpack_restore(f.read())
+        return {"params": state["params"], "constants": state["constants"]}
+
+    params = calculate_posthoc_ema(ema_std, os.path.join(result_dir, "ema"))
+    # constants (MPFourier buffers) live in any checkpoint; fall back to the
+    # latest one for them.
+    from mapdit_tpu.training.checkpoint import latest_checkpoint
+
+    ck = latest_checkpoint(result_dir)
+    assert ck, "need at least one checkpoint for the constants collection"
+    with open(ck, "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    return {"params": params, "constants": state["constants"]}
+
+
+def decode_latents(samples: np.ndarray, train_args: dict, use_vae: bool, vae_path=None):
+    """Denormalize by dataset stats and optionally decode through the VAE."""
+    mean = np.asarray(train_args["stats_mean"], np.float32).reshape(1, -1, 1, 1)
+    std = np.asarray(train_args["stats_std"], np.float32).reshape(1, -1, 1, 1)
+    samples = samples * std + mean
+    if use_vae:
+        from mapdit_tpu.models.vae import load_decoder
+
+        decoder = load_decoder(vae_path)
+        if decoder is None:
+            print("warning: no VAE weights available (--vae-path); writing raw latents")
+        else:
+            samples = np.asarray(decoder(jnp.asarray(samples)))
+    return np.clip(samples, -1.0, 1.0)
+
+
+def main(args):
+    train_args = load_config(args.result_dir)
+    cfg = config_from_args(train_args)
+    variables = load_variables(args.result_dir, train_args, args.ckpt, args.ema_std)
+
+    n = 4
+    key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+    key, zkey, skey = jax.random.split(key, 3)
+    z = jax.random.normal(
+        zkey, (n, train_args["in_channels"], train_args["input_size"], train_args["input_size"])
+    )
+    # CFG batch: [z; z] with [labels; null] (reference sample.py:46-48)
+    z = jnp.concatenate([z, z], axis=0)
+    y = jnp.concatenate(
+        [jnp.full((n,), args.class_label, jnp.int32),
+         jnp.full((n,), cfg.num_classes, jnp.int32)]
+    )
+
+    diffusion = create_diffusion(str(args.num_sampling_steps))
+    sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale)
+    samples = sample_fn(z, y, skey)
+    samples = np.asarray(samples[:n])  # drop the null-class half
+
+    samples = decode_latents(samples, train_args, args.use_vae, args.vae_path)
+    save_image_grid(samples, args.output_file, nrow=2)
+    print(f"output class: {class_name(args.class_label)} ({args.class_label})")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--result-dir", type=str, required=True)
+    parser.add_argument("--use-vae", type=lambda s: s.lower() in ("1", "true", "yes"),
+                        default=True, metavar="BOOL")
+    parser.add_argument("--vae-path", type=str, default=None,
+                        help="local SD-VAE weights (safetensors/pt); offline replacement "
+                             "for the reference's hub download")
+    parser.add_argument("--output-file", type=str, default="sample.png")
+    parser.add_argument("--class-label", type=int, default=88)
+    parser.add_argument("--cfg-scale", type=float, default=4.0)
+    parser.add_argument("--num-sampling-steps", type=int, default=250)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--ema-std", type=float, default=0.05)
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="checkpoint step to load instead of EMA (no extension)")
+    main(parser.parse_args())

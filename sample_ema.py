@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Compare post-hoc EMA stds side by side (reference sample_ema.py parity).
+
+Reconstructs the model at five EMA stds, samples 8 images per std with the
+same seed/noise, and writes one grid with a row per image and a column per
+std.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapdit_tpu.diffusion import create_diffusion
+from mapdit_tpu.runtime import build_sample_fn
+from mapdit_tpu.utils import class_name, load_config
+from mapdit_tpu.utils.experiment import config_from_args
+from mapdit_tpu.utils.image import save_image_grid
+
+from sample import decode_latents, load_variables
+
+EMA_STDS = [0.0075, 0.01, 0.05, 0.1, 0.15]  # reference sample_ema.py:25
+
+
+def main(args):
+    train_args = load_config(args.result_dir)
+    cfg = config_from_args(train_args)
+    diffusion = create_diffusion(str(args.num_sampling_steps))
+
+    n = 8
+    res = []
+    for std in EMA_STDS:
+        variables = load_variables(args.result_dir, train_args, None, std)
+        key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+        key, zkey, skey = jax.random.split(key, 3)
+        z = jax.random.normal(
+            zkey,
+            (n, train_args["in_channels"], train_args["input_size"], train_args["input_size"]),
+        )
+        z = jnp.concatenate([z, z], axis=0)
+        y = jnp.concatenate(
+            [jnp.full((n,), args.class_label, jnp.int32),
+             jnp.full((n,), cfg.num_classes, jnp.int32)]
+        )
+        sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale)
+        res.append(np.asarray(sample_fn(z, y, skey)[:n]))
+
+    # (n, stds, C, H, W) -> row-major grid with one column per std
+    samples = np.stack(res, axis=1).reshape(-1, *res[0].shape[1:])
+    samples = decode_latents(samples, train_args, args.use_vae, args.vae_path)
+    save_image_grid(samples, args.output_file, nrow=len(EMA_STDS))
+    print(f"output class: {class_name(args.class_label)} ({args.class_label})")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--result-dir", type=str, required=True)
+    parser.add_argument("--use-vae", type=lambda s: s.lower() in ("1", "true", "yes"),
+                        default=True, metavar="BOOL")
+    parser.add_argument("--vae-path", type=str, default=None)
+    parser.add_argument("--output-file", type=str, default="sample.png")
+    parser.add_argument("--class-label", type=int, default=88)
+    parser.add_argument("--cfg-scale", type=float, default=4.0)
+    parser.add_argument("--num-sampling-steps", type=int, default=250)
+    parser.add_argument("--seed", type=int, default=42)
+    main(parser.parse_args())

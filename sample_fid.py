@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Batched class-conditional sampling for FID evaluation
+(reference sample_fid.py parity).
+
+Produces a uint8 NHWC ``.npz`` (key ``arr_0``, ADM-evaluator format) of
+--num-samples images at 250 respaced DDPM steps. CFG is used only when
+--cfg-scale > 1 (reference sample_fid.py:56-66). The whole denoising chain
+per batch is one jitted scan; batches reuse the compiled program.
+"""
+
+import argparse
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm import tqdm
+
+from mapdit_tpu.diffusion import create_diffusion
+from mapdit_tpu.runtime import build_sample_fn
+from mapdit_tpu.utils import load_config
+from mapdit_tpu.utils.experiment import config_from_args
+from mapdit_tpu.utils.image import to_uint8
+
+from sample import decode_latents, load_variables
+
+
+def main(args):
+    train_args = load_config(args.result_dir)
+    cfg = config_from_args(train_args)
+    variables = load_variables(args.result_dir, train_args, args.ckpt, args.ema_std)
+    diffusion = create_diffusion(str(args.num_sampling_steps))
+
+    use_cfg = args.cfg_scale > 1.0
+    sample_fn = build_sample_fn(
+        cfg, variables, diffusion, cfg_scale=args.cfg_scale if use_cfg else None
+    )
+
+    key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+    n = args.batch_size
+    gathered = []
+    for _ in tqdm(range(math.ceil(args.num_samples / n))):
+        key, zkey, ykey, skey = jax.random.split(key, 4)
+        z = jax.random.normal(
+            zkey, (n, train_args["in_channels"], train_args["input_size"], train_args["input_size"])
+        )
+        y = jax.random.randint(ykey, (n,), 0, args.num_classes)
+        if use_cfg:
+            z = jnp.concatenate([z, z], axis=0)
+            y = jnp.concatenate([y, jnp.full((n,), args.num_classes, jnp.int32)])
+        samples = sample_fn(z, y, skey)
+        samples = np.asarray(samples[:n])
+        samples = decode_latents(samples, train_args, args.use_vae, args.vae_path)
+        gathered.append(to_uint8(samples))
+
+    samples = np.concatenate(gathered, axis=0)[: args.num_samples]
+    out_dir = os.path.join(args.result_dir, "fid_samples")
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(os.path.join(out_dir, args.output_file), arr_0=samples)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--result-dir", type=str, required=True)
+    parser.add_argument("--use-vae", type=lambda s: s.lower() in ("1", "true", "yes"),
+                        default=True, metavar="BOOL")
+    parser.add_argument("--vae-path", type=str, default=None)
+    parser.add_argument("--cfg-scale", type=float, default=1.5)
+    parser.add_argument("--num-classes", type=int, default=1_000)
+    parser.add_argument("--num-samples", type=int, default=10_000)
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--num-sampling-steps", type=int, default=250)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--output-file", type=str, default="samples.npz")
+    parser.add_argument("--ema-std", type=float, default=0.05)
+    parser.add_argument("--ckpt", type=str, default=None)
+    main(parser.parse_args())

@@ -1,0 +1,158 @@
+"""End-to-end CLI tests: train -> checkpoint/EMA artifacts -> sample /
+sample_fid on raw latents (SURVEY.md §4.6). Runs the actual entry scripts in
+subprocesses on the synthetic dataset, CPU-pinned."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(script, *args, timeout=900):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # skip axon registration entirely
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+    ).strip()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+        env=env,
+    )
+    assert proc.returncode == 0, f"{script} failed:\n{proc.stdout}\n{proc.stderr}"
+    return proc
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    results = str(tmp_path_factory.mktemp("results"))
+    run(
+        "train.py",
+        "--data-path", "synthetic:64",
+        "--results-dir", results,
+        "--model", "DiT-XS/8",
+        "--num-classes", "10",
+        "--num-steps", "12",
+        "--batch-size", "8",
+        "--log-every", "4",
+        "--ckpt-every", "12",
+        "--ema-snapshot-every", "4",
+        "--num-lin-warmup", "2",
+        "--start-decay", "8",
+    )
+    exp_dir = os.path.join(results, os.listdir(results)[0])
+    return exp_dir
+
+
+class TestTrainCLI:
+    def test_artifact_layout(self, trained_run):
+        """Reference experiment-dir layout (SURVEY.md §1)."""
+        assert os.path.exists(os.path.join(trained_run, "config.yaml"))
+        assert os.path.exists(os.path.join(trained_run, "log.txt"))
+        assert os.path.exists(
+            os.path.join(trained_run, "checkpoints", "0000012.msgpack")
+        )
+        snaps = os.listdir(os.path.join(trained_run, "ema"))
+        # 2 stds x 3 snapshot points (steps 4, 8, 12)
+        assert len(snaps) == 6, snaps
+        assert "0.050_0000012.npz" in snaps and "0.100_0000004.npz" in snaps
+
+    def test_config_roundtrip(self, trained_run):
+        with open(os.path.join(trained_run, "config.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        assert cfg["model"] == "DiT-XS/8"
+        assert cfg["in_channels"] == 4 and cfg["input_size"] == 16
+        assert len(cfg["stats_mean"]) == 4 and len(cfg["stats_std"]) == 4
+        assert cfg["use_cosine_attention"] is True
+        assert cfg["modulation"] == "adaln"
+
+    def test_log_format(self, trained_run):
+        log = open(os.path.join(trained_run, "log.txt")).read()
+        assert "train loss:" in log and "train steps/sec:" in log
+
+    def test_resume(self, trained_run, tmp_path):
+        """--resume picks up from the checkpoint (new capability)."""
+        proc = run(
+            "train.py",
+            "--data-path", "synthetic:64",
+            "--results-dir", str(tmp_path),
+            "--model", "DiT-XS/8",
+            "--num-classes", "10",
+            "--num-steps", "14",
+            "--batch-size", "8",
+            "--log-every", "2",
+            "--ckpt-every", "100",
+            "--ema-snapshot-every", "0",
+            "--resume", trained_run,
+        )
+        assert "resumed from" in open(
+            os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0], "log.txt")
+        ).read()
+
+
+class TestSampleCLI:
+    def test_sample_png(self, trained_run, tmp_path):
+        out = str(tmp_path / "sample.png")
+        proc = run(
+            "sample.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--output-file", out,
+            "--class-label", "3",
+            "--num-sampling-steps", "4",
+        )
+        assert os.path.exists(out)
+        assert "class 3" in proc.stdout
+
+    def test_sample_from_ckpt(self, trained_run, tmp_path):
+        out = str(tmp_path / "sample_ckpt.png")
+        run(
+            "sample.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--output-file", out,
+            "--num-sampling-steps", "4",
+            "--ckpt", "0000012",
+        )
+        assert os.path.exists(out)
+
+    def test_sample_fid_npz(self, trained_run):
+        run(
+            "sample_fid.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--num-samples", "6",
+            "--batch-size", "4",
+            "--num-classes", "10",
+            "--num-sampling-steps", "4",
+            "--cfg-scale", "1.5",
+        )
+        path = os.path.join(trained_run, "fid_samples", "samples.npz")
+        with np.load(path) as f:
+            arr = f["arr_0"]
+        # ADM evaluator format: uint8 NHWC, exactly num_samples
+        assert arr.dtype == np.uint8 and arr.shape == (6, 16, 16, 4)
+
+    def test_sample_fid_no_cfg_path(self, trained_run):
+        run(
+            "sample_fid.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--num-samples", "4",
+            "--batch-size", "4",
+            "--num-classes", "10",
+            "--num-sampling-steps", "2",
+            "--cfg-scale", "1.0",
+            "--output-file", "nocfg.npz",
+        )
+        assert os.path.exists(os.path.join(trained_run, "fid_samples", "nocfg.npz"))

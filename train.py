@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Train a (MaP-)DiT on VAE-latent data — TPU-native.
+
+CLI parity with the reference's train.py (flags, config.yaml round-trip,
+experiment/checkpoint/EMA-snapshot layout, log format) plus the `--use-*`
+MaP flag family the reference README documents but never wired up
+(README.md:57-66; SURVEY.md fact #1), the `--modulation` paper-ablation
+selector, `--resume` (new capability — the reference cannot resume), and
+TPU execution knobs (mesh shape, bf16 compute, attention impl).
+
+The entire per-step pipeline — posterior sampling, normalization, loss,
+backward, Adam, LR schedule, forced-WN projection, 2x power-EMA lerp — is a
+single donated jitted XLA program, data-parallel over the ('data','model')
+mesh. The host only shuffles indices and stages (mean, std, label) slices.
+"""
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapdit_tpu.diffusion import create_diffusion
+from mapdit_tpu.models import DIT_MODELS, param_count
+from mapdit_tpu.parallel import batch_sharding, make_mesh, param_sharding, shard_tree
+from mapdit_tpu.training import (
+    EMA_STDS,
+    create_optimizer,
+    create_train_state,
+    ema_key,
+    make_train_step,
+    warmup_flat_invsqrt,
+)
+from mapdit_tpu.training import ema as ema_lib
+from mapdit_tpu.training.checkpoint import latest_checkpoint, restore_state, save_state
+from mapdit_tpu.training.data import LatentDataset, SyntheticLatentDataset
+from mapdit_tpu.training.lr import default_schedule_steps
+from mapdit_tpu.utils import create_logger, save_config, setup_experiment
+from mapdit_tpu.utils.experiment import config_from_args
+
+
+def build_dataset(data_path: str):
+    if data_path.startswith("synthetic"):
+        n = int(data_path.split(":")[1]) if ":" in data_path else 1024
+        return SyntheticLatentDataset(num_examples=n)
+    return LatentDataset(data_path)
+
+
+def main(args):
+    devices = jax.devices()
+    mesh = make_mesh(n_model=args.n_model)
+    n_data = mesh.shape["data"]
+
+    exp_dir = setup_experiment(args.model, args.results_dir)
+    logger = create_logger(exp_dir, verbose=args.verbose)
+    logger.info(f"devices: {len(devices)}x {devices[0].device_kind}; mesh data={n_data} model={args.n_model}")
+    logger.info(f"experiment directory created at {exp_dir}")
+
+    dataset = build_dataset(args.data_path)
+    logger.info(
+        f"dataset contains {len(dataset):,} data points "
+        f"({args.data_path}, {dataset.channels}x{dataset.data_size}x{dataset.data_size})"
+    )
+
+    # Persist the full config (argparse + dataset-derived fields) — the
+    # model-construction source of truth for all sampling scripts.
+    args.in_channels = dataset.channels
+    args.input_size = dataset.data_size
+    args.stats_std = [float(x) for x in dataset.stats["std"]]
+    args.stats_mean = [float(x) for x in dataset.stats["mean"]]
+    save_config(exp_dir, vars(args))
+
+    diffusion = create_diffusion(timestep_respacing="")
+    cfg = config_from_args(vars(args))
+
+    if args.ema_snapshot_every is None:
+        args.ema_snapshot_every = args.num_steps // 250
+    num_lin_warmup, start_decay = default_schedule_steps(
+        args.num_steps, args.num_lin_warmup, args.start_decay
+    )
+
+    schedule = warmup_flat_invsqrt(args.lr, num_lin_warmup, start_decay)
+    tx = create_optimizer(schedule)
+    state = create_train_state(cfg, tx, seed=args.seed, ema_stds=tuple(EMA_STDS))
+    logger.info(f"model parameters: {param_count(state.params):,}")
+
+    if args.resume:
+        path = args.resume if os.path.isfile(args.resume) else latest_checkpoint(args.resume)
+        assert path, f"--resume: no checkpoint found at {args.resume}"
+        state = restore_state(path, state)
+        logger.info(f"resumed from {path} at step {int(state.step)}")
+
+    step_fn = make_train_step(
+        cfg,
+        diffusion,
+        tx,
+        stats_mean=jnp.asarray(dataset.stats["mean"]),
+        stats_std=jnp.asarray(dataset.stats["std"]),
+        ema_stds=tuple(EMA_STDS),
+    )
+    step_fn = jax.jit(step_fn, donate_argnums=0)
+
+    # Lay out state/batch over the mesh (GSPMD inserts grad psum + TP collectives).
+    p_shard = param_sharding(state.params, mesh)
+    state = state.replace(
+        params=shard_tree(state.params, p_shard),
+        ema={k: shard_tree(v, p_shard) for k, v in state.ema.items()},
+    )
+    b_shard = batch_sharding(mesh)
+
+    assert args.batch_size % n_data == 0, "batch size must divide the data axis"
+    batches = dataset.batches(batch_size=args.batch_size, seed=args.seed)
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
+    logger.info(f"training for {args.num_steps} steps...")
+    train_steps = int(state.step)
+    log_steps, running_loss = 0, 0.0
+    start_time = time.time()
+    last_metrics = None
+
+    with jax.set_mesh(mesh):
+        while train_steps < args.num_steps:
+            batch = {k: jax.device_put(v, b_shard) for k, v in next(batches).items()}
+            state, metrics = step_fn(state, batch)
+            train_steps += 1
+            log_steps += 1
+            last_metrics = metrics
+
+            if train_steps % args.log_every == 0:
+                # One host sync per log interval (the reference syncs every
+                # step via loss.item(), train.py:99)
+                running_loss = float(metrics["loss"])
+                steps_per_sec = log_steps / (time.time() - start_time)
+                logger.info(
+                    f"(step={train_steps:07d}) train loss: {running_loss:.4f}, "
+                    f"train steps/sec: {steps_per_sec:.2f}"
+                )
+                stats = devices[0].memory_stats() or {}
+                if stats:
+                    logger.debug(
+                        f"(memory) current={stats.get('bytes_in_use', 0)/1e9:.2f}GB, "
+                        f"peak={stats.get('peak_bytes_in_use', 0)/1e9:.2f}GB"
+                    )
+                log_steps, start_time = 0, time.time()
+
+            if train_steps % args.ckpt_every == 0 and train_steps > 0:
+                path = save_state(exp_dir, train_steps, state)
+                logger.info(f"saving checkpoint to {path} at step {train_steps}...")
+
+            if (
+                args.ema_snapshot_every
+                and train_steps % args.ema_snapshot_every == 0
+                and train_steps > 0
+            ):
+                ema_dir = os.path.join(exp_dir, "ema")
+                for std in EMA_STDS:
+                    ema_lib.save_snapshot(ema_dir, std, train_steps, state.ema[ema_key(std)])
+                logger.info(f"saving ema snapshot to {ema_dir} at step {train_steps}...")
+
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+    logger.info("done!")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+
+    # Training loop (reference train.py:225-248)
+    parser.add_argument("--data-path", type=str, required=True,
+                        help="latent dataset dir, or 'synthetic[:N]' for generated data")
+    parser.add_argument("--results-dir", type=str, required=True)
+    parser.add_argument("--model", type=str, choices=list(DIT_MODELS.keys()), default="DiT-XS/2")
+    parser.add_argument("--num-classes", type=int, default=1000)
+    parser.add_argument("--num-steps", type=int, default=400_000)
+    parser.add_argument("--batch-size", type=int, default=256)
+    parser.add_argument("--lr", type=float, default=1e-2)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--verbose", type=int, choices=[0, 1, 2], default=1,
+                        help="0: warning, 1: info, 2: debug")
+    parser.add_argument("--num-workers", type=int, default=4,
+                        help="accepted for reference CLI parity; the host "
+                             "pipeline is index-gather only and needs no workers")
+    parser.add_argument("--log-every", type=int, default=100)
+    parser.add_argument("--ckpt-every", type=int, default=50_000)
+
+    # LR schedule (reference defaults num_steps//150 and num_steps//10)
+    parser.add_argument("--num-lin-warmup", type=int, default=None)
+    parser.add_argument("--start-decay", type=int, default=None)
+
+    # EMA
+    parser.add_argument("--ema-snapshot-every", type=int, default=None)
+
+    # MaP feature flags (README.md:57-66; all default ON = reference behavior)
+    flag = lambda name: parser.add_argument(
+        f"--{name}", type=lambda s: s.lower() in ("1", "true", "yes"), default=True,
+        metavar="BOOL",
+    )
+    flag("use-cosine-attention")
+    flag("use-weight-normalization")
+    flag("use-forced-weight-normalization")
+    flag("use-mp-residual")
+    flag("use-mp-silu")
+    flag("use-no-layernorm")
+    flag("use-mp-pos-enc")
+    flag("use-mp-embedding")
+    parser.add_argument("--modulation", choices=["adaln", "rotation", "rotation_scale"],
+                        default="adaln")
+
+    # TPU execution
+    parser.add_argument("--n-model", type=int, default=1,
+                        help="tensor-parallel mesh axis size (devices/n-model = data axis)")
+    parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32")
+    parser.add_argument("--attention-impl", choices=["auto", "xla", "pallas"], default="auto")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint file or experiment dir to resume from")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="write a jax.profiler trace here")
+
+    main(parser.parse_args())
