@@ -28,6 +28,53 @@ from mapdit_tpu.runtime import build_sample_fn
 TORCH_EAGER_BASELINE_STEPS_PER_SEC = 0.2042
 
 
+def bench_train(args, cfg):
+    """Secondary metric: train steps/sec at DiT-S/2 (BASELINE.md)."""
+    from mapdit_tpu.training import (
+        create_optimizer,
+        create_train_state,
+        make_train_step,
+        warmup_flat_invsqrt,
+    )
+    from mapdit_tpu.training.data import SyntheticLatentDataset
+
+    diffusion = create_diffusion("")
+    ds = SyntheticLatentDataset(num_examples=max(1024, 2 * args.batch), num_classes=1000)
+    tx = create_optimizer(warmup_flat_invsqrt(1e-2, 100, 1000))
+    step_fn = jax.jit(
+        make_train_step(
+            cfg,
+            diffusion,
+            tx,
+            stats_mean=jnp.asarray(ds.stats["mean"]),
+            stats_std=jnp.asarray(ds.stats["std"]),
+        ),
+        donate_argnums=0,
+    )
+    state = create_train_state(cfg, tx, seed=0)
+    batches = ds.batches(batch_size=args.batch, seed=0)
+
+    state, m = step_fn(state, next(batches))  # compile
+    jax.block_until_ready(m["loss"])
+
+    n_steps = max(args.steps, 10)
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step_fn(state, next(batches))
+    jax.block_until_ready(m["loss"])
+    elapsed = time.perf_counter() - start
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_sec",
+                "value": round(n_steps / elapsed, 3),
+                "unit": f"steps/s ({args.model}, batch {args.batch}, {args.dtype})",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32, help="pre-CFG batch")
@@ -35,6 +82,9 @@ def main():
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--model", default="DiT-S/2")
+    p.add_argument("--attention-impl", choices=["auto", "xla", "pallas"], default="auto")
+    p.add_argument("--mode", choices=["sample", "train"], default="sample",
+                   help="sample = headline denoise-steps/sec; train = train steps/sec")
     args = p.parse_args()
 
     cfg = build_config(
@@ -43,7 +93,10 @@ def main():
         input_size=16,
         num_classes=1000,
         compute_dtype=args.dtype,
+        attention_impl=args.attention_impl,
     )
+    if args.mode == "train":
+        return bench_train(args, cfg)
     model, variables = init_model(cfg, seed=0)
     diffusion = create_diffusion(str(args.steps))
     sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=1.5, fold=True)

@@ -119,7 +119,12 @@ class Decoder(nn.Module):
 class AutoencoderKL(nn.Module):
     """Full VAE; NCHW external interface to match the rest of the codebase."""
 
-    @nn.compact
+    def setup(self):
+        self.encoder = Encoder()
+        self.decoder = Decoder()
+        self.quant_conv = nn.Conv(2 * LATENT_CHANNELS, (1, 1))
+        self.post_quant_conv = nn.Conv(LATENT_CHANNELS, (1, 1))
+
     def __call__(self, x: Array, mode: str = "decode") -> Array:
         if mode == "encode":
             return self.encode(x)
@@ -127,19 +132,16 @@ class AutoencoderKL(nn.Module):
 
     def encode(self, x: Array) -> Tuple[Array, Array]:
         """(N, 3, H, W) in [-1,1] -> posterior (mean, std), each (N, 4, H/8, W/8)."""
-        h = Encoder(name="encoder")(x.transpose(0, 2, 3, 1))
-        moments = nn.Conv(2 * LATENT_CHANNELS, (1, 1), name="quant_conv")(h)
-        moments = moments.transpose(0, 3, 1, 2)
+        h = self.encoder(x.transpose(0, 2, 3, 1))
+        moments = self.quant_conv(h).transpose(0, 3, 1, 2)
         mean, logvar = jnp.split(moments, 2, axis=1)
         logvar = jnp.clip(logvar, -30.0, 20.0)
         return mean, jnp.exp(0.5 * logvar)
 
     def decode(self, z: Array) -> Array:
         """(N, 4, H/8, W/8) latents -> (N, 3, H, W) image in ~[-1,1]."""
-        z = nn.Conv(LATENT_CHANNELS, (1, 1), name="post_quant_conv")(
-            z.transpose(0, 2, 3, 1)
-        )
-        return Decoder(name="decoder")(z).transpose(0, 3, 1, 2)
+        z = self.post_quant_conv(z.transpose(0, 2, 3, 1))
+        return self.decoder(z).transpose(0, 3, 1, 2)
 
 
 # --------------------------------------------------------------------------- #

@@ -112,10 +112,11 @@ class TestWeightImportMapping:
             torch_base = inverse.get(tuple(mod_path))
             assert torch_base is not None, mod_path
             if leaf == "kernel":
+                # safetensors mis-serializes non-contiguous views; copy first
                 if val.ndim == 4:
-                    sd[f"{torch_base}.weight"] = val.transpose(3, 2, 0, 1)
+                    sd[f"{torch_base}.weight"] = np.ascontiguousarray(val.transpose(3, 2, 0, 1))
                 else:
-                    sd[f"{torch_base}.weight"] = val.T
+                    sd[f"{torch_base}.weight"] = np.ascontiguousarray(val.T)
             elif leaf == "scale":
                 sd[f"{torch_base}.weight"] = val
             else:

@@ -111,7 +111,21 @@ def main(args):
     b_shard = batch_sharding(mesh)
 
     assert args.batch_size % n_data == 0, "batch size must divide the data axis"
-    batches = dataset.batches(batch_size=args.batch_size, seed=args.seed)
+    from mapdit_tpu.training.native_loader import NativeLatentLoader
+
+    if not args.data_path.startswith("synthetic") and NativeLatentLoader.available(
+        args.data_path
+    ):
+        # Native (C++) prefetching loader: mmap + background-thread gather
+        # (tools/build_native.sh). Python path is the drop-in fallback.
+        native = NativeLatentLoader(
+            args.data_path, args.batch_size, seed=args.seed,
+            num_threads=max(2, args.num_workers),
+        )
+        batches = native.batches()
+        logger.info("using native latent loader (prefetch threads)")
+    else:
+        batches = dataset.batches(batch_size=args.batch_size, seed=args.seed)
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
