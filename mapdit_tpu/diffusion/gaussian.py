@@ -299,16 +299,25 @@ class GaussianDiffusion:
         denoised_fn=None,
         cond_fn=None,
         model_kwargs=None,
+        noise_fn=None,
     ) -> Dict[str, Array]:
         """One ancestral step: mean + 1{t!=0} exp(logvar/2) eps
-        (reference `gd.py:376-417`)."""
+        (reference `gd.py:376-417`).
+
+        ``noise_fn(t, shape)`` overrides the step noise — the golden-input
+        injection hook for cross-framework sampler parity (PyTorch and JAX
+        PRNG streams cannot match; SURVEY.md §7 hard-part #2).
+        """
         out = self.p_mean_variance(
             model_fn, x, t, clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             model_kwargs=model_kwargs,
         )
         if cond_fn is not None:
             out["mean"] = self.condition_mean(cond_fn, out, x, t, model_kwargs)
-        noise = jax.random.normal(rng, x.shape, x.dtype)
+        if noise_fn is not None:
+            noise = noise_fn(t, x.shape).astype(x.dtype)
+        else:
+            noise = jax.random.normal(rng, x.shape, x.dtype)
         nonzero = (t != 0).astype(x.dtype).reshape(-1, *([1] * (x.ndim - 1)))
         sample = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * noise
         return {"sample": sample, "pred_xstart": out["pred_xstart"]}
@@ -322,6 +331,7 @@ class GaussianDiffusion:
         denoised_fn=None,
         cond_fn=None,
         model_kwargs=None,
+        noise_fn=None,
     ) -> Array:
         """Full denoising chain as one `lax.scan` (the north-star kernel-level
         win over the reference's 250 host-driven iterations, SURVEY.md §7.3)."""
@@ -333,7 +343,7 @@ class GaussianDiffusion:
             out = self.p_sample(
                 model_fn, x, t, step_key,
                 clip_denoised=clip_denoised, denoised_fn=denoised_fn,
-                cond_fn=cond_fn, model_kwargs=model_kwargs,
+                cond_fn=cond_fn, model_kwargs=model_kwargs, noise_fn=noise_fn,
             )
             return (out["sample"], key), None
 

@@ -61,7 +61,12 @@ def dot_product_attention(
     ``scale = 1/sqrt(D')`` the logits are sqrt(D')-scaled cosine similarities.
     """
     if impl == "auto":
-        impl = "pallas" if (_tpu_available() and _pallas_supported(q)) else "xla"
+        # Measured on v5e (DiT-S/2, T=64, D'=64, bf16): the XLA fusion path
+        # sustains ~1.7x the current per-(batch,head) Pallas kernel — these
+        # sequence lengths underfill the MXU one head at a time, and XLA
+        # batches the whole (B*H) contraction. Keep pallas opt-in until the
+        # kernel blocks multiple heads per program (BENCH notes, round 1).
+        impl = "xla"
 
     if impl == "pallas":
         from mapdit_tpu.ops.pallas.attention import fused_attention

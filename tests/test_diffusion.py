@@ -176,6 +176,75 @@ class TestSamplers:
         assert np.isfinite(np.asarray(out["total_bpd"])).all()
 
 
+class TestSamplerChainGolden:
+    """Full denoising chains vs the reference (SURVEY.md §4.4): DDPM with the
+    noise-injection hook (deterministic per-step noise, identical in both
+    frameworks), DDIM eta=0 with no noise at all."""
+
+    @staticmethod
+    def _model(x, t, **kw):
+        return jnp.concatenate([0.1 * x, jnp.tanh(x)], axis=1)
+
+    @staticmethod
+    def _det_noise(t, shape):
+        n = int(np.prod(shape))
+        idx = jnp.arange(n, dtype=jnp.float32).reshape(shape)
+        return jnp.cos(idx * 0.01 + t[0].astype(jnp.float32))
+
+    def test_ddpm_chain_with_injected_noise(self, golden):
+        g = golden("sampler_chains")
+        d = create_diffusion("10")
+        out = d.p_sample_loop(
+            self._model,
+            jnp.asarray(g["start"]),
+            jax.random.PRNGKey(0),  # unused: noise_fn overrides
+            clip_denoised=True,
+            noise_fn=self._det_noise,
+        )
+        np.testing.assert_allclose(np.asarray(out), g["ddpm_final"], rtol=2e-4, atol=2e-4)
+
+    def test_ddim_chain(self, golden):
+        g = golden("sampler_chains")
+        d = create_diffusion("ddim10")
+        out = d.ddim_sample_loop(
+            self._model, jnp.asarray(g["start"]), jax.random.PRNGKey(0), clip_denoised=True
+        )
+        np.testing.assert_allclose(np.asarray(out), g["ddim_final"], rtol=2e-4, atol=2e-4)
+
+
+class TestGuidanceHooks:
+    """condition_mean / condition_score (reference gd.py:348-376)."""
+
+    @staticmethod
+    def _model(x, t, **kw):
+        return jnp.concatenate([0.1 * x, jnp.tanh(x)], axis=1)
+
+    def test_condition_mean_shifts_by_variance_times_grad(self):
+        d = create_diffusion("10")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.array([3, 7])
+        out = d.p_mean_variance(self._model, x, t, clip_denoised=True)
+        cond = lambda xx, tt, **kw: jnp.ones_like(xx) * 0.5
+        new_mean = d.condition_mean(cond, out, x, t)
+        np.testing.assert_allclose(
+            np.asarray(new_mean),
+            np.asarray(out["mean"] + out["variance"] * 0.5),
+            rtol=1e-6,
+        )
+
+    def test_condition_score_consistency(self):
+        """Zero gradient must leave mean/pred_xstart unchanged."""
+        d = create_diffusion("10")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.array([3, 7])
+        out = d.p_mean_variance(self._model, x, t, clip_denoised=False)
+        cond0 = lambda xx, tt, **kw: jnp.zeros_like(xx)
+        out2 = d.condition_score(cond0, out, x, t)
+        np.testing.assert_allclose(
+            np.asarray(out2["mean"]), np.asarray(out["mean"]), rtol=1e-4, atol=1e-5
+        )
+
+
 class TestTimestepSampler:
     def test_uniform(self):
         from mapdit_tpu.diffusion.timestep_sampler import UniformSampler

@@ -210,6 +210,56 @@ def make_diffusion(ref, out_dir, rng):
     )
 
 
+def make_sampler_chains(ref, out_dir, rng):
+    """Full denoising-chain goldens with a deterministic pseudo-model.
+
+    DDPM uses injected deterministic per-step noise (noise[b,c,h,w] =
+    cos(flat_index*0.01 + t)); DDIM eta=0 is noise-free. These validate the
+    entire p_sample/ddim_sample chain math across frameworks without RNG.
+    """
+    from diffusion import create_diffusion
+
+    def fixed_model(x, t, **kw):
+        return torch.cat([0.1 * x, torch.tanh(x)], dim=1)
+
+    shape = (2, 4, 8, 8)
+    start = torch.tensor(rng.standard_normal(shape), dtype=torch.float32)
+
+    def det_noise(x, t_val):
+        idx = torch.arange(x.numel(), dtype=torch.float32).reshape(x.shape)
+        return torch.cos(idx * 0.01 + float(t_val))
+
+    # DDPM, 10 respaced steps, manual loop with injected noise
+    d10 = create_diffusion("10")
+    x = start.clone()
+    with torch.no_grad():
+        for i in reversed(range(d10.num_timesteps)):
+            t = torch.full((shape[0],), i, dtype=torch.long)
+            out = d10.p_mean_variance(
+                d10._wrap_model(fixed_model), x, t, clip_denoised=True
+            )
+            nonzero = (t != 0).float().view(-1, 1, 1, 1)
+            x = out["mean"] + nonzero * torch.exp(0.5 * out["log_variance"]) * det_noise(x, i)
+    ddpm_final = x
+
+    # DDIM eta=0, 10 steps — fully deterministic
+    dd = create_diffusion("ddim10")
+    with torch.no_grad():
+        x = start.clone()
+        for i in reversed(range(dd.num_timesteps)):
+            t = torch.full((shape[0],), i, dtype=torch.long)
+            x = dd.ddim_sample(fixed_model, x, t, clip_denoised=True, eta=0.0)["sample"]
+    ddim_final = x
+
+    dump(
+        out_dir,
+        "sampler_chains",
+        start=t2n(start),
+        ddpm_final=t2n(ddpm_final),
+        ddim_final=t2n(ddim_final),
+    )
+
+
 def make_ema(ref, out_dir, rng):
     from src import ema as rema
 
@@ -249,6 +299,7 @@ def main():
     make_mp_ops(args.reference, args.out, rng)
     make_model(args.reference, args.out, rng)
     make_diffusion(args.reference, args.out, rng)
+    make_sampler_chains(args.reference, args.out, rng)
     make_ema(args.reference, args.out, rng)
 
 
