@@ -100,6 +100,49 @@ class TestTrainCLI:
         ).read()
 
 
+class TestVanillaFamily:
+    """BASELINE config 1: vanilla DiT (adaLN + LayerNorm, all MP flags off)
+    trains and samples through the same CLI."""
+
+    def test_vanilla_train_and_sample(self, tmp_path):
+        results = str(tmp_path / "results")
+        run(
+            "train.py",
+            "--data-path", "synthetic:32",
+            "--results-dir", results,
+            "--model", "DiT-XS/8",
+            "--num-classes", "10",
+            "--num-steps", "6",
+            "--batch-size", "8",
+            "--log-every", "3",
+            "--ckpt-every", "6",
+            "--ema-snapshot-every", "3",
+            "--num-lin-warmup", "2",
+            "--start-decay", "5",
+            "--use-cosine-attention", "false",
+            "--use-weight-normalization", "false",
+            "--use-forced-weight-normalization", "false",
+            "--use-mp-residual", "false",
+            "--use-mp-silu", "false",
+            "--use-no-layernorm", "false",
+            "--use-mp-pos-enc", "false",
+            "--use-mp-embedding", "false",
+        )
+        exp = os.path.join(results, os.listdir(results)[0])
+        with open(os.path.join(exp, "config.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        assert cfg["use_no_layernorm"] is False
+        out = str(tmp_path / "vanilla.png")
+        run(
+            "sample.py",
+            "--result-dir", exp,
+            "--use-vae", "false",
+            "--output-file", out,
+            "--num-sampling-steps", "2",
+        )
+        assert os.path.exists(out)
+
+
 class TestSampleCLI:
     def test_sample_png(self, trained_run, tmp_path):
         out = str(tmp_path / "sample.png")
@@ -142,6 +185,20 @@ class TestSampleCLI:
             arr = f["arr_0"]
         # ADM evaluator format: uint8 NHWC, exactly num_samples
         assert arr.dtype == np.uint8 and arr.shape == (6, 16, 16, 4)
+
+    def test_sample_ema_grid(self, trained_run, tmp_path):
+        """sample_ema.py: 5-std side-by-side grid (BASELINE config 4 path)."""
+        out = str(tmp_path / "ema_grid.png")
+        run(
+            "sample_ema.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--output-file", out,
+            "--class-label", "1",
+            "--num-sampling-steps", "2",
+            timeout=1800,
+        )
+        assert os.path.exists(out)
 
     def test_sample_fid_no_cfg_path(self, trained_run):
         run(

@@ -176,6 +176,88 @@ class TestSamplers:
         assert np.isfinite(np.asarray(out["total_bpd"])).all()
 
 
+class TestModeVariants:
+    """The non-default factory modes (learn_sigma off, predict_xstart,
+    use_kl, rescaled sigmas) — API-surface parity with create_diffusion."""
+
+    @staticmethod
+    def _eps_model(x, t, **kw):
+        return 0.1 * x
+
+    def test_fixed_small_and_large(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.array([5, 900])
+        for sigma_small in (True, False):
+            d = create_diffusion("", learn_sigma=False, sigma_small=sigma_small)
+            out = d.p_mean_variance(self._eps_model, x, t, clip_denoised=False)
+            expect = (
+                d.posterior_variance if sigma_small else d.fixed_large_variance
+            )
+            np.testing.assert_allclose(
+                np.asarray(out["variance"][:, 0, 0, 0]),
+                np.asarray(expect[t]),
+                rtol=1e-6,
+            )
+            terms = d.training_losses(
+                self._eps_model, x, t, noise=jnp.zeros_like(x)
+            )
+            assert "vb" not in terms  # pure MSE when variance is fixed
+            np.testing.assert_allclose(
+                np.asarray(terms["loss"]), np.asarray(terms["mse"]), rtol=1e-6
+            )
+
+    def test_predict_xstart(self):
+        d = create_diffusion("", predict_xstart=True, learn_sigma=False)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.array([10, 500])
+        model = lambda x, tt, **kw: x0  # model directly predicts x0
+        out = d.p_mean_variance(model, d.q_sample(x0, t, jnp.zeros_like(x0)), t, clip_denoised=False)
+        np.testing.assert_allclose(np.asarray(out["pred_xstart"]), np.asarray(x0), rtol=1e-5)
+        # mse target is x_start
+        terms = d.training_losses(model, x0, t, noise=jnp.zeros_like(x0))
+        np.testing.assert_allclose(np.asarray(terms["mse"]), 0.0, atol=1e-10)
+
+    def test_rescaled_mse_scales_vb(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.array([5, 900])
+        noise = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+        model = lambda xx, tt, **kw: jnp.concatenate([0.1 * xx, jnp.tanh(xx)], axis=1)
+        base = create_diffusion("").training_losses(model, x, t, noise=noise)
+        resc = create_diffusion("", rescale_learned_sigmas=True).training_losses(
+            model, x, t, noise=noise
+        )
+        np.testing.assert_allclose(
+            np.asarray(resc["vb"]), np.asarray(base["vb"]), rtol=1e-6
+        )  # T/1000 == 1 at 1000 steps
+        d100 = create_diffusion("100", rescale_learned_sigmas=True)
+        b100 = create_diffusion("100")
+        t100 = jnp.array([5, 90])
+        r = d100.training_losses(model, x, t100, noise=noise)
+        b = b100.training_losses(model, x, t100, noise=noise)
+        np.testing.assert_allclose(
+            np.asarray(r["vb"]), np.asarray(b["vb"]) * 0.1, rtol=1e-5
+        )
+
+    def test_use_kl(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8)) * 0.1
+        t = jnp.array([5, 900])
+        model = lambda xx, tt, **kw: jnp.concatenate([0.1 * xx, jnp.tanh(xx)], axis=1)
+        d = create_diffusion("", use_kl=True)
+        terms = d.training_losses(model, x, t, rng=jax.random.PRNGKey(1))
+        assert terms["loss"].shape == (2,)
+        assert np.isfinite(np.asarray(terms["loss"])).all()
+
+    def test_q_mean_variance(self):
+        d = create_diffusion("")
+        x0 = jnp.ones((1, 1, 2, 2))
+        t = jnp.array([100])
+        mean, var, logvar = d.q_mean_variance(x0, t)
+        np.testing.assert_allclose(
+            np.asarray(mean[0, 0, 0, 0]), np.asarray(d.sqrt_alphas_cumprod[100]), rtol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(jnp.exp(logvar)), np.asarray(var), rtol=1e-5)
+
+
 class TestSamplerChainGolden:
     """Full denoising chains vs the reference (SURVEY.md §4.4): DDPM with the
     noise-injection hook (deterministic per-step noise, identical in both
