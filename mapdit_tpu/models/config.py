@@ -57,6 +57,10 @@ class DiTConfig:
     # TPU execution knobs (no reference equivalent)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    # Activation rematerialization per block (jax.checkpoint) — trades
+    # backward-pass FLOPs for memory on deep models (XL: 28 blocks). The
+    # reference has only a vestigial hook for this (`src/dit.py:64-68`).
+    remat: bool = False
     # Inference: weights pre-normalized once (fold_weights_for_inference),
     # skip the in-graph re-normalization inside the sampling scan. The
     # in-graph WN is idempotent up to its 1e-4 eps, so this changes results

@@ -83,8 +83,9 @@ class DiT(nn.Module):
         y_emb = LabelEmbedder(cfg, name="y_embedder")(y, train, force_drop_ids)
         c = mp_sum(t_emb, y_emb, t=0.5) if cfg.mp_style else t_emb + y_emb
 
+        block_cls = nn.remat(DiTBlock) if cfg.remat else DiTBlock
         for i in range(cfg.depth):
-            x = DiTBlock(cfg, name=f"blocks_{i}")(x, c)
+            x = block_cls(cfg, name=f"blocks_{i}")(x, c)
 
         out = FinalLayer(cfg, name="final_layer")(x, c)
         if cfg.learn_sigma:

@@ -74,16 +74,24 @@ def build_sample_fn(
     diffusion,
     cfg_scale: Optional[float] = None,
     fold: bool = True,
-    progress: bool = False,
+    sampler: str = "ddpm",
+    eta: float = 0.0,
 ):
     """Jitted (noise, y, rng) -> samples over the full denoising chain.
 
+    ``sampler``: "ddpm" (ancestral, the reference scripts' path) or "ddim"
+    (present-but-unwired in the reference entry points; usable here).
     Sampling scripts pass clip_denoised=False (reference `sample.py:57`).
     """
     model_fn = build_model_fn(cfg, variables, cfg_scale=cfg_scale, fold=fold)
 
     @jax.jit
     def sample_fn(noise: Array, y: Array, rng: Array) -> Array:
+        if sampler == "ddim":
+            return diffusion.ddim_sample_loop(
+                model_fn, noise, rng, clip_denoised=False,
+                model_kwargs={"y": y}, eta=eta,
+            )
         return diffusion.p_sample_loop(
             model_fn, noise, rng, clip_denoised=False, model_kwargs={"y": y}
         )

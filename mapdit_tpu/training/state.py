@@ -43,6 +43,9 @@ class TrainState:
     opt_state: Any
     ema: Dict[str, Any]  # "0.050" -> param pytree
     rng: Array
+    # Importance-sampling state for --timestep-sampler loss-second-moment;
+    # empty tuple when the uniform sampler is used.
+    sampler_state: Any = ()
 
 
 def ema_key(std: float) -> str:
@@ -61,13 +64,21 @@ def create_train_state(
     tx: optax.GradientTransformation,
     seed: int = 0,
     ema_stds: Tuple[float, ...] = EMA_STDS,
+    timestep_sampler: str = "uniform",
+    num_timesteps: int = 1000,
 ) -> TrainState:
     from mapdit_tpu.models.dit import init_model
 
     _, variables = init_model(cfg, seed=seed)
     params = variables["params"]
     constants = variables.get("constants", {})
+    sampler_state = ()
+    if timestep_sampler == "loss-second-moment":
+        from mapdit_tpu.diffusion.timestep_sampler import LossSecondMomentResampler
+
+        sampler_state = LossSecondMomentResampler(num_timesteps).init_state()
     return TrainState(
+        sampler_state=sampler_state,
         step=jnp.zeros((), jnp.int32),
         params=params,
         constants=constants,
@@ -89,6 +100,8 @@ def make_train_step(
     stats_mean: Optional[Array] = None,
     stats_std: Optional[Array] = None,
     ema_stds: Tuple[float, ...] = EMA_STDS,
+    timestep_sampler: str = "uniform",
+    sampler_axis_name: Optional[str] = None,
 ):
     """Build the pure train-step function (jit/donate applied by the caller
     or `mapdit_tpu.training.train_loop`).
@@ -103,6 +116,14 @@ def make_train_step(
     model = DiT(cfg)
     beta_fns = {ema_key(s): ema_lib.make_beta_fn(s) for s in ema_stds}
 
+    resampler = None
+    if timestep_sampler == "loss-second-moment":
+        from mapdit_tpu.diffusion.timestep_sampler import LossSecondMomentResampler
+
+        resampler = LossSecondMomentResampler(diffusion.num_timesteps)
+    elif timestep_sampler != "uniform":
+        raise ValueError(f"unknown timestep sampler {timestep_sampler!r}")
+
     def train_step(state: TrainState, batch: Dict[str, Array]):
         rng, rng_noise, rng_t, rng_drop, rng_post = jax.random.split(state.rng, 5)
 
@@ -115,7 +136,12 @@ def make_train_step(
             x = (x - stats_mean.reshape(1, -1, 1, 1)) / stats_std.reshape(1, -1, 1, 1)
 
         n = x.shape[0]
-        t = jax.random.randint(rng_t, (n,), 0, diffusion.num_timesteps)
+        if resampler is None:
+            # Uniform t ~ randint (reference train.py:86)
+            t = jax.random.randint(rng_t, (n,), 0, diffusion.num_timesteps)
+            t_weights = None
+        else:
+            t, t_weights = resampler.sample(state.sampler_state, rng_t, n)
 
         def loss_fn(params):
             def model_fn(xt, tt, y):
@@ -131,9 +157,21 @@ def make_train_step(
             terms = diffusion.training_losses(
                 model_fn, x, t, model_kwargs={"y": y}, rng=rng_noise
             )
-            return jnp.mean(terms["loss"]), terms
+            per_sample = terms["loss"]
+            if t_weights is not None:
+                per_sample = per_sample * t_weights
+            return jnp.mean(per_sample), terms
 
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        sampler_state = state.sampler_state
+        if resampler is not None:
+            sampler_state = resampler.update_with_local_losses(
+                sampler_state,
+                t,
+                jax.lax.stop_gradient(terms["loss"]),
+                axis_name=sampler_axis_name,
+            )
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -161,6 +199,7 @@ def make_train_step(
             opt_state=opt_state,
             ema=new_ema,
             rng=rng,
+            sampler_state=sampler_state,
         )
         return new_state, metrics
 

@@ -81,8 +81,11 @@ def main(args):
          jnp.full((n,), cfg.num_classes, jnp.int32)]
     )
 
-    diffusion = create_diffusion(str(args.num_sampling_steps))
-    sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale)
+    steps = args.num_sampling_steps
+    diffusion = create_diffusion(
+        f"ddim{steps}" if args.sampler == "ddim" else str(steps)
+    )
+    sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler)
     samples = sample_fn(z, y, skey)
     samples = np.asarray(samples[:n])  # drop the null-class half
 
@@ -103,6 +106,7 @@ if __name__ == "__main__":
     parser.add_argument("--class-label", type=int, default=88)
     parser.add_argument("--cfg-scale", type=float, default=4.0)
     parser.add_argument("--num-sampling-steps", type=int, default=250)
+    parser.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--ema-std", type=float, default=0.05)
     parser.add_argument("--ckpt", type=str, default=None,

@@ -26,7 +26,10 @@ EMA_STDS = [0.0075, 0.01, 0.05, 0.1, 0.15]  # reference sample_ema.py:25
 def main(args):
     train_args = load_config(args.result_dir)
     cfg = config_from_args(train_args)
-    diffusion = create_diffusion(str(args.num_sampling_steps))
+    steps = args.num_sampling_steps
+    diffusion = create_diffusion(
+        f"ddim{steps}" if args.sampler == "ddim" else str(steps)
+    )
 
     n = 8
     res = []
@@ -43,7 +46,7 @@ def main(args):
             [jnp.full((n,), args.class_label, jnp.int32),
              jnp.full((n,), cfg.num_classes, jnp.int32)]
         )
-        sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale)
+        sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler)
         res.append(np.asarray(sample_fn(z, y, skey)[:n]))
 
     # (n, stds, C, H, W) -> row-major grid with one column per std
@@ -63,5 +66,6 @@ if __name__ == "__main__":
     parser.add_argument("--class-label", type=int, default=88)
     parser.add_argument("--cfg-scale", type=float, default=4.0)
     parser.add_argument("--num-sampling-steps", type=int, default=250)
+    parser.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
     parser.add_argument("--seed", type=int, default=42)
     main(parser.parse_args())

@@ -30,11 +30,16 @@ def main(args):
     train_args = load_config(args.result_dir)
     cfg = config_from_args(train_args)
     variables = load_variables(args.result_dir, train_args, args.ckpt, args.ema_std)
-    diffusion = create_diffusion(str(args.num_sampling_steps))
+    steps = args.num_sampling_steps
+    diffusion = create_diffusion(
+        f"ddim{steps}" if args.sampler == "ddim" else str(steps)
+    )
 
     use_cfg = args.cfg_scale > 1.0
     sample_fn = build_sample_fn(
-        cfg, variables, diffusion, cfg_scale=args.cfg_scale if use_cfg else None
+        cfg, variables, diffusion,
+        cfg_scale=args.cfg_scale if use_cfg else None,
+        sampler=args.sampler,
     )
 
     key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
@@ -71,6 +76,7 @@ if __name__ == "__main__":
     parser.add_argument("--num-samples", type=int, default=10_000)
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--num-sampling-steps", type=int, default=250)
+    parser.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output-file", type=str, default="samples.npz")
     parser.add_argument("--ema-std", type=float, default=0.05)

@@ -166,6 +166,7 @@ class TestSampleCLI:
             "--output-file", out,
             "--num-sampling-steps", "4",
             "--ckpt", "0000012",
+            "--sampler", "ddim",
         )
         assert os.path.exists(out)
 

@@ -177,3 +177,35 @@ class TestMagnitudePreservation:
         )
         # gains untouched
         assert projected["blocks_0"]["gain_msa"].shape == ()
+
+
+class TestRemat:
+    def test_remat_identical_forward_and_grads(self):
+        """cfg.remat must not change values — only the backward memory plan."""
+        base = build_config("DiT-XS/8", **XS2)
+        _, variables = init_model(base, seed=0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16))
+        t = jnp.full((2,), 100.0)
+        y = jnp.ones((2,), jnp.int32)
+
+        def loss(cfg):
+            model = DiT(cfg)
+
+            def f(params):
+                out = model.apply(
+                    {"params": params, "constants": variables["constants"]}, x, t, y
+                )
+                return jnp.sum(out**2)
+
+            return jax.value_and_grad(f)(variables["params"])
+
+        v0, g0 = loss(base)
+        v1, g1 = loss(base.replace(remat=True))
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            g0,
+            g1,
+        )

@@ -158,6 +158,36 @@ class TestTrainStep:
         assert np.isfinite(ema_w).all()
         assert int(state.step) == 100
 
+    def test_loss_second_moment_sampler_training(self, tiny_setup):
+        """--timestep-sampler loss-second-moment: importance-sampling state
+        lives in TrainState and evolves inside the jitted step."""
+        cfg, ds, _, _ = tiny_setup
+        from mapdit_tpu.diffusion import create_diffusion
+
+        diffusion = create_diffusion("")
+        sched = warmup_flat_invsqrt(1e-2, 5, 50)
+        tx = create_optimizer(sched)
+        step_fn = jax.jit(
+            make_train_step(
+                cfg,
+                diffusion,
+                tx,
+                stats_mean=jnp.asarray(ds.stats["mean"]),
+                stats_std=jnp.asarray(ds.stats["std"]),
+                timestep_sampler="loss-second-moment",
+            ),
+            donate_argnums=0,
+        )
+        state = create_train_state(
+            cfg, tx, seed=2, timestep_sampler="loss-second-moment"
+        )
+        it = ds.batches(batch_size=8, seed=2)
+        for _ in range(3):
+            state, metrics = step_fn(state, next(it))
+        assert np.isfinite(float(metrics["loss"]))
+        # 3 steps x 8 samples folded into the loss history
+        assert int(np.asarray(state.sampler_state.counts).sum()) == 24
+
     def test_checkpoint_roundtrip_and_resume(self, tiny_setup, tmp_path):
         from mapdit_tpu.training.checkpoint import (
             latest_checkpoint,

@@ -83,7 +83,11 @@ def main(args):
 
     schedule = warmup_flat_invsqrt(args.lr, num_lin_warmup, start_decay)
     tx = create_optimizer(schedule)
-    state = create_train_state(cfg, tx, seed=args.seed, ema_stds=tuple(EMA_STDS))
+    state = create_train_state(
+        cfg, tx, seed=args.seed, ema_stds=tuple(EMA_STDS),
+        timestep_sampler=args.timestep_sampler,
+        num_timesteps=diffusion.num_timesteps,
+    )
     logger.info(f"model parameters: {param_count(state.params):,}")
 
     if args.resume:
@@ -99,6 +103,7 @@ def main(args):
         stats_mean=jnp.asarray(dataset.stats["mean"]),
         stats_std=jnp.asarray(dataset.stats["std"]),
         ema_stds=tuple(EMA_STDS),
+        timestep_sampler=args.timestep_sampler,
     )
     step_fn = jax.jit(step_fn, donate_argnums=0)
 
@@ -223,11 +228,18 @@ if __name__ == "__main__":
     flag("use-mp-embedding")
     parser.add_argument("--modulation", choices=["adaln", "rotation", "rotation_scale"],
                         default="adaln")
+    parser.add_argument("--timestep-sampler", choices=["uniform", "loss-second-moment"],
+                        default="uniform",
+                        help="t importance sampling (the reference ships this "
+                             "component unwired; here it is usable)")
 
     # TPU execution
     parser.add_argument("--n-model", type=int, default=1,
                         help="tensor-parallel mesh axis size (devices/n-model = data axis)")
     parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32")
+    parser.add_argument("--remat", type=lambda s: s.lower() in ("1", "true", "yes"),
+                        default=False, metavar="BOOL",
+                        help="per-block activation rematerialization (XL-scale memory)")
     parser.add_argument("--attention-impl", choices=["auto", "xla", "pallas"], default="auto")
     parser.add_argument("--resume", type=str, default=None,
                         help="checkpoint file or experiment dir to resume from")
