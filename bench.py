@@ -14,6 +14,7 @@ The driver-defined target is >=5x (BASELINE.json).
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -26,6 +27,18 @@ from mapdit_tpu.runtime import build_sample_fn
 # torch eager reference, DiT-S/2, batch 32x2 CFG, 250-respaced DDPM steps
 # (tools/measure_reference_baseline.py, this container, 2026-08-16)
 TORCH_EAGER_BASELINE_STEPS_PER_SEC = 0.2042
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeated invocations (benchmarks,
+    sampling sweeps, resumed runs) skip the multi-minute first compile."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compilation"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
 
 def bench_train(args, cfg):
@@ -86,6 +99,7 @@ def main():
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
     args = p.parse_args()
+    _enable_compile_cache()
 
     cfg = build_config(
         args.model,

@@ -1,0 +1,45 @@
+"""Frechet-distance math tests (tools/fid.py); the Inception extractor is
+gated on locally cached weights and not exercised offline."""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+spec = importlib.util.spec_from_file_location(
+    "fid", os.path.join(os.path.dirname(__file__), "..", "tools", "fid.py")
+)
+fid = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(fid)
+
+
+class TestFrechet:
+    def test_identical_gaussians_zero(self):
+        rng = np.random.default_rng(0)
+        f = rng.normal(size=(500, 16))
+        mu, s = fid.activation_stats(f)
+        assert abs(fid.frechet_distance(mu, s, mu, s)) < 1e-6
+
+    def test_mean_shift_closed_form(self):
+        d = 8
+        mu1, mu2 = np.zeros(d), np.full(d, 2.0)
+        s = np.eye(d)
+        # same covariance: FID = ||dmu||^2
+        np.testing.assert_allclose(fid.frechet_distance(mu1, s, mu2, s), 4.0 * d, rtol=1e-8)
+
+    def test_isotropic_scale_closed_form(self):
+        d = 5
+        mu = np.zeros(d)
+        s1, s2 = np.eye(d), 4.0 * np.eye(d)
+        # Tr(I + 4I - 2*2I) = d(1 + 4 - 4) = d
+        np.testing.assert_allclose(fid.frechet_distance(mu, s1, mu, s2), d, rtol=1e-8)
+
+    def test_sampled_estimate_converges(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(5000, 4))
+        b = rng.normal(size=(5000, 4)) + np.array([1.0, 0, 0, 0])
+        mu1, s1 = fid.activation_stats(a)
+        mu2, s2 = fid.activation_stats(b)
+        val = fid.frechet_distance(mu1, s1, mu2, s2)
+        assert 0.8 < val < 1.2, val

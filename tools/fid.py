@@ -1,0 +1,108 @@
+"""FID evaluation for sample_fid.py outputs.
+
+The reference emits ADM-evaluator-format npz (`sample_fid.py:86-97`) and
+relies on the external OpenAI evaluator. This tool closes the loop in-repo:
+
+  python tools/fid.py --samples A.npz --ref-stats ref_stats.npz
+  python tools/fid.py --samples A.npz --ref-samples B.npz
+  python tools/fid.py --make-stats A.npz --out stats.npz
+
+Feature extraction uses torchvision's InceptionV3 when its weights are
+available locally (zero-egress environments must provide a cache); the
+Frechet distance math itself is dependency-free and unit-tested
+(tests/test_fid.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """FID = ||mu1-mu2||^2 + Tr(S1 + S2 - 2 (S1 S2)^(1/2))."""
+    from scipy import linalg
+
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def activation_stats(features: np.ndarray):
+    """(N, D) features -> (mu, sigma)."""
+    mu = features.mean(axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, sigma
+
+
+def inception_features(images_u8: np.ndarray, batch_size: int = 64) -> np.ndarray:
+    """(N, H, W, 3) uint8 -> (N, 2048) InceptionV3 pool features (torch CPU).
+
+    Needs torchvision Inception weights in the local torch hub cache.
+    """
+    import torch
+    from torchvision import models, transforms
+
+    net = models.inception_v3(weights=models.Inception_V3_Weights.IMAGENET1K_V1)
+    net.fc = torch.nn.Identity()
+    net.eval()
+    pre = transforms.Compose(
+        [
+            transforms.ToTensor(),
+            transforms.Resize((299, 299), antialias=True),
+            transforms.Normalize([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+        ]
+    )
+    feats = []
+    with torch.no_grad():
+        for i in range(0, len(images_u8), batch_size):
+            batch = torch.stack([pre(img) for img in images_u8[i : i + batch_size]])
+            feats.append(net(batch).numpy())
+    return np.concatenate(feats, axis=0)
+
+
+def _load_samples(path: str) -> np.ndarray:
+    with np.load(path) as f:
+        return f["arr_0"]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--samples", type=str, help="ADM-format npz (arr_0 uint8 NHWC)")
+    p.add_argument("--ref-samples", type=str, default=None)
+    p.add_argument("--ref-stats", type=str, default=None, help="npz with mu, sigma")
+    p.add_argument("--make-stats", type=str, default=None, help="samples npz -> stats")
+    p.add_argument("--out", type=str, default="stats.npz")
+    args = p.parse_args()
+
+    if args.make_stats:
+        mu, sigma = activation_stats(inception_features(_load_samples(args.make_stats)))
+        np.savez(args.out, mu=mu, sigma=sigma)
+        print(f"wrote {args.out}")
+        return
+
+    assert args.samples and (args.ref_samples or args.ref_stats)
+    mu1, s1 = activation_stats(inception_features(_load_samples(args.samples)))
+    if args.ref_stats:
+        with np.load(args.ref_stats) as f:
+            mu2, s2 = f["mu"], f["sigma"]
+    else:
+        mu2, s2 = activation_stats(inception_features(_load_samples(args.ref_samples)))
+    print(f"FID: {frechet_distance(mu1, s1, mu2, s2):.4f}")
+
+
+if __name__ == "__main__":
+    main()

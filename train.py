@@ -41,6 +41,18 @@ from mapdit_tpu.utils import create_logger, save_config, setup_experiment
 from mapdit_tpu.utils.experiment import config_from_args
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeated invocations (benchmarks,
+    sampling sweeps, resumed runs) skip the multi-minute first compile."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compilation"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def build_dataset(data_path: str):
     if data_path.startswith("synthetic"):
         n = int(data_path.split(":")[1]) if ":" in data_path else 1024
@@ -49,6 +61,12 @@ def build_dataset(data_path: str):
 
 
 def main(args):
+    _enable_compile_cache()
+    if args.multihost:
+        # Multi-host: one process per host, ICI within a slice. Each process
+        # feeds its local shard of the global batch (disjoint seeds) and only
+        # process 0 writes logs/checkpoints/snapshots.
+        jax.distributed.initialize()
     devices = jax.devices()
     mesh = make_mesh(n_model=args.n_model)
     n_data = mesh.shape["data"]
@@ -245,5 +263,8 @@ if __name__ == "__main__":
                         help="checkpoint file or experiment dir to resume from")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="write a jax.profiler trace here")
+    parser.add_argument("--multihost", type=lambda s: s.lower() in ("1", "true", "yes"),
+                        default=False, metavar="BOOL",
+                        help="call jax.distributed.initialize() (one process per host)")
 
     main(parser.parse_args())
