@@ -20,7 +20,6 @@ arXiv 2505.19122):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 

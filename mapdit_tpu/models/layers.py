@@ -23,7 +23,7 @@ Functional re-expression of the reference's `src/basic/` and `src/layers/`:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ the norm manifold for the next step.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

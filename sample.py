@@ -17,7 +17,6 @@ import numpy as np
 
 from mapdit_tpu.diffusion import create_diffusion
 from mapdit_tpu.runtime import build_sample_fn
-from mapdit_tpu.training.checkpoint import checkpoint_path, restore_state
 from mapdit_tpu.training.ema import calculate_posthoc_ema
 from mapdit_tpu.utils import class_name, load_config
 from mapdit_tpu.utils.experiment import config_from_args
