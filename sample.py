@@ -23,27 +23,48 @@ from mapdit_tpu.utils.experiment import config_from_args
 from mapdit_tpu.utils.image import save_image_grid
 
 
+def _load_constants(result_dir: str):
+    """Non-trainable constants (MPFourier buffers): constants.msgpack written
+    at train start, else from the latest checkpoint."""
+    from flax import serialization
+
+    path = os.path.join(result_dir, "constants.msgpack")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+    from mapdit_tpu.training.checkpoint import latest_checkpoint
+
+    ck = latest_checkpoint(result_dir)
+    assert ck, "need constants.msgpack or at least one checkpoint"
+    with open(ck, "rb") as f:
+        return serialization.msgpack_restore(f.read())["constants"]
+
+
 def load_variables(result_dir: str, train_args: dict, ckpt=None, ema_std=0.05):
     """EMA-reconstructed (default) or raw-checkpoint variables
-    (reference sample.py:27-34)."""
+    (reference sample.py:27-34). `--ckpt` accepts both this framework's
+    msgpack checkpoints and the reference's torch .pt checkpoints
+    ({"model": state_dict}) via the torch-import mapping."""
     from flax import serialization
 
     if ckpt is not None:
+        pt = os.path.join(result_dir, "checkpoints", f"{ckpt}.pt")
+        if os.path.exists(pt):
+            import torch
+
+            from mapdit_tpu.utils.torch_import import variables_from_torch_state_dict
+
+            sd = torch.load(pt, map_location="cpu", weights_only=True)["model"]
+            return variables_from_torch_state_dict(
+                {k: v.numpy() for k, v in sd.items()}
+            )
         path = os.path.join(result_dir, "checkpoints", f"{ckpt}.msgpack")
         with open(path, "rb") as f:
             state = serialization.msgpack_restore(f.read())
         return {"params": state["params"], "constants": state["constants"]}
 
     params = calculate_posthoc_ema(ema_std, os.path.join(result_dir, "ema"))
-    # constants (MPFourier buffers) live in any checkpoint; fall back to the
-    # latest one for them.
-    from mapdit_tpu.training.checkpoint import latest_checkpoint
-
-    ck = latest_checkpoint(result_dir)
-    assert ck, "need at least one checkpoint for the constants collection"
-    with open(ck, "rb") as f:
-        state = serialization.msgpack_restore(f.read())
-    return {"params": params, "constants": state["constants"]}
+    return {"params": params, "constants": _load_constants(result_dir)}
 
 
 def decode_latents(samples: np.ndarray, train_args: dict, use_vae: bool, vae_path=None):

@@ -214,3 +214,43 @@ class TestSampleCLI:
             "--output-file", "nocfg.npz",
         )
         assert os.path.exists(os.path.join(trained_run, "fid_samples", "nocfg.npz"))
+
+
+class TestTorchCheckpointInterop:
+    def test_sample_from_reference_pt_checkpoint(self, tmp_path):
+        """sample.py --ckpt loads a reference-format torch checkpoint
+        ({'model': state_dict}, incl. _orig_mod. prefixes) directly."""
+        import torch
+
+        g = np.load(os.path.join(REPO, "tests", "golden", "dit_xs2.npz"))
+        sd = {
+            "_orig_mod." + k[len("sd.") :]: torch.tensor(g[k])
+            for k in g.files
+            if k.startswith("sd.")
+        }
+        exp = tmp_path / "000-DiT-XS-2"
+        (exp / "checkpoints").mkdir(parents=True)
+        torch.save({"model": sd, "opt": {}}, exp / "checkpoints" / "ref.pt")
+        with open(exp / "config.yaml", "w") as f:
+            yaml.dump(
+                {
+                    "model": "DiT-XS/2",
+                    "num_classes": 10,
+                    "in_channels": 4,
+                    "input_size": 16,
+                    "stats_mean": [0.0] * 4,
+                    "stats_std": [1.0] * 4,
+                },
+                f,
+            )
+        out = str(tmp_path / "ref_ckpt.png")
+        run(
+            "sample.py",
+            "--result-dir", str(exp),
+            "--use-vae", "false",
+            "--output-file", out,
+            "--num-sampling-steps", "2",
+            "--class-label", "2",
+            "--ckpt", "ref",
+        )
+        assert os.path.exists(out)

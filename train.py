@@ -114,6 +114,13 @@ def main(args):
         state = restore_state(path, state)
         logger.info(f"resumed from {path} at step {int(state.step)}")
 
+    # Persist non-trainable constants (MPFourier buffers) once — sampling
+    # from EMA snapshots alone must not depend on a full checkpoint existing.
+    from flax import serialization as _ser
+
+    with open(os.path.join(exp_dir, "constants.msgpack"), "wb") as f:
+        f.write(_ser.to_bytes(jax.device_get(state.constants)))
+
     step_fn = make_train_step(
         cfg,
         diffusion,
