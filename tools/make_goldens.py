@@ -300,8 +300,71 @@ def main():
     make_model(args.reference, args.out, rng)
     make_diffusion(args.reference, args.out, rng)
     make_sampler_chains(args.reference, args.out, rng)
+    make_gradient_golden(args.reference, args.out, rng)
     make_ema(args.reference, args.out, rng)
 
 
 if __name__ == "__main__":
     main()
+
+
+def make_gradient_golden(ref, out_dir, rng):
+    """Full training-loss backward through the MP model at fixed weights.
+
+    Captures d(loss)/d(param) for representative parameters — validates the
+    rebuilt backward pass end to end, including the learned-gain
+    stop-gradient semantics (the coerced math.sqrt denominator,
+    src/utils.py:15-16) and the frozen-mean VB term (gd.py:758-765).
+    Model in eval() so no forced-WN mutation and no label dropout; grads are
+    well-defined either way.
+    """
+    import sys
+
+    from diffusion import create_diffusion
+    from src.models import DIT_MODELS
+
+    torch.manual_seed(0)
+    model = DIT_MODELS["DiT-XS/2"](in_channels=4, input_size=16, num_classes=10)
+    model.eval()
+
+    diff = create_diffusion("")
+    x0 = torch.tensor(rng.standard_normal((3, 4, 16, 16)), dtype=torch.float32)
+    noise = torch.tensor(rng.standard_normal((3, 4, 16, 16)), dtype=torch.float32)
+    t = torch.tensor([3, 500, 977])
+    y = torch.tensor([1, 5, 9])
+
+    terms = diff.training_losses(
+        lambda xx, tt, **kw: model(xx, tt.float(), kw["y"]), x0, t,
+        model_kwargs={"y": y}, noise=noise,
+    )
+    loss = terms["loss"].mean()
+    loss.backward()
+
+    grads = {
+        f"grad.{name}": t2n(p.grad)
+        for name, p in model.named_parameters()
+        if name
+        in (
+            "x_embedder.weight",
+            "blocks.0.attn.qkv_proj.weight",
+            "blocks.0.gain_msa",
+            "blocks.5.mlp.net.0.weight",
+            "blocks.5.modulation.1.weight",
+            "final_layer.linear.weight",
+            "final_layer.gain_mod",
+            "final_layer.mean_scale.reference",
+            "y_embedder.embedding.weight",
+        )
+    }
+    sd = {f"sd.{k}": t2n(v) for k, v in model.state_dict().items()}
+    dump(
+        out_dir,
+        "gradients",
+        x0=t2n(x0),
+        noise=t2n(noise),
+        t=t2n(t),
+        y=t2n(y),
+        loss=t2n(loss),
+        **grads,
+        **sd,
+    )
