@@ -351,6 +351,55 @@ class GaussianDiffusion:
         (x, _), _ = jax.lax.scan(body, (noise, rng), ts)
         return x
 
+    def p_sample_loop_fast(
+        self,
+        model_fn: ModelFn,
+        noise: Array,
+        rng: Array,
+        clip_denoised: bool = True,
+        model_kwargs=None,
+    ) -> Array:
+        """DDPM chain specialized for the default EPSILON+LEARNED_RANGE mode.
+
+        Mathematically identical to :meth:`p_sample_loop` (same ops, same
+        order) but all per-step coefficients enter the scan as prestacked
+        0-d scalars through ``xs`` instead of per-step table gathers with
+        (B, 1, 1, 1) broadcasts — measured ~20% of per-step time at DiT-S/2
+        shapes was this bookkeeping (docs/BENCH_NOTES.md).
+        """
+        assert self.mean_type == EPSILON and self.var_type == LEARNED_RANGE
+        n = noise.shape[0]
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        coefs = (
+            self.timestep_map[ts].astype(jnp.float32),
+            self.sqrt_recip_alphas_cumprod[ts],
+            self.sqrt_recipm1_alphas_cumprod[ts],
+            self.posterior_mean_coef1[ts],
+            self.posterior_mean_coef2[ts],
+            self.posterior_log_variance_clipped[ts],
+            self.log_betas[ts],
+            (ts != 0).astype(noise.dtype),
+        )
+
+        def body(carry, c):
+            x, key = carry
+            model_t, sra, srm1, pc1, pc2, min_log, max_log, nonzero = c
+            key, step_key = jax.random.split(key)
+            out = model_fn(x, jnp.full((n,), model_t), **(model_kwargs or {}))
+            eps_hat, var_values = jnp.split(out, 2, axis=1)
+            frac = (var_values + 1.0) / 2.0
+            log_variance = frac * max_log + (1.0 - frac) * min_log
+            pred_xstart = sra * x - srm1 * eps_hat
+            if clip_denoised:
+                pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
+            mean = pc1 * pred_xstart + pc2 * x
+            step_noise = jax.random.normal(step_key, x.shape, x.dtype)
+            x = mean + nonzero * jnp.exp(0.5 * log_variance) * step_noise
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(body, (noise, rng), coefs)
+        return x
+
     def p_sample_loop_progressive(
         self, model_fn: ModelFn, noise: Array, rng: Array, **kw
     ) -> Dict[str, Array]:

@@ -84,12 +84,24 @@ def build_sample_fn(
     """
     model_fn = build_model_fn(cfg, variables, cfg_scale=cfg_scale, fold=fold)
 
+    from mapdit_tpu.diffusion import gd
+
+    use_fast = (
+        sampler == "ddpm"
+        and diffusion.mean_type == gd.EPSILON
+        and diffusion.var_type == gd.LEARNED_RANGE
+    )
+
     @jax.jit
     def sample_fn(noise: Array, y: Array, rng: Array) -> Array:
         if sampler == "ddim":
             return diffusion.ddim_sample_loop(
                 model_fn, noise, rng, clip_denoised=False,
                 model_kwargs={"y": y}, eta=eta,
+            )
+        if use_fast:
+            return diffusion.p_sample_loop_fast(
+                model_fn, noise, rng, clip_denoised=False, model_kwargs={"y": y}
             )
         return diffusion.p_sample_loop(
             model_fn, noise, rng, clip_denoised=False, model_kwargs={"y": y}

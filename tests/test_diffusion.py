@@ -352,3 +352,55 @@ class TestTimestepSampler:
         state = s.update_with_local_losses(state, jnp.array([0, 0]), jnp.array([9.0, 9.0]))
         w2 = np.asarray(s.weights(state))
         assert w2[0] > w[0]
+
+
+class TestFastChain:
+    """p_sample_loop_fast must equal the general scan sampler exactly
+    (same ops, same order, same RNG stream)."""
+
+    @staticmethod
+    def _model(x, t, **kw):
+        return jnp.concatenate([0.1 * x, jnp.tanh(x)], axis=1)
+
+    @pytest.mark.parametrize("clip", [True, False])
+    def test_fast_matches_general(self, clip):
+        d = create_diffusion("10")
+        noise = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8))
+        rng = jax.random.PRNGKey(0)
+        a = d.p_sample_loop(self._model, noise, rng, clip_denoised=clip)
+        b = d.p_sample_loop_fast(self._model, noise, rng, clip_denoised=clip)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+class TestDDIMReverse:
+    @staticmethod
+    def _model(x, t, **kw):
+        return jnp.concatenate([0.05 * x, jnp.tanh(x)], axis=1)
+
+    def test_reverse_then_forward_roundtrip(self):
+        """DDIM ODE: encode one step forward (reverse sample) then decode one
+        step back approximately recovers x (smooth pseudo-model)."""
+        d = create_diffusion("ddim25")
+        x = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.array([10, 10])
+        fwd = d.ddim_reverse_sample(self._model, x, t, clip_denoised=False)["sample"]
+        back = d.ddim_sample(
+            self._model, fwd, t + 1, jax.random.PRNGKey(1), clip_denoised=False, eta=0.0
+        )["sample"]
+        # one-step ODE discretization error only
+        assert float(jnp.abs(back - x).mean()) < 0.1
+
+    def test_continuous_gaussian_log_likelihood(self):
+        from mapdit_tpu.diffusion.dmath import continuous_gaussian_log_likelihood
+
+        x = jnp.array([0.0, 1.0])
+        ll = continuous_gaussian_log_likelihood(
+            x, means=jnp.zeros(2), log_scales=jnp.zeros(2)
+        )
+        import math
+
+        np.testing.assert_allclose(
+            np.asarray(ll),
+            [-0.5 * math.log(2 * math.pi), -0.5 - 0.5 * math.log(2 * math.pi)],
+            rtol=1e-6,
+        )

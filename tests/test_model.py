@@ -209,3 +209,22 @@ class TestRemat:
             g0,
             g1,
         )
+
+
+class TestLearnGain:
+    def test_mplinear_learn_gain_param(self):
+        """learn_gain (API parity with reference mp_linear.py:25-28; unused
+        by the model): scalar gain scales the normalized weight, zero_init
+        makes the layer output zero at init."""
+        from mapdit_tpu.models.layers import MPLinear
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8))
+        m = MPLinear(8, 4, learn_gain=True, zero_init=True)
+        v = m.init(jax.random.PRNGKey(1), x)
+        assert v["params"]["gain"].shape == ()
+        np.testing.assert_allclose(np.asarray(m.apply(v, x)), 0.0)
+        v2 = {"params": dict(v["params"], gain=jnp.asarray(2.0))}
+        base = MPLinear(8, 4).init(jax.random.PRNGKey(1), x)
+        # gain=2 doubles the unit-gain output at identical weights
+        ref = MPLinear(8, 4).apply({"params": {"weight": v["params"]["weight"]}}, x)
+        np.testing.assert_allclose(np.asarray(m.apply(v2, x)), 2 * np.asarray(ref), rtol=1e-6)
