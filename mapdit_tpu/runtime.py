@@ -67,6 +67,58 @@ def build_model_fn(
     return model_fn
 
 
+def build_shared_sample_fn(
+    cfg: DiTConfig,
+    diffusion,
+    cfg_scale: Optional[float] = None,
+    fold: bool = True,
+    sampler: str = "ddpm",
+    eta: float = 0.0,
+):
+    """Like build_sample_fn but takes variables as a call argument, so one
+    compiled program serves many parameter sets (sample_ema.py's five EMA
+    stds reuse a single compile)."""
+    from mapdit_tpu.diffusion import gd
+    from mapdit_tpu.models.dit import DiT
+
+    run_cfg = cfg.replace(fold_weights=True) if (fold and cfg.use_weight_normalization) else cfg
+    model = DiT(run_cfg)
+    use_fast = (
+        sampler == "ddpm"
+        and diffusion.mean_type == gd.EPSILON
+        and diffusion.var_type == gd.LEARNED_RANGE
+    )
+
+    def prepare(variables: Dict) -> Dict:
+        if fold and cfg.use_weight_normalization:
+            return dict(
+                variables, params=fold_weights_for_inference(variables["params"], run_cfg)
+            )
+        return variables
+
+    @jax.jit
+    def sample_fn(variables: Dict, noise: Array, y: Array, rng: Array) -> Array:
+        if cfg_scale is None:
+            model_fn = lambda x, t, y: model.apply(variables, x, t, y)
+        else:
+            model_fn = lambda x, t, y: model.apply(
+                variables, x, t, y, cfg_scale, method=DiT.forward_with_cfg
+            )
+        if sampler == "ddim":
+            return diffusion.ddim_sample_loop(
+                model_fn, noise, rng, clip_denoised=False, model_kwargs={"y": y}, eta=eta
+            )
+        if use_fast:
+            return diffusion.p_sample_loop_fast(
+                model_fn, noise, rng, clip_denoised=False, model_kwargs={"y": y}
+            )
+        return diffusion.p_sample_loop(
+            model_fn, noise, rng, clip_denoised=False, model_kwargs={"y": y}
+        )
+
+    return prepare, sample_fn
+
+
 def build_sample_fn(
     cfg: DiTConfig,
     variables: Dict,

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mapdit_tpu.diffusion import create_diffusion
-from mapdit_tpu.runtime import build_sample_fn
+from mapdit_tpu.runtime import build_shared_sample_fn
 from mapdit_tpu.utils import class_name, load_config
 from mapdit_tpu.utils.experiment import config_from_args
 from mapdit_tpu.utils.image import save_image_grid
@@ -32,9 +32,13 @@ def main(args):
     )
 
     n = 8
+    # One compiled sampler shared across all five EMA parameter sets.
+    prepare, sample_fn = build_shared_sample_fn(
+        cfg, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler
+    )
     res = []
     for std in EMA_STDS:
-        variables = load_variables(args.result_dir, train_args, None, std)
+        variables = prepare(load_variables(args.result_dir, train_args, None, std))
         key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
         key, zkey, skey = jax.random.split(key, 3)
         z = jax.random.normal(
@@ -46,8 +50,7 @@ def main(args):
             [jnp.full((n,), args.class_label, jnp.int32),
              jnp.full((n,), cfg.num_classes, jnp.int32)]
         )
-        sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler)
-        res.append(np.asarray(sample_fn(z, y, skey)[:n]))
+        res.append(np.asarray(sample_fn(variables, z, y, skey)[:n]))
 
     # (n, stds, C, H, W) -> row-major grid with one column per std
     samples = np.stack(res, axis=1).reshape(-1, *res[0].shape[1:])
