@@ -24,6 +24,25 @@ from mapdit_tpu.ops.mp import modulate, mp_sum, rotate_pairs
 Array = jax.Array
 
 
+def _use_fused_mlp(cfg: DiTConfig, seq_len: int) -> bool:
+    """Dispatch policy for the fused MP-MLP Pallas kernel."""
+    family = (
+        cfg.modulation == "adaln"
+        and cfg.mp_style
+        and cfg.use_mp_silu
+        and cfg.use_mp_residual
+        and cfg.use_weight_normalization
+        and seq_len % 8 == 0
+    )
+    if not family or cfg.block_kernel == "off":
+        return False
+    if cfg.block_kernel == "pallas":
+        return True
+    from mapdit_tpu.ops.attention import _tpu_available
+
+    return _tpu_available()
+
+
 def modulation_dims(cfg: DiTConfig, with_gate: bool) -> Tuple[int, ...]:
     """Output chunk sizes of one branch's modulation head.
 
@@ -124,12 +143,13 @@ class DiTBlock(nn.Module):
         h = apply_modulation(maybe_norm(x), msa_mods, gain_msa, cfg)
         x = residual(x, Attention(cfg, cfg.hidden_size, name="attn")(h), gate_msa)
 
-        h = apply_modulation(maybe_norm(x), mlp_mods, gain_mlp, cfg)
-        x = residual(
-            x,
-            MLP(cfg, cfg.hidden_size, cfg.hidden_size, mlp_ratio=cfg.mlp_ratio, name="mlp")(h),
-            gate_mlp,
-        )
+        mlp = MLP(cfg, cfg.hidden_size, cfg.hidden_size, mlp_ratio=cfg.mlp_ratio, name="mlp")
+        if _use_fused_mlp(cfg, x.shape[1]):
+            shift_mlp, scale_mlp = mlp_mods
+            x = mlp.fused_branch(x, shift_mlp, scale_mlp, gate_mlp, gain_mlp)
+        else:
+            h = apply_modulation(maybe_norm(x), mlp_mods, gain_mlp, cfg)
+            x = residual(x, mlp(h), gate_mlp)
         return x
 
 

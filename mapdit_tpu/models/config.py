@@ -56,6 +56,10 @@ class DiTConfig:
     # TPU execution knobs (no reference equivalent)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    # Fused MP-MLP half-block Pallas kernel (ops/pallas/mlp_block.py):
+    # "auto" = on-TPU for the supported family (MP adaln, WN, MP-SiLU, MP
+    # residual, T>=8), "pallas" = force (interpret mode off-TPU), "off".
+    block_kernel: str = "auto"
     # Activation rematerialization per block (jax.checkpoint) — trades
     # backward-pass FLOPs for memory on deep models (XL: 28 blocks). The
     # reference has only a vestigial hook for this (`src/dit.py:64-68`).
@@ -73,6 +77,7 @@ class DiTConfig:
         assert self.modulation in MODULATION_KINDS, self.modulation
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.attention_impl in ("auto", "xla", "pallas")
+        assert self.block_kernel in ("auto", "pallas", "off")
 
     @property
     def dtype(self):

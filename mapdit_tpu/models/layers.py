@@ -51,33 +51,51 @@ class MPLinear(nn.Module):
     dtype: jnp.dtype = jnp.float32
     folded: bool = False
 
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def setup(self):
+        # setup-style (not @compact) so effective_weight() can hand raw
+        # weights to fused kernels while this module owns the parameter.
         if self.use_wn:
-            w = self.param(
+            self.weight = self.param(
                 "weight", nn.initializers.normal(1.0), (self.out_dim, self.in_dim)
             )
             if self.learn_gain:
-                gain = self.param(
+                self.gain = self.param(
                     "gain",
                     nn.initializers.constant(0.0 if self.zero_init else 1.0),
                     (),
                 )
-            else:
-                gain = 1.0
+        else:
+            init = (
+                nn.initializers.zeros
+                if self.zero_init
+                else nn.initializers.xavier_uniform()
+            )
+            self.weight = self.param("weight", init, (self.out_dim, self.in_dim))
+            self.bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+
+    def __call__(self, x: Array) -> Array:
+        if self.use_wn:
+            w = self.weight
+            gain = self.gain if self.learn_gain else 1.0
             if not self.folded:
                 w = normalize(w)
             w = w * (gain / math.sqrt(self.in_dim))
             return x.astype(self.dtype) @ w.T.astype(self.dtype)
-
-        init = (
-            nn.initializers.zeros
-            if self.zero_init
-            else nn.initializers.xavier_uniform()
+        return (
+            x.astype(self.dtype) @ self.weight.T.astype(self.dtype)
+            + self.bias.astype(self.dtype)
         )
-        w = self.param("weight", init, (self.out_dim, self.in_dim))
-        b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
-        return x.astype(self.dtype) @ w.T.astype(self.dtype) + b.astype(self.dtype)
+
+    def effective_weight(self) -> Array:
+        """The (out, in) matrix actually multiplied against inputs — for
+        fused kernels that consume raw weights while this module keeps
+        owning the parameter (WN mode only). Excludes the 1/sqrt(in_dim)
+        factor, which callers fold as a scalar into their epilogue."""
+        assert self.use_wn and not self.learn_gain
+        w = self.weight
+        if not self.folded:
+            w = normalize(w)
+        return w
 
 
 class MPLinearSplit(nn.Module):
@@ -217,18 +235,35 @@ class MLP(nn.Module):
     hidden_dim: Optional[int] = None
     mlp_ratio: float = 4.0
 
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def setup(self):
         c = self.cfg
         hidden = (
             int(self.in_dim * self.mlp_ratio)
             if self.hidden_dim is None
             else self.hidden_dim
         )
-        x = MPLinear(
-            self.in_dim, hidden, use_wn=c.use_weight_normalization, folded=c.fold_weights, dtype=c.dtype, name="fc1"
-        )(x)
-        x = activation(x, c)
-        return MPLinear(
-            hidden, self.out_dim, use_wn=c.use_weight_normalization, folded=c.fold_weights, dtype=c.dtype, name="fc2"
-        )(x)
+        self.fc1 = MPLinear(
+            self.in_dim, hidden, use_wn=c.use_weight_normalization,
+            folded=c.fold_weights, dtype=c.dtype,
+        )
+        self.fc2 = MPLinear(
+            hidden, self.out_dim, use_wn=c.use_weight_normalization,
+            folded=c.fold_weights, dtype=c.dtype,
+        )
+
+    def __call__(self, x: Array) -> Array:
+        return self.fc2(activation(self.fc1(x), self.cfg))
+
+    def fused_branch(self, x: Array, shift: Array, scale: Array, gate: Array, gain) -> Array:
+        """Whole MP-MLP half-block (modulate -> MLP -> gate -> mp_sum
+        residual) through the fused Pallas kernel
+        (`mapdit_tpu.ops.pallas.mlp_block`). MP+adaln family only."""
+        from mapdit_tpu.ops.pallas.mlp_block import fused_mlp_branch
+
+        c = self.cfg
+        w1 = self.fc1.effective_weight().astype(c.dtype)
+        w2 = self.fc2.effective_weight().astype(c.dtype)
+        return fused_mlp_branch(
+            x, shift.astype(x.dtype), scale.astype(x.dtype), gate.astype(x.dtype),
+            jnp.asarray(gain, jnp.float32), w1, w2,
+        )

@@ -71,3 +71,67 @@ class TestFusedAttention:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=0.05, atol=0.05
         )
+
+
+class TestFusedMLPBlock:
+    """Fused MP-MLP half-block kernel vs the unfused model path."""
+
+    def test_full_model_parity(self, golden):
+        """DiT-XS/2 forward with block_kernel=pallas (interpret on CPU) must
+        match the reference golden like the unfused path does."""
+        from mapdit_tpu.models import DiT, build_config
+        from mapdit_tpu.utils.torch_import import variables_from_torch_state_dict
+
+        g = golden("dit_xs2")
+        sd = {k[len("sd.") :]: v for k, v in g.items() if k.startswith("sd.")}
+        variables = variables_from_torch_state_dict(sd)
+        cfg = build_config(
+            "DiT-XS/2", in_channels=4, input_size=16, num_classes=10,
+            block_kernel="pallas",
+        )
+        out = DiT(cfg).apply(
+            variables, jnp.asarray(g["x"]), jnp.asarray(g["t"]), jnp.asarray(g["y"])
+        )
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=2e-4, atol=2e-4)
+
+    def test_fused_vs_unfused_model(self):
+        from mapdit_tpu.models import DiT, build_config, init_model
+
+        base = build_config("DiT-XS/2", in_channels=4, input_size=16, num_classes=10,
+                            block_kernel="off")
+        _, variables = init_model(base, seed=3)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.full((2,), 321.0)
+        y = jnp.ones((2,), jnp.int32)
+        a = DiT(base).apply(variables, x, t, y)
+        b = DiT(base.replace(block_kernel="pallas")).apply(variables, x, t, y)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    def test_fused_gradients_match(self):
+        from mapdit_tpu.models import DiT, build_config, init_model
+
+        base = build_config("DiT-XS/2", in_channels=4, input_size=16, num_classes=10,
+                            block_kernel="off")
+        _, variables = init_model(base, seed=3)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.full((2,), 100.0)
+        y = jnp.ones((2,), jnp.int32)
+
+        def loss(cfg):
+            def f(params):
+                out = DiT(cfg).apply(
+                    {"params": params, "constants": variables["constants"]}, x, t, y
+                )
+                return jnp.sum(out**2)
+
+            return jax.grad(f)(variables["params"])
+
+        ga = loss(base)
+        gb = loss(base.replace(block_kernel="pallas"))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            ),
+            ga,
+            gb,
+        )
