@@ -96,6 +96,7 @@ def main():
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--model", default="DiT-S/2")
     p.add_argument("--attention-impl", choices=["auto", "xla", "pallas"], default="auto")
+    p.add_argument("--block-kernel", choices=["auto", "pallas", "off"], default="auto")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
     args = p.parse_args()
@@ -108,6 +109,7 @@ def main():
         num_classes=1000,
         compute_dtype=args.dtype,
         attention_impl=args.attention_impl,
+        block_kernel=args.block_kernel,
     )
     if args.mode == "train":
         return bench_train(args, cfg)

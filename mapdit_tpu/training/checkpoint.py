@@ -50,5 +50,45 @@ def latest_checkpoint(exp_dir: str) -> Optional[str]:
 def restore_state(path: str, state_template):
     """Restore into a structurally-matching template (e.g. a freshly built
     TrainState) — shapes/dtypes validated by flax deserialization."""
+    if os.path.isdir(path):
+        return restore_state_orbax(path, state_template)
     with open(path, "rb") as f:
         return serialization.from_bytes(state_template, f.read())
+
+
+# --------------------------------------------------------------------------- #
+# orbax backend: async-capable, multi-host/sharded-aware production
+# checkpointing (each checkpoint is a directory, not a single file).
+
+def orbax_path(exp_dir: str, step: int) -> str:
+    return os.path.join(exp_dir, "checkpoints", f"{step:07d}.orbax")
+
+
+def save_state_orbax(exp_dir: str, step: int, state) -> str:
+    import orbax.checkpoint as ocp
+
+    path = orbax_path(exp_dir, step)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state, force=True)
+    return path
+
+
+def restore_state_orbax(path: str, state_template):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), state_template)
+
+
+def latest_checkpoint_any(exp_dir: str) -> Optional[str]:
+    """Newest checkpoint across both backends (msgpack file or orbax dir)."""
+    ckpt_dir = os.path.join(exp_dir, "checkpoints")
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best_step, best = -1, None
+    for f in os.listdir(ckpt_dir):
+        m = re.match(r"^(\d+)\.(msgpack|orbax)$", f)
+        if m and int(m.group(1)) > best_step:
+            best_step, best = int(m.group(1)), os.path.join(ckpt_dir, f)
+    return best

@@ -39,6 +39,7 @@ _MODEL_KEYS = (
     "modulation",
     "compute_dtype",
     "attention_impl",
+    "block_kernel",
     "remat",
 )
 

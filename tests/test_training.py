@@ -218,3 +218,31 @@ class TestTrainStep:
         # restored state is steppable
         restored, metrics = step_fn(restored, next(it))
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestOrbaxBackend:
+    def test_orbax_roundtrip(self, tiny_setup, tmp_path):
+        from mapdit_tpu.training.checkpoint import (
+            latest_checkpoint_any,
+            restore_state,
+            save_state_orbax,
+        )
+
+        cfg, ds, step_fn, _ = tiny_setup
+        tx = create_optimizer(warmup_flat_invsqrt(1e-2, 5, 50))
+        state = create_train_state(cfg, tx, seed=4)
+        it = ds.batches(batch_size=8, seed=4)
+        state, _ = step_fn(state, next(it))
+
+        path = save_state_orbax(str(tmp_path), 1, state)
+        assert path.endswith("0000001.orbax")
+        assert latest_checkpoint_any(str(tmp_path)) == path
+
+        template = create_train_state(cfg, tx, seed=9)
+        restored = restore_state(path, template)
+        assert int(restored.step) == 1
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            state.params,
+            restored.params,
+        )

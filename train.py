@@ -34,7 +34,12 @@ from mapdit_tpu.training import (
     warmup_flat_invsqrt,
 )
 from mapdit_tpu.training import ema as ema_lib
-from mapdit_tpu.training.checkpoint import latest_checkpoint, restore_state, save_state
+from mapdit_tpu.training.checkpoint import (
+    latest_checkpoint_any,
+    restore_state,
+    save_state,
+    save_state_orbax,
+)
 from mapdit_tpu.training.data import LatentDataset, SyntheticLatentDataset
 from mapdit_tpu.training.lr import default_schedule_steps
 from mapdit_tpu.utils import create_logger, save_config, setup_experiment
@@ -109,7 +114,11 @@ def main(args):
     logger.info(f"model parameters: {param_count(state.params):,}")
 
     if args.resume:
-        path = args.resume if os.path.isfile(args.resume) else latest_checkpoint(args.resume)
+        path = (
+            args.resume
+            if os.path.isfile(args.resume) or args.resume.endswith(".orbax")
+            else latest_checkpoint_any(args.resume)
+        )
         assert path, f"--resume: no checkpoint found at {args.resume}"
         state = restore_state(path, state)
         logger.info(f"resumed from {path} at step {int(state.step)}")
@@ -266,6 +275,10 @@ if __name__ == "__main__":
                         default=False, metavar="BOOL",
                         help="per-block activation rematerialization (XL-scale memory)")
     parser.add_argument("--attention-impl", choices=["auto", "xla", "pallas"], default="auto")
+    parser.add_argument("--block-kernel", choices=["auto", "pallas", "off"], default="auto",
+                        help="fused MP-MLP half-block Pallas kernel dispatch")
+    parser.add_argument("--checkpointer", choices=["msgpack", "orbax"], default="msgpack",
+                        help="checkpoint backend (orbax = async-capable production path)")
     parser.add_argument("--resume", type=str, default=None,
                         help="checkpoint file or experiment dir to resume from")
     parser.add_argument("--profile-dir", type=str, default=None,
