@@ -34,13 +34,9 @@ def _use_fused_mlp(cfg: DiTConfig, seq_len: int) -> bool:
         and cfg.use_weight_normalization
         and seq_len % 8 == 0
     )
-    if not family or cfg.block_kernel == "off":
-        return False
-    if cfg.block_kernel == "pallas":
-        return True
-    from mapdit_tpu.ops.attention import _tpu_available
-
-    return _tpu_available()
+    # "auto" currently resolves to off: XLA fusion measured faster at the
+    # shipped shapes (see DiTConfig.block_kernel).
+    return family and cfg.block_kernel == "pallas"
 
 
 def modulation_dims(cfg: DiTConfig, with_gate: bool) -> Tuple[int, ...]:

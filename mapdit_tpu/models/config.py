@@ -57,9 +57,12 @@ class DiTConfig:
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
     # Fused MP-MLP half-block Pallas kernel (ops/pallas/mlp_block.py):
-    # "auto" = on-TPU for the supported family (MP adaln, WN, MP-SiLU, MP
-    # residual, T>=8), "pallas" = force (interpret mode off-TPU), "off".
-    block_kernel: str = "auto"
+    # "pallas" = on (interpret mode off-TPU), "auto"/"off" = XLA fusion.
+    # Default off: measured on v5e at DiT-S/2 shapes, XLA's own fusion beats
+    # the hand kernel by ~2% (417 vs 410 steps/s at the 250-step protocol,
+    # docs/BENCH_NOTES.md) — the kernel stays as opt-in A/B infrastructure
+    # for larger shapes.
+    block_kernel: str = "off"
     # Activation rematerialization per block (jax.checkpoint) — trades
     # backward-pass FLOPs for memory on deep models (XL: 28 blocks). The
     # reference has only a vestigial hook for this (`src/dit.py:64-68`).

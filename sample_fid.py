@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 from tqdm import tqdm
 
+from mapdit_tpu.parallel import batch_sharding, make_mesh
+
 from mapdit_tpu.diffusion import create_diffusion
 from mapdit_tpu.runtime import build_sample_fn
 from mapdit_tpu.utils import load_config
@@ -42,8 +44,15 @@ def main(args):
         sampler=args.sampler,
     )
 
-    key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+    # Data-parallel sampling: shard each batch over all available chips
+    # (GSPMD replicates params, splits the scan batch).
+    mesh = make_mesh(n_model=1)
+    b_shard = batch_sharding(mesh)
     n = args.batch_size
+    assert (2 * n if args.cfg_scale > 1.0 else n) % mesh.shape["data"] == 0, \
+        "batch size (incl. CFG doubling) must divide the device count"
+
+    key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
     gathered = []
     for _ in tqdm(range(math.ceil(args.num_samples / n))):
         key, zkey, ykey, skey = jax.random.split(key, 4)
@@ -54,7 +63,10 @@ def main(args):
         if use_cfg:
             z = jnp.concatenate([z, z], axis=0)
             y = jnp.concatenate([y, jnp.full((n,), args.num_classes, jnp.int32)])
-        samples = sample_fn(z, y, skey)
+        z = jax.device_put(z, b_shard)
+        y = jax.device_put(y, b_shard)
+        with jax.set_mesh(mesh):
+            samples = sample_fn(z, y, skey)
         samples = np.asarray(samples[:n])
         samples = decode_latents(samples, train_args, args.use_vae, args.vae_path)
         gathered.append(to_uint8(samples))

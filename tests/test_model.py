@@ -228,3 +228,21 @@ class TestLearnGain:
         # gain=2 doubles the unit-gain output at identical weights
         ref = MPLinear(8, 4).apply({"params": {"weight": v["params"]["weight"]}}, x)
         np.testing.assert_allclose(np.asarray(m.apply(v2, x)), 2 * np.asarray(ref), rtol=1e-6)
+
+
+class TestFoldWeights:
+    def test_folded_inference_matches_unfolded(self):
+        from mapdit_tpu.runtime import fold_weights_for_inference
+
+        cfg = build_config("DiT-XS/8", **XS2)
+        _, variables = init_model(cfg, seed=5)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.full((2,), 77.0)
+        y = jnp.ones((2,), jnp.int32)
+        a = DiT(cfg).apply(variables, x, t, y)
+        folded_vars = dict(
+            variables, params=fold_weights_for_inference(variables["params"], cfg)
+        )
+        b = DiT(cfg.replace(fold_weights=True)).apply(folded_vars, x, t, y)
+        # idempotent up to the normalize eps (1e-4 / sqrt(dim) relative)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
