@@ -285,29 +285,6 @@ def make_ema(ref, out_dir, rng):
     )
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--reference", default="/root/reference")
-    p.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "tests", "golden"))
-    args = p.parse_args()
-
-    sys.path.insert(0, args.reference)
-    os.makedirs(args.out, exist_ok=True)
-    rng = np.random.default_rng(1234)
-    torch.manual_seed(1234)
-
-    make_mp_ops(args.reference, args.out, rng)
-    make_model(args.reference, args.out, rng)
-    make_diffusion(args.reference, args.out, rng)
-    make_sampler_chains(args.reference, args.out, rng)
-    make_gradient_golden(args.reference, args.out, rng)
-    make_ema(args.reference, args.out, rng)
-
-
-if __name__ == "__main__":
-    main()
-
-
 def make_gradient_golden(ref, out_dir, rng):
     """Full training-loss backward through the MP model at fixed weights.
 
@@ -368,3 +345,27 @@ def make_gradient_golden(ref, out_dir, rng):
         **grads,
         **sd,
     )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--reference", default="/root/reference")
+    p.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "tests", "golden"))
+    args = p.parse_args()
+
+    sys.path.insert(0, args.reference)
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(1234)
+    torch.manual_seed(1234)
+
+    make_mp_ops(args.reference, args.out, rng)
+    make_model(args.reference, args.out, rng)
+    make_diffusion(args.reference, args.out, rng)
+    make_sampler_chains(args.reference, args.out, rng)
+    make_gradient_golden(args.reference, args.out, rng)
+    make_ema(args.reference, args.out, rng)
+
+
+if __name__ == "__main__":
+    main()
+
