@@ -97,6 +97,8 @@ def main():
     p.add_argument("--model", default="DiT-S/2")
     p.add_argument("--attention-impl", choices=["auto", "xla", "pallas"], default="auto")
     p.add_argument("--block-kernel", choices=["auto", "pallas", "off"], default="auto")
+    p.add_argument("--scan-blocks", action="store_true",
+                   help="lax.scan over depth-stacked block params (XL compile time)")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
     args = p.parse_args()
@@ -110,6 +112,7 @@ def main():
         compute_dtype=args.dtype,
         attention_impl=args.attention_impl,
         block_kernel=args.block_kernel,
+        scan_blocks=args.scan_blocks,
     )
     if args.mode == "train":
         return bench_train(args, cfg)

@@ -112,9 +112,10 @@ class DiTBlock(nn.Module):
     """
 
     cfg: DiTConfig
+    scan_mode: bool = False  # return (x, None) for nn.scan over depth
 
     @nn.compact
-    def __call__(self, x: Array, c: Array) -> Array:
+    def __call__(self, x: Array, c: Array):
         cfg = self.cfg
         dims = modulation_dims(cfg, with_gate=True)
         mods = ModulationHead(cfg, dims + dims, name="modulation")(c)
@@ -146,7 +147,7 @@ class DiTBlock(nn.Module):
         else:
             h = apply_modulation(maybe_norm(x), mlp_mods, gain_mlp, cfg)
             x = residual(x, mlp(h), gate_mlp)
-        return x
+        return (x, None) if self.scan_mode else x
 
 
 class MPFourier(nn.Module):

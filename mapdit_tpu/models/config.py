@@ -67,6 +67,12 @@ class DiTConfig:
     # backward-pass FLOPs for memory on deep models (XL: 28 blocks). The
     # reference has only a vestigial hook for this (`src/dit.py:64-68`).
     remat: bool = False
+    # Compile one block and lax.scan over depth-stacked params instead of
+    # unrolling `depth` blocks — ~depth-fold smaller XLA graph/compile time
+    # (essential for DiT-XL through slow compile paths). Params for the
+    # blocks live stacked with a leading (depth,) axis; converters in
+    # models/dit.py.
+    scan_blocks: bool = False
     # Inference: weights pre-normalized once (fold_weights_for_inference),
     # skip the in-graph re-normalization inside the sampling scan. The
     # in-graph WN is idempotent up to its 1e-4 eps, so this changes results

@@ -61,14 +61,18 @@ def param_sharding(params, mesh: Mesh):
 
     def rule(path, leaf):
         names = [p.key for p in path if hasattr(p, "key")]
-        if tp and leaf.ndim == 2 and names and names[-1] == "weight":
+        # ndim 3 = scan_blocks depth-stacked weights: shard the same matrix
+        # dims, one axis later.
+        if tp and leaf.ndim in (2, 3) and names and names[-1] == "weight":
             parent = names[-2] if len(names) >= 2 else ""
+            off = leaf.ndim - 2
+            lead = (None,) * off
             # t_embedder's MLP is tiny and batch-1-per-token; keep replicated.
             if "t_embedder" not in names:
-                if parent in _COL_PARALLEL and leaf.shape[0] % mesh.shape[MODEL_AXIS] == 0:
-                    return NamedSharding(mesh, P(MODEL_AXIS, None))
-                if parent in _ROW_PARALLEL and leaf.shape[1] % mesh.shape[MODEL_AXIS] == 0:
-                    return NamedSharding(mesh, P(None, MODEL_AXIS))
+                if parent in _COL_PARALLEL and leaf.shape[off] % mesh.shape[MODEL_AXIS] == 0:
+                    return NamedSharding(mesh, P(*lead, MODEL_AXIS, None))
+                if parent in _ROW_PARALLEL and leaf.shape[off + 1] % mesh.shape[MODEL_AXIS] == 0:
+                    return NamedSharding(mesh, P(*lead, None, MODEL_AXIS))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)

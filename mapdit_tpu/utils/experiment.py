@@ -41,6 +41,7 @@ _MODEL_KEYS = (
     "attention_impl",
     "block_kernel",
     "remat",
+    "scan_blocks",
 )
 
 

@@ -246,3 +246,52 @@ class TestFoldWeights:
         b = DiT(cfg.replace(fold_weights=True)).apply(folded_vars, x, t, y)
         # idempotent up to the normalize eps (1e-4 / sqrt(dim) relative)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+class TestScanBlocks:
+    def test_scan_matches_loop(self):
+        from mapdit_tpu.models.dit import stack_block_params, unstack_block_params
+
+        cfg = build_config("DiT-XS/8", **XS2)
+        _, variables = init_model(cfg, seed=0)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.full((2,), 100.0)
+        y = jnp.ones((2,), jnp.int32)
+        a = DiT(cfg).apply(variables, x, t, y)
+        sparams = stack_block_params(variables["params"], cfg.depth)
+        b = DiT(cfg.replace(scan_blocks=True)).apply(
+            {"params": sparams, "constants": variables["constants"]}, x, t, y
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+        # converter roundtrip
+        back = unstack_block_params(sparams, cfg.depth)
+        jax.tree_util.tree_map(
+            lambda p, q: np.testing.assert_array_equal(np.asarray(p), np.asarray(q)),
+            variables["params"],
+            back,
+        )
+
+    def test_scan_projection_and_grads(self):
+        """project_weights normalizes stacked (depth, out, in) weights and
+        gradients flow through the scan."""
+        cfg = build_config("DiT-XS/8", scan_blocks=True, **XS2)
+        _, variables = init_model(cfg, seed=1)
+        projected = project_weights(variables["params"], cfg)
+        w = np.asarray(projected["blocks"]["attn"]["qkv_proj"]["weight"])
+        assert w.ndim == 3
+        np.testing.assert_allclose(
+            np.linalg.norm(w, axis=-1), np.sqrt(w.shape[-1]), rtol=1e-3
+        )
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        g = jax.grad(
+            lambda p: jnp.sum(
+                DiT(cfg).apply(
+                    {"params": p, "constants": variables["constants"]},
+                    x, jnp.full((2,), 5.0), jnp.ones((2,), jnp.int32),
+                )
+                ** 2
+            )
+        )(variables["params"])
+        gw = np.asarray(g["blocks"]["attn"]["qkv_proj"]["weight"])
+        assert np.isfinite(gw).all() and np.abs(gw).max() > 0

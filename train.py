@@ -274,6 +274,9 @@ if __name__ == "__main__":
     parser.add_argument("--remat", type=lambda s: s.lower() in ("1", "true", "yes"),
                         default=False, metavar="BOOL",
                         help="per-block activation rematerialization (XL-scale memory)")
+    parser.add_argument("--scan-blocks", type=lambda s: s.lower() in ("1", "true", "yes"),
+                        default=False, metavar="BOOL",
+                        help="lax.scan over depth-stacked block params (XL-scale compile time)")
     parser.add_argument("--attention-impl", choices=["auto", "xla", "pallas"], default="auto")
     parser.add_argument("--block-kernel", choices=["auto", "pallas", "off"], default="auto",
                         help="fused MP-MLP half-block Pallas kernel dispatch")
