@@ -84,6 +84,13 @@ def decode_latents(samples: np.ndarray, train_args: dict, use_vae: bool, vae_pat
 
 
 def main(args):
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compilation")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     train_args = load_config(args.result_dir)
     cfg = config_from_args(train_args)
     variables = load_variables(args.result_dir, train_args, args.ckpt, args.ema_std)

@@ -24,6 +24,13 @@ EMA_STDS = [0.0075, 0.01, 0.05, 0.1, 0.15]  # reference sample_ema.py:25
 
 
 def main(args):
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compilation")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     train_args = load_config(args.result_dir)
     cfg = config_from_args(train_args)
     steps = args.num_sampling_steps
