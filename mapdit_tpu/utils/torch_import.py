@@ -70,3 +70,61 @@ def variables_from_torch_state_dict(state_dict: Mapping[str, np.ndarray]) -> Dic
     if unmatched:
         raise KeyError(f"unmatched reference keys: {unmatched[:10]}")
     return out
+
+
+def state_dict_from_variables(variables: Mapping, cfg=None) -> Dict[str, np.ndarray]:
+    """Inverse mapping: flax variables -> reference-named state dict
+    (numpy arrays). Lets runs trained here be sampled by the reference
+    (`torch.save({'model': {k: torch.tensor(v) for k, v in sd.items()}})`).
+    Weight layouts are identical, so this is pure renaming; the
+    deterministic pos_embed buffer is regenerated to complete the
+    reference's expected key set."""
+    out: Dict[str, np.ndarray] = {}
+
+    def emit(prefix, tree):
+        for k, v in tree.items():
+            if isinstance(v, Mapping):
+                emit(prefix + [k], v)
+            else:
+                out["/".join(prefix + [k])] = np.asarray(v)
+
+    emit(["params"], variables["params"])
+    emit(["constants"], variables.get("constants", {}))
+
+    sd: Dict[str, np.ndarray] = {}
+    if cfg is not None:
+        # the reference's state_dict includes the pos_embed buffer
+        # (src/dit.py:46-48): regenerate it so strict load_state_dict passes
+        from mapdit_tpu.ops.mp import normalize
+        from mapdit_tpu.ops.pos_embed import get_2d_sincos_pos_embed
+
+        table = get_2d_sincos_pos_embed(cfg.hidden_size, cfg.input_size // cfg.patch_size)
+        out["__pos_embed__"] = np.asarray(
+            normalize(jnp.asarray(table, jnp.float32))[None]
+        )
+
+    for flat, val in out.items():
+        if flat == "__pos_embed__":
+            sd["pos_embed"] = val
+            continue
+        for pattern, template in _RENAMES:
+            if template is None:
+                continue
+            # invert: template has {0} for the block index
+            if "{0}" in template:
+                m = re.match(template.replace("{0}", r"(\d+)").replace("/", "/"), flat)
+                if m:
+                    torch_key = _unrename(pattern, m.group(1))
+                    sd[torch_key] = val
+                    break
+            elif template == flat:
+                sd[_unrename(pattern, None)] = val
+                break
+    return sd
+
+
+def _unrename(pattern: str, idx) -> str:
+    key = pattern.strip("^$").replace("\\.", ".")
+    if idx is not None:
+        key = key.replace("(\\d+)", idx)
+    return key

@@ -7,6 +7,7 @@ std.
 """
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,12 @@ def main(args):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+    cfg_path = os.path.join(args.result_dir, "config.yaml")
+    if not os.path.exists(cfg_path):
+        raise SystemExit(
+            f"error: {cfg_path} not found — --result-dir must point at an "
+            "experiment directory created by train.py"
+        )
     train_args = load_config(args.result_dir)
     cfg = config_from_args(train_args)
     steps = args.num_sampling_steps

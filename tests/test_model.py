@@ -295,3 +295,26 @@ class TestScanBlocks:
         )(variables["params"])
         gw = np.asarray(g["blocks"]["attn"]["qkv_proj"]["weight"])
         assert np.isfinite(gw).all() and np.abs(gw).max() > 0
+
+
+class TestTorchExport:
+    def test_export_import_roundtrip(self, ref):
+        """variables -> reference state_dict -> variables is exact, and the
+        exported key set matches the reference's own state_dict keys."""
+        from mapdit_tpu.utils.torch_import import (
+            state_dict_from_variables,
+            variables_from_torch_state_dict,
+        )
+
+        g, ref_vars = ref
+        cfg = build_config("DiT-XS/2", **XS2)
+        sd = state_dict_from_variables(ref_vars, cfg=cfg)
+        ref_keys = {k[len("sd.") :] for k in g if k.startswith("sd.")}
+        assert set(sd) == ref_keys
+        np.testing.assert_allclose(sd["pos_embed"], g["sd.pos_embed"], rtol=1e-5)
+        back = variables_from_torch_state_dict(sd)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            ref_vars["params"],
+            back["params"],
+        )

@@ -171,9 +171,9 @@ def main(args):
 
     logger.info(f"training for {args.num_steps} steps...")
     train_steps = int(state.step)
-    log_steps, running_loss = 0, 0.0
+    log_steps = 0
+    loss_buf = []  # on-device scalars; fetched once per log interval
     start_time = time.time()
-    last_metrics = None
 
     with jax.set_mesh(mesh):
         while train_steps < args.num_steps:
@@ -181,17 +181,18 @@ def main(args):
             state, metrics = step_fn(state, batch)
             train_steps += 1
             log_steps += 1
-            last_metrics = metrics
+            loss_buf.append(metrics["loss"])
 
             if train_steps % args.log_every == 0:
-                # One host sync per log interval (the reference syncs every
-                # step via loss.item(), train.py:99)
-                running_loss = float(metrics["loss"])
+                # Interval-averaged loss (reference semantics, train.py:112-115)
+                # with ONE host sync per interval instead of per step.
+                avg_loss = float(jnp.mean(jnp.stack(loss_buf)))
                 steps_per_sec = log_steps / (time.time() - start_time)
                 logger.info(
-                    f"(step={train_steps:07d}) train loss: {running_loss:.4f}, "
+                    f"(step={train_steps:07d}) train loss: {avg_loss:.4f}, "
                     f"train steps/sec: {steps_per_sec:.2f}"
                 )
+                loss_buf = []
                 stats = devices[0].memory_stats() or {}
                 if stats:
                     logger.debug(
