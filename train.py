@@ -150,6 +150,9 @@ def main(args):
     b_shard = batch_sharding(mesh)
 
     assert args.batch_size % n_data == 0, "batch size must divide the data axis"
+    assert args.batch_size % jax.process_count() == 0, (
+        "batch size must divide the process count (multi-host)"
+    )
     from mapdit_tpu.training.native_loader import NativeLatentLoader
 
     if not args.data_path.startswith("synthetic") and NativeLatentLoader.available(
