@@ -254,3 +254,79 @@ class TestTorchCheckpointInterop:
             "--ckpt", "ref",
         )
         assert os.path.exists(out)
+
+
+class TestVAEDecodePath:
+    def test_sample_with_vae_decode(self, trained_run, tmp_path):
+        """--use-vae true with a local (random-weights) VAE checkpoint:
+        full latent->image decode through the JAX AutoencoderKL."""
+        import jax
+        import jax.numpy as jnp
+        from safetensors.numpy import save_file
+
+        from mapdit_tpu.models.vae import AutoencoderKL, _torch_key_to_flax
+
+        dec_vars = AutoencoderKL().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4, 8, 8)), mode="decode"
+        )
+
+        def emit(prefix, tree, out):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    emit(prefix + [k], v, out)
+                else:
+                    out[tuple(prefix)] = dict(out.get(tuple(prefix), {}), **{k: np.asarray(v)})
+
+        flat = {}
+        emit([], dec_vars["params"], flat)
+        inverse = {}
+        candidates = (
+            ["post_quant_conv", "decoder.conv_in", "decoder.conv_out", "decoder.conv_norm_out"]
+            + [f"decoder.up_blocks.{i}.resnets.{j}.{nm}" for i in range(4) for j in range(3)
+               for nm in ("norm1", "conv1", "norm2", "conv2", "conv_shortcut")]
+            + [f"decoder.up_blocks.{i}.upsamplers.0.conv" for i in range(3)]
+            + [f"decoder.mid_block.resnets.{j}.{nm}" for j in range(2)
+               for nm in ("norm1", "conv1", "norm2", "conv2")]
+            + [f"decoder.mid_block.attentions.0.{nm}"
+               for nm in ("group_norm", "to_q", "to_k", "to_v", "to_out.0")]
+        )
+        for cand in candidates:
+            base = cand[:-2] if cand.endswith(".0") else cand
+            mapped = _torch_key_to_flax(base)
+            if mapped is not None:
+                inverse[mapped] = cand
+        sd = {}
+        for path, leaves in flat.items():
+            torch_base = inverse.get(path)
+            if torch_base is None:
+                continue
+            for leaf, val in leaves.items():
+                if leaf == "kernel":
+                    key, v = "weight", (
+                        np.ascontiguousarray(val.transpose(3, 2, 0, 1))
+                        if val.ndim == 4 else np.ascontiguousarray(val.T)
+                    )
+                elif leaf == "scale":
+                    key, v = "weight", val
+                else:
+                    key, v = "bias", val
+                sd[f"{torch_base}.{key}"] = v
+        vae_path = str(tmp_path / "vae.safetensors")
+        save_file(sd, vae_path)
+
+        out = str(tmp_path / "decoded.png")
+        run(
+            "sample.py",
+            "--result-dir", trained_run,
+            "--use-vae", "true",
+            "--vae-path", vae_path,
+            "--output-file", out,
+            "--num-sampling-steps", "2",
+            timeout=1200,
+        )
+        assert os.path.exists(out)
+        from PIL import Image
+
+        img = Image.open(out)
+        # 4 images of 128x128 in a 2x2 grid with 2px padding
+        assert img.size == (2 * 128 + 3 * 2, 2 * 128 + 3 * 2), img.size
