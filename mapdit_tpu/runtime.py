@@ -133,30 +133,15 @@ def build_sample_fn(
     ``sampler``: "ddpm" (ancestral, the reference scripts' path) or "ddim"
     (present-but-unwired in the reference entry points; usable here).
     Sampling scripts pass clip_denoised=False (reference `sample.py:57`).
+    Thin wrapper over :func:`build_shared_sample_fn` with variables closed
+    over (prepared once).
     """
-    model_fn = build_model_fn(cfg, variables, cfg_scale=cfg_scale, fold=fold)
-
-    from mapdit_tpu.diffusion import gd
-
-    use_fast = (
-        sampler == "ddpm"
-        and diffusion.mean_type == gd.EPSILON
-        and diffusion.var_type == gd.LEARNED_RANGE
+    prepare, shared_fn = build_shared_sample_fn(
+        cfg, diffusion, cfg_scale=cfg_scale, fold=fold, sampler=sampler, eta=eta
     )
+    prepared = prepare(variables)
 
-    @jax.jit
     def sample_fn(noise: Array, y: Array, rng: Array) -> Array:
-        if sampler == "ddim":
-            return diffusion.ddim_sample_loop(
-                model_fn, noise, rng, clip_denoised=False,
-                model_kwargs={"y": y}, eta=eta,
-            )
-        if use_fast:
-            return diffusion.p_sample_loop_fast(
-                model_fn, noise, rng, clip_denoised=False, model_kwargs={"y": y}
-            )
-        return diffusion.p_sample_loop(
-            model_fn, noise, rng, clip_denoised=False, model_kwargs={"y": y}
-        )
+        return shared_fn(prepared, noise, y, rng)
 
     return sample_fn

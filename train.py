@@ -178,9 +178,18 @@ def main(args):
     loss_buf = []  # on-device scalars; fetched once per log interval
     start_time = time.time()
 
+    def stage_batch(host_batch):
+        if jax.process_count() > 1:
+            # Each process holds its local slice; assemble the global array.
+            return {
+                k: jax.make_array_from_process_local_data(b_shard, v)
+                for k, v in host_batch.items()
+            }
+        return {k: jax.device_put(v, b_shard) for k, v in host_batch.items()}
+
     with jax.set_mesh(mesh):
         while train_steps < args.num_steps:
-            batch = {k: jax.device_put(v, b_shard) for k, v in next(batches).items()}
+            batch = stage_batch(next(batches))
             state, metrics = step_fn(state, batch)
             train_steps += 1
             log_steps += 1
