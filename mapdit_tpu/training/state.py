@@ -52,10 +52,17 @@ def ema_key(std: float) -> str:
 
 
 def create_optimizer(
-    lr_schedule: Callable, b1: float = 0.9, b2: float = 0.99
+    lr_schedule: Callable,
+    b1: float = 0.9,
+    b2: float = 0.99,
+    grad_clip: Optional[float] = None,
 ) -> optax.GradientTransformation:
-    """Adam(0.9, 0.99) + schedule (reference `train.py:57`)."""
-    return optax.adam(learning_rate=lr_schedule, b1=b1, b2=b2)
+    """Adam(0.9, 0.99) + schedule (reference `train.py:57`); optional global-
+    norm gradient clipping (no reference equivalent — off by default)."""
+    tx = optax.adam(learning_rate=lr_schedule, b1=b1, b2=b2)
+    if grad_clip is not None and grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
 
 
 def create_train_state(

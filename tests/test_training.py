@@ -246,3 +246,41 @@ class TestOrbaxBackend:
             state.params,
             restored.params,
         )
+
+
+class TestDeterminism:
+    def test_same_seed_identical_trajectory(self, tiny_setup):
+        """Bitwise training determinism: two runs from the same seed produce
+        identical parameters after several steps (explicit PRNG threading —
+        the reference cannot make this guarantee with DataLoader workers)."""
+        cfg, ds, step_fn, _ = tiny_setup
+        tx = create_optimizer(warmup_flat_invsqrt(1e-2, 5, 50))
+
+        def run():
+            state = create_train_state(cfg, tx, seed=11)
+            it = ds.batches(batch_size=8, seed=11)
+            for _ in range(4):
+                state, m = step_fn(state, next(it))
+            return state.params, float(m["loss"])
+
+        p1, l1 = run()
+        p2, l2 = run()
+        assert l1 == l2
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            p1,
+            p2,
+        )
+
+    def test_grad_clip_optimizer(self, tiny_setup):
+        cfg, ds, _, _ = tiny_setup
+        tx = create_optimizer(warmup_flat_invsqrt(1e-2, 5, 50), grad_clip=0.001)
+        step_fn = make_train_step(
+            cfg, __import__("mapdit_tpu.diffusion", fromlist=["create_diffusion"]).create_diffusion(""),
+            tx,
+            stats_mean=jnp.asarray(ds.stats["mean"]),
+            stats_std=jnp.asarray(ds.stats["std"]),
+        )
+        state = create_train_state(cfg, tx, seed=12)
+        state, m = jax.jit(step_fn, donate_argnums=0)(state, next(ds.batches(8, seed=12)))
+        assert np.isfinite(float(m["loss"]))

@@ -105,7 +105,7 @@ def main(args):
     )
 
     schedule = warmup_flat_invsqrt(args.lr, num_lin_warmup, start_decay)
-    tx = create_optimizer(schedule)
+    tx = create_optimizer(schedule, grad_clip=args.grad_clip)
     state = create_train_state(
         cfg, tx, seed=args.seed, ema_stds=tuple(EMA_STDS),
         timestep_sampler=args.timestep_sampler,
@@ -244,6 +244,8 @@ if __name__ == "__main__":
     parser.add_argument("--num-steps", type=int, default=400_000)
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--lr", type=float, default=1e-2)
+    parser.add_argument("--grad-clip", type=float, default=None,
+                        help="global-norm gradient clipping (off by default, like the reference)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--verbose", type=int, choices=[0, 1, 2], default=1,
                         help="0: warning, 1: info, 2: debug")
