@@ -2,8 +2,11 @@
 dryrun_multichip() run in subprocesses (they mutate global backend state)."""
 
 import os
+import pytest
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -67,6 +67,8 @@ def build_dataset(data_path: str):
 
 def main(args):
     _enable_compile_cache()
+    if args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     if args.multihost:
         # Multi-host: one process per host, ICI within a slice. Each process
         # feeds its local shard of the global batch (disjoint seeds) and only
@@ -286,6 +288,10 @@ if __name__ == "__main__":
     parser.add_argument("--n-model", type=int, default=1,
                         help="tensor-parallel mesh axis size (devices/n-model = data axis)")
     parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32")
+    parser.add_argument("--matmul-precision", choices=["default", "high", "highest"],
+                        default="default",
+                        help="jax matmul precision for f32 operands (TPU: default "
+                             "uses fast bf16 passes, highest forces full f32)")
     parser.add_argument("--remat", type=lambda s: s.lower() in ("1", "true", "yes"),
                         default=False, metavar="BOOL",
                         help="per-block activation rematerialization (XL-scale memory)")
