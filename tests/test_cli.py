@@ -332,3 +332,38 @@ class TestVAEDecodePath:
         img = Image.open(out)
         # 4 images of 128x128 in a 2x2 grid with 2px padding
         assert img.size == (2 * 128 + 3 * 2, 2 * 128 + 3 * 2), img.size
+
+
+class TestRotationFamily:
+    """BASELINE configs 3-4: MP + rotation modulation through the CLI."""
+
+    def test_rotation_scale_train_and_sample(self, tmp_path):
+        results = str(tmp_path / "results")
+        run(
+            "train.py",
+            "--data-path", "synthetic:32",
+            "--results-dir", results,
+            "--model", "DiT-XS/8",
+            "--num-classes", "10",
+            "--num-steps", "6",
+            "--batch-size", "8",
+            "--log-every", "3",
+            "--ckpt-every", "6",
+            "--ema-snapshot-every", "3",
+            "--num-lin-warmup", "2",
+            "--start-decay", "5",
+            "--modulation", "rotation_scale",
+        )
+        exp = os.path.join(results, os.listdir(results)[0])
+        with open(os.path.join(exp, "config.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        assert cfg["modulation"] == "rotation_scale"
+        out = str(tmp_path / "rot.png")
+        run(
+            "sample.py",
+            "--result-dir", exp,
+            "--use-vae", "false",
+            "--output-file", out,
+            "--num-sampling-steps", "2",
+        )
+        assert os.path.exists(out)
