@@ -30,9 +30,11 @@ Array = jax.Array
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, cosine: bool):
-    q = q_ref[0].astype(jnp.float32)  # (T, D')
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    """G (batch, head) pairs per grid step; per-pair attention as a batched
+    contraction so Mosaic can pipeline the small matmuls back to back."""
+    q = q_ref[...].astype(jnp.float32)  # (G, T, D')
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
 
     if cosine:
         # normalize rows to norm sqrt(D') (mapdit_tpu.ops.mp.normalize)
@@ -44,16 +46,19 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, cosine: bool)
     logits = jax.lax.dot_general(
         q,
         k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale
+    ) * scale  # (G, T, T)
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
 
-    o_ref[0] = jnp.dot(
-        p, v, preferred_element_type=jnp.float32
+    o_ref[...] = jax.lax.dot_general(
+        p,
+        v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
@@ -70,14 +75,21 @@ def _fused_attention_fwd_impl(q: Array, k: Array, v: Array, scale: float, cosine
     bh = b * h
     qf, kf, vf = (z.reshape(bh, t, d) for z in (q, k, v))
 
+    # G pairs per grid step (v2): fewer, fatter programs
+    g = 1
+    for cand in (8, 4, 2):
+        if bh % cand == 0:
+            g = cand
+            break
+
     out = pl.pallas_call(
         functools.partial(_attention_kernel, scale=scale, cosine=cosine),
-        grid=(bh,),
+        grid=(bh // g,),
         in_specs=[
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
             for _ in range(3)
         ],
-        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * bh * (t * t * d * 2),
