@@ -1,0 +1,63 @@
+"""Utility-layer tests: image grids, config round-trip, class names."""
+
+import numpy as np
+import pytest
+
+from mapdit_tpu.utils.image import save_image_grid, to_uint8
+
+
+class TestImageGrid:
+    def test_to_uint8_range_and_layout(self):
+        x = np.zeros((2, 3, 4, 4), np.float32)
+        x[0] = -1.0
+        x[1] = 1.0
+        u = to_uint8(x)
+        assert u.shape == (2, 4, 4, 3) and u.dtype == np.uint8
+        assert u[0].max() == 0 and u[1].min() == 255
+
+    def test_nan_handling(self):
+        x = np.full((1, 3, 2, 2), np.nan, np.float32)
+        u = to_uint8(x)
+        assert np.isfinite(u).all()
+
+    def test_grid_geometry(self, tmp_path):
+        from PIL import Image
+
+        x = np.random.default_rng(0).normal(size=(5, 3, 8, 8)).astype(np.float32)
+        path = str(tmp_path / "g.png")
+        save_image_grid(x, path, nrow=2)
+        img = Image.open(path)
+        # 2 cols x 3 rows of 8x8 with 2px padding
+        assert img.size == (2 * 8 + 3 * 2, 3 * 8 + 4 * 2)
+
+
+class TestConfigRoundTrip:
+    def test_yaml_to_config(self, tmp_path):
+        from mapdit_tpu.utils.experiment import (
+            config_from_args,
+            load_config,
+            save_config,
+        )
+
+        args = {
+            "model": "DiT-S/4",
+            "num_classes": 17,
+            "in_channels": 4,
+            "input_size": 16,
+            "modulation": "rotation",
+            "use_mp_silu": False,
+            "compute_dtype": "bfloat16",
+            "unrelated_training_field": 123,
+        }
+        save_config(str(tmp_path), args)
+        cfg = config_from_args(load_config(str(tmp_path)))
+        assert cfg.depth == 12 and cfg.patch_size == 4
+        assert cfg.num_classes == 17 and cfg.modulation == "rotation"
+        assert cfg.use_mp_silu is False and cfg.compute_dtype == "bfloat16"
+
+
+class TestClassNames:
+    def test_fallback(self):
+        from mapdit_tpu.utils.class_names import class_name
+
+        assert class_name(3) in ("class 3",) or isinstance(class_name(3), str)
