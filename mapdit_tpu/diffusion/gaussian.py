@@ -358,6 +358,7 @@ class GaussianDiffusion:
         rng: Array,
         clip_denoised: bool = True,
         model_kwargs=None,
+        noise_fn=None,
     ) -> Array:
         """DDPM chain specialized for the default EPSILON+LEARNED_RANGE mode.
 
@@ -371,6 +372,7 @@ class GaussianDiffusion:
         n = noise.shape[0]
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
         coefs = (
+            ts,
             self.timestep_map[ts].astype(jnp.float32),
             self.sqrt_recip_alphas_cumprod[ts],
             self.sqrt_recipm1_alphas_cumprod[ts],
@@ -383,7 +385,7 @@ class GaussianDiffusion:
 
         def body(carry, c):
             x, key = carry
-            model_t, sra, srm1, pc1, pc2, min_log, max_log, nonzero = c
+            t_idx, model_t, sra, srm1, pc1, pc2, min_log, max_log, nonzero = c
             key, step_key = jax.random.split(key)
             out = model_fn(x, jnp.full((n,), model_t), **(model_kwargs or {}))
             eps_hat, var_values = jnp.split(out, 2, axis=1)
@@ -393,7 +395,11 @@ class GaussianDiffusion:
             if clip_denoised:
                 pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
             mean = pc1 * pred_xstart + pc2 * x
-            step_noise = jax.random.normal(step_key, x.shape, x.dtype)
+            if noise_fn is not None:
+                # compressed timestep indices, matching p_sample's hook
+                step_noise = noise_fn(jnp.full((n,), t_idx), x.shape).astype(x.dtype)
+            else:
+                step_noise = jax.random.normal(step_key, x.shape, x.dtype)
             x = mean + nonzero * jnp.exp(0.5 * log_variance) * step_noise
             return (x, key), None
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 from mapdit_tpu.models.config import DiTConfig
 from mapdit_tpu.models.dit import DiT
@@ -88,6 +89,14 @@ def build_shared_sample_fn(
         and diffusion.mean_type == gd.EPSILON
         and diffusion.var_type == gd.LEARNED_RANGE
     )
+    # CFG half-batch chain: the reference (and our legacy path) evolves 2N
+    # latents where the second half is re-derived from the first every step
+    # and discarded at the end (src/dit.py:107-118). Evolving N latents with
+    # the cond/uncond duplication inside the model call does strictly less
+    # sampler-side work with identical math (the discarded half never feeds
+    # back). The caller still passes the reference-shaped [z; z], [y; null]
+    # batch and receives a 2N result ([:n] slice is unchanged).
+    half_cfg_chain = cfg_scale is not None
 
     def prepare(variables: Dict) -> Dict:
         if fold and cfg.use_weight_normalization:
@@ -100,21 +109,46 @@ def build_shared_sample_fn(
     def sample_fn(variables: Dict, noise: Array, y: Array, rng: Array) -> Array:
         if cfg_scale is None:
             model_fn = lambda x, t, y: model.apply(variables, x, t, y)
+            chain_noise, chain_y = noise, y
         else:
-            model_fn = lambda x, t, y: model.apply(
-                variables, x, t, y, cfg_scale, method=DiT.forward_with_cfg
-            )
+            n_half = noise.shape[0] // 2
+            chain_noise = noise[:n_half]
+            y_full = y  # [cond labels; null labels], length 2N
+
+            def model_fn(x_half, t, y):
+                # duplicate to [cond; uncond] inside the call; t broadcast
+                t2 = jnp.concatenate([t, t])
+                out = model.apply(
+                    variables,
+                    jnp.concatenate([x_half, x_half], axis=0),
+                    t2,
+                    y_full,
+                    cfg_scale,
+                    method=DiT.forward_with_cfg,
+                )
+                return out[:n_half]
+
+            chain_y = y[:n_half]
+
         if sampler == "ddim":
-            return diffusion.ddim_sample_loop(
-                model_fn, noise, rng, clip_denoised=False, model_kwargs={"y": y}, eta=eta
+            x = diffusion.ddim_sample_loop(
+                model_fn, chain_noise, rng, clip_denoised=False,
+                model_kwargs={"y": chain_y}, eta=eta,
             )
-        if use_fast:
-            return diffusion.p_sample_loop_fast(
-                model_fn, noise, rng, clip_denoised=False, model_kwargs={"y": y}
+        elif use_fast:
+            x = diffusion.p_sample_loop_fast(
+                model_fn, chain_noise, rng, clip_denoised=False,
+                model_kwargs={"y": chain_y},
             )
-        return diffusion.p_sample_loop(
-            model_fn, noise, rng, clip_denoised=False, model_kwargs={"y": y}
-        )
+        else:
+            x = diffusion.p_sample_loop(
+                model_fn, chain_noise, rng, clip_denoised=False,
+                model_kwargs={"y": chain_y},
+            )
+        if half_cfg_chain:
+            # preserve the reference-shaped 2N output contract
+            x = jnp.concatenate([x, x], axis=0)
+        return x
 
     return prepare, sample_fn
 

@@ -404,3 +404,65 @@ class TestDDIMReverse:
             [-0.5 * math.log(2 * math.pi), -0.5 - 0.5 * math.log(2 * math.pi)],
             rtol=1e-6,
         )
+
+
+class TestHalfBatchCFGChain:
+    """The CFG half-batch chain must equal the legacy 2N chain's first half
+    exactly when step noise is per-sample-identical (injected)."""
+
+    def test_half_chain_matches_legacy_first_half(self):
+        import functools
+
+        from mapdit_tpu.models import build_config, init_model
+        from mapdit_tpu.models.dit import DiT
+        from mapdit_tpu.runtime import build_shared_sample_fn
+
+        cfg = build_config("DiT-XS/8", in_channels=4, input_size=16, num_classes=10)
+        model, variables = init_model(cfg, seed=0)
+        d = create_diffusion("4")
+        n = 2
+
+        z = jax.random.normal(jax.random.PRNGKey(0), (n, 4, 16, 16))
+        z2 = jnp.concatenate([z, z], axis=0)
+        y2 = jnp.concatenate(
+            [jnp.array([1, 2], jnp.int32), jnp.full((n,), 10, jnp.int32)]
+        )
+
+        def det_noise(t, shape):
+            # identical pattern per sample (broadcast over batch)
+            per = jnp.cos(
+                jnp.arange(int(np.prod(shape[1:])), dtype=jnp.float32).reshape(
+                    (1,) + shape[1:]
+                )
+                * 0.01
+                + t[0]
+            )
+            return jnp.broadcast_to(per, shape)
+
+        # legacy 2N chain via the general sampler + explicit CFG model_fn
+        def legacy_model_fn(x, t, y):
+            return model.apply(variables, x, t, y, 4.0, method=DiT.forward_with_cfg)
+
+        legacy = d.p_sample_loop(
+            legacy_model_fn, z2, jax.random.PRNGKey(1), clip_denoised=True,
+            model_kwargs={"y": y2}, noise_fn=det_noise,
+        )
+
+        # half-batch chain (fast path) with the same injected noise
+        prepare, _ = build_shared_sample_fn(cfg, d, cfg_scale=4.0, fold=False)
+        pv = prepare(variables)
+
+        def half_model_fn(xh, t, y):
+            out = model.apply(
+                pv, jnp.concatenate([xh, xh]), jnp.concatenate([t, t]), y2, 4.0,
+                method=DiT.forward_with_cfg,
+            )
+            return out[:n]
+
+        half = d.p_sample_loop_fast(
+            half_model_fn, z, jax.random.PRNGKey(1), clip_denoised=True,
+            model_kwargs={"y": y2[:n]}, noise_fn=det_noise,
+        )
+        np.testing.assert_allclose(
+            np.asarray(legacy[:n]), np.asarray(half), rtol=1e-5, atol=1e-5
+        )
