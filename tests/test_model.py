@@ -318,3 +318,34 @@ class TestTorchExport:
             ref_vars["params"],
             back["params"],
         )
+
+
+class TestPerBlockMagnitude:
+    def test_activation_rms_stable_through_depth(self):
+        """The reference's commented-out per-block magnitude probe
+        (src/dit.py:91-92) as a real test: with projected weights, the
+        residual stream's RMS stays bounded through all blocks at init."""
+        from mapdit_tpu.models.blocks import DiTBlock, LabelEmbedder, TimestepEmbedder
+        from mapdit_tpu.ops.mp import magnitude, mp_sum
+
+        cfg = build_config("DiT-S/2", in_channels=4, input_size=16, num_classes=10)
+        _, variables = init_model(cfg, seed=0)
+        params = project_weights(variables["params"], cfg)
+
+        t_emb = TimestepEmbedder(cfg).apply(
+            {"params": params["t_embedder"], "constants": variables["constants"]["t_embedder"]},
+            jnp.full((4,), 500.0),
+        )
+        y_emb = LabelEmbedder(cfg).apply(
+            {"params": params["y_embedder"]}, jnp.ones((4,), jnp.int32), False
+        )
+        c = mp_sum(t_emb, y_emb, t=0.5)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 384))
+        mags = []
+        for i in range(cfg.depth):
+            x = DiTBlock(cfg).apply({"params": params[f"blocks_{i}"]}, x, c)
+            mags.append(float(magnitude(x)))
+        # the reference decays the same way at init (measured: 0.93 -> 0.46
+        # over 12 blocks at DiT-S/2) — bounded decay, no blow-up/collapse
+        assert all(0.2 < m < 2.5 for m in mags), mags
+        assert mags[0] > mags[-1] > 0.2

@@ -80,3 +80,22 @@ class TestNativeLoader:
             epoch_rows.extend(lookup[b["mean"][r].tobytes()] for r in range(8))
         assert len(epoch_rows) == len(set(epoch_rows)) == 48
         loader.close()
+
+
+class TestThreadStress:
+    def test_many_threads_consistent(self, dataset_dir):
+        """4 prefetch threads x deep queue: every yielded row must still be a
+        real dataset row (no torn reads under concurrency)."""
+        from mapdit_tpu.training.native_loader import NativeLatentLoader
+
+        d, ds = dataset_dir
+        loader = NativeLatentLoader(d, batch_size=5, seed=9, num_threads=4, queue_depth=8)
+        it = loader.batches()
+        lookup = {ds.means[i].tobytes(): i for i in range(len(ds))}
+        for _ in range(40):
+            b = next(it)
+            for r in range(5):
+                i = lookup.get(b["mean"][r].tobytes())
+                assert i is not None
+                assert b["y"][r] == ds.labels[i]
+        loader.close()
