@@ -108,8 +108,9 @@ def main(args):
 
     schedule = warmup_flat_invsqrt(args.lr, num_lin_warmup, start_decay)
     tx = create_optimizer(schedule, grad_clip=args.grad_clip)
+    ema_stds = tuple(args.ema_stds)
     state = create_train_state(
-        cfg, tx, seed=args.seed, ema_stds=tuple(EMA_STDS),
+        cfg, tx, seed=args.seed, ema_stds=ema_stds,
         timestep_sampler=args.timestep_sampler,
         num_timesteps=diffusion.num_timesteps,
     )
@@ -138,7 +139,7 @@ def main(args):
         tx,
         stats_mean=jnp.asarray(dataset.stats["mean"]),
         stats_std=jnp.asarray(dataset.stats["std"]),
-        ema_stds=tuple(EMA_STDS),
+        ema_stds=ema_stds,
         timestep_sampler=args.timestep_sampler,
     )
     step_fn = jax.jit(step_fn, donate_argnums=0)
@@ -225,7 +226,7 @@ def main(args):
                 and train_steps > 0
             ):
                 ema_dir = os.path.join(exp_dir, "ema")
-                for std in EMA_STDS:
+                for std in ema_stds:
                     ema_lib.save_snapshot(ema_dir, std, train_steps, state.ema[ema_key(std)])
                 logger.info(f"saving ema snapshot to {ema_dir} at step {train_steps}...")
 
@@ -263,6 +264,8 @@ if __name__ == "__main__":
 
     # EMA
     parser.add_argument("--ema-snapshot-every", type=int, default=None)
+    parser.add_argument("--ema-stds", type=float, nargs="*", default=list(EMA_STDS),
+                        help="tracked power-EMA stds (reference: 0.05 0.1)")
 
     # MaP feature flags (README.md:57-66; all default ON = reference behavior)
     flag = lambda name: parser.add_argument(
