@@ -121,10 +121,10 @@ def main():
     sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=1.5, fold=True)
 
     n = args.batch
-    key = jax.random.PRNGKey(0)
-    z = jax.random.normal(key, (2 * n, 4, 16, 16))
+    z_key, y_key = jax.random.split(jax.random.PRNGKey(0))
+    z = jax.random.normal(z_key, (2 * n, 4, 16, 16))
     y = jnp.concatenate(
-        [jax.random.randint(key, (n,), 0, 1000), jnp.full((n,), 1000, jnp.int32)]
+        [jax.random.randint(y_key, (n,), 0, 1000), jnp.full((n,), 1000, jnp.int32)]
     )
 
     # compile + warmup

@@ -18,8 +18,6 @@ shapes are kernel-friendly, else xla.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -35,14 +33,6 @@ def _xla_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
     # removes bf16 renormalization error from the parity budget.
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
-
-
-@functools.lru_cache(maxsize=1)
-def _tpu_available() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
 
 
 def dot_product_attention(
@@ -77,8 +67,3 @@ def dot_product_attention(
         q = normalize(q)
         k = normalize(k)
     return _xla_attention(q, k, v, scale)
-
-
-def _pallas_supported(q: Array) -> bool:
-    b, h, t, d = q.shape
-    return d <= 256 and t >= 8

@@ -50,6 +50,51 @@ def _load_stats(data_path: str) -> Dict[str, np.ndarray]:
     raise FileNotFoundError(f"stats.npz / stats.pt not found in {data_path}")
 
 
+def batch_index_stream(
+    n: int,
+    batch_size: int,
+    seed: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
+    start_step: int = 0,
+    drop_last: bool = True,
+) -> Iterator[np.ndarray]:
+    """Infinite stream of per-process batch index arrays.
+
+    Multi-host contract: ``batch_size`` is the GLOBAL batch. Every process
+    draws the *same* epoch permutation (shared ``seed``) and owns rows
+    ``[p*local : (p+1)*local]`` of each global batch — so the union of the
+    per-process slices at any step is exactly one global batch (no
+    duplication, full coverage), the distributed-sampler pattern. Local
+    slices are sorted for memmap gather locality; the global row *order*
+    is therefore a per-slice-sorted permutation of the single-process
+    stream's, which is semantically irrelevant (rows are exchangeable
+    within a step).
+
+    ``start_step`` deterministically fast-forwards the stream (data-cursor
+    resume): epoch permutations are re-drawn and the cursor placed
+    mid-epoch, so a resumed run continues the exact shuffle sequence
+    instead of restarting from epoch 0.
+    """
+    assert batch_size % process_count == 0, (batch_size, process_count)
+    assert 0 <= process_index < process_count
+    local = batch_size // process_count
+    lo, hi = process_index * local, (process_index + 1) * local
+    rng = np.random.default_rng(seed)
+    steps_per_epoch = n // batch_size if drop_last else -(-n // batch_size)
+    assert steps_per_epoch > 0, f"batch_size {batch_size} > dataset size {n}"
+    # fast-forward: skip whole epochs by redrawing permutations
+    for _ in range(start_step // steps_per_epoch):
+        rng.permutation(n)
+    step_in_epoch = start_step % steps_per_epoch
+    while True:
+        perm = rng.permutation(n)
+        end = n - (n % batch_size) if drop_last else n
+        for i in range(step_in_epoch * batch_size, end, batch_size):
+            yield np.sort(perm[i : i + batch_size][lo:hi])
+        step_in_epoch = 0
+
+
 class LatentDataset:
     """VAE-posterior latent dataset (reference `CustomDataset`, train.py:144-176)."""
 
@@ -72,25 +117,33 @@ class LatentDataset:
         return self.means.shape[0]
 
     def batches(
-        self, batch_size: int, seed: int = 0, drop_last: bool = True
+        self,
+        batch_size: int,
+        seed: int = 0,
+        drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+        start_step: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite epoch-shuffled batch stream of posterior params.
 
-        Gather is a contiguous fancy-index on the memmap — cheap at latent
-        sizes (batch 256 x 4x16x16 f32 = 1 MiB/step).
+        ``batch_size`` is the global batch; with ``process_count > 1`` each
+        process yields its disjoint ``batch_size // process_count``-row slice
+        of every global batch (see `batch_index_stream`). Gather is a
+        contiguous fancy-index on the memmap — cheap at latent sizes
+        (batch 256 x 4x16x16 f32 = 1 MiB/step).
         """
-        rng = np.random.default_rng(seed)
-        n = len(self)
-        while True:
-            perm = rng.permutation(n)
-            end = n - (n % batch_size) if drop_last else n
-            for i in range(0, end, batch_size):
-                idx = np.sort(perm[i : i + batch_size])
-                yield {
-                    "mean": np.ascontiguousarray(self.means[idx], dtype=np.float32),
-                    "std": np.ascontiguousarray(self.stds[idx], dtype=np.float32),
-                    "y": self.labels[idx].astype(np.int32),
-                }
+        stream = batch_index_stream(
+            len(self), batch_size, seed,
+            process_index=process_index, process_count=process_count,
+            start_step=start_step, drop_last=drop_last,
+        )
+        for idx in stream:
+            yield {
+                "mean": np.ascontiguousarray(self.means[idx], dtype=np.float32),
+                "std": np.ascontiguousarray(self.stds[idx], dtype=np.float32),
+                "y": self.labels[idx].astype(np.int32),
+            }
 
 
 class SyntheticLatentDataset(LatentDataset):

@@ -26,7 +26,7 @@ def _load_lib():
     if _lib is None and os.path.exists(_LIB_PATH):
         lib = ctypes.CDLL(_LIB_PATH)
         lib.ll_open.restype = ctypes.c_void_p
-        lib.ll_open.argtypes = [ctypes.c_char_p] + [ctypes.c_uint64] * 4
+        lib.ll_open.argtypes = [ctypes.c_char_p] + [ctypes.c_uint64] * 7
         lib.ll_next.restype = ctypes.c_int
         lib.ll_next.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
         lib.ll_feature_size.restype = ctypes.c_uint64
@@ -56,16 +56,25 @@ class NativeLatentLoader:
         queue_depth: int = 4,
         num_threads: int = 2,
         shape=None,
+        process_index: int = 0,
+        process_count: int = 1,
+        start_step: int = 0,
     ):
+        """``batch_size`` is the GLOBAL batch; each loader instance yields the
+        disjoint ``batch_size // process_count`` rows its process owns (shared
+        permutation seed across processes — see `data.batch_index_stream`).
+        ``start_step`` fast-forwards the shuffle stream for data-cursor
+        resume."""
         lib = _load_lib()
         assert lib is not None, "native loader not built (tools/build_native.sh)"
         self._lib = lib
         self._handle = lib.ll_open(
-            data_path.encode(), batch_size, seed, queue_depth, num_threads
+            data_path.encode(), batch_size, seed, queue_depth, num_threads,
+            process_index, process_count, start_step,
         )
         if not self._handle:
             raise RuntimeError(f"ll_open failed for {data_path}")
-        self.batch_size = batch_size
+        self.batch_size = batch_size // process_count  # local rows per yield
         self.feat = int(lib.ll_feature_size(self._handle))
         self.num_examples = int(lib.ll_num_examples(self._handle))
         if shape is None:

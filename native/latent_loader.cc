@@ -11,6 +11,7 @@
 //
 // Build: tools/build_native.sh  (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -134,7 +135,9 @@ struct Batch {
 
 struct Loader {
   NpyArray means, stds, labels;
-  size_t batch_size = 0;
+  size_t batch_size = 0;  // GLOBAL batch (permutation stride)
+  size_t local_b = 0;     // rows this process owns per global batch
+  size_t proc_lo = 0;     // first owned row within each global batch
   size_t n = 0;
   size_t feat = 0;
 
@@ -163,12 +166,17 @@ struct Loader {
     cursor = 0;
   }
 
-  // take batch_size indices, reshuffling per epoch (drop_last semantics)
+  // Take this process's slice of the next global batch, reshuffling per
+  // epoch (drop_last semantics). All processes seed the same permutation
+  // stream and own disjoint row ranges of every global batch — exact
+  // coverage, no duplication (the distributed-sampler pattern).
   std::vector<uint32_t> next_indices() {
     std::lock_guard<std::mutex> g(perm_mu);
     if (cursor + batch_size > n) refill_perm();
-    std::vector<uint32_t> idx(perm.begin() + cursor, perm.begin() + cursor + batch_size);
+    auto lo = perm.begin() + cursor + proc_lo;
+    std::vector<uint32_t> idx(lo, lo + local_b);
     cursor += batch_size;
+    std::sort(idx.begin(), idx.end());  // mmap gather locality
     return idx;
   }
 
@@ -180,9 +188,9 @@ struct Loader {
   }
 
   void gather(const std::vector<uint32_t>& idx, Batch* b) {
-    b->mean.resize(batch_size * feat);
-    b->std.resize(batch_size * feat);
-    b->labels.resize(batch_size);
+    b->mean.resize(local_b * feat);
+    b->std.resize(local_b * feat);
+    b->labels.resize(local_b);
     const float* mp = reinterpret_cast<const float*>(means.data);
     const float* sp = reinterpret_cast<const float*>(stds.data);
     for (size_t r = 0; r < idx.size(); ++r) {
@@ -217,26 +225,39 @@ struct Loader {
 
 extern "C" {
 
+// batch_size is the GLOBAL batch; the loader yields the
+// batch_size/process_count rows owned by process_index. start_step
+// deterministically fast-forwards the shuffle stream (data-cursor resume).
 void* ll_open(const char* dir, uint64_t batch_size, uint64_t seed,
-              uint64_t queue_depth, uint64_t num_threads) {
+              uint64_t queue_depth, uint64_t num_threads,
+              uint64_t process_index, uint64_t process_count,
+              uint64_t start_step) {
   auto* ld = new Loader();
   std::string d(dir);
+  if (process_count == 0) process_count = 1;
   if (!npy_open(d + "/posterior_means.npy", &ld->means) ||
       !npy_open(d + "/posterior_stds.npy", &ld->stds) ||
       !npy_open(d + "/labels.npy", &ld->labels) ||
       ld->means.kind != 'f' || ld->means.elem_size != 4 ||
       ld->stds.kind != 'f' || ld->stds.elem_size != 4 ||
       ld->means.rows != ld->stds.rows || ld->means.rows != ld->labels.rows ||
-      batch_size == 0 || ld->means.rows < batch_size) {
+      batch_size == 0 || ld->means.rows < batch_size ||
+      batch_size % process_count != 0 || process_index >= process_count) {
     delete ld;
     return nullptr;
   }
   ld->batch_size = batch_size;
+  ld->local_b = batch_size / process_count;
+  ld->proc_lo = process_index * ld->local_b;
   ld->n = ld->means.rows;
   ld->feat = ld->means.row_elems;
   ld->queue_depth = queue_depth ? queue_depth : 4;
   ld->rng.seed(seed);
-  ld->refill_perm();
+  // A fresh loader at epoch k has applied refill_perm k+1 times; replay
+  // that count, then place the cursor mid-epoch.
+  size_t steps_per_epoch = ld->n / batch_size;
+  for (uint64_t e = 0; e <= start_step / steps_per_epoch; ++e) ld->refill_perm();
+  ld->cursor = (start_step % steps_per_epoch) * batch_size;
   uint64_t threads = num_threads ? num_threads : 1;
   for (uint64_t i = 0; i < threads; ++i)
     ld->workers.emplace_back([ld] { ld->worker_loop(); });
@@ -252,7 +273,8 @@ uint64_t ll_num_examples(void* handle) {
 }
 
 // Blocks until a prefetched batch is available, then copies into the
-// caller's buffers (mean/std: batch*feat floats; labels: batch int32).
+// caller's buffers (mean/std: local_b*feat floats; labels: local_b int32,
+// where local_b = batch_size / process_count).
 int ll_next(void* handle, float* mean_out, float* std_out, int32_t* labels_out) {
   auto* ld = static_cast<Loader*>(handle);
   Batch b;

@@ -102,6 +102,54 @@ class TestTrainCLI:
         ).read()
 
 
+class TestOrbaxCheckpointer:
+    """--checkpointer orbax routes periodic saves through the orbax backend
+    (directory checkpoints) and --resume restores from them cross-backend."""
+
+    def test_orbax_train_and_resume(self, tmp_path):
+        results = str(tmp_path / "results")
+        run(
+            "train.py",
+            "--data-path", "synthetic:32",
+            "--results-dir", results,
+            "--model", "DiT-XS/8",
+            "--num-classes", "10",
+            "--num-steps", "6",
+            "--batch-size", "8",
+            "--log-every", "3",
+            "--ckpt-every", "3",
+            "--ema-snapshot-every", "0",
+            "--num-lin-warmup", "2",
+            "--start-decay", "5",
+            "--checkpointer", "orbax",
+        )
+        exp = os.path.join(results, os.listdir(results)[0])
+        ckpts = sorted(os.listdir(os.path.join(exp, "checkpoints")))
+        assert "0000003.orbax" in ckpts and "0000006.orbax" in ckpts, ckpts
+        assert os.path.isdir(os.path.join(exp, "checkpoints", "0000006.orbax"))
+        assert not any(c.endswith(".msgpack") for c in ckpts), ckpts
+
+        # Cross-backend resume: default (msgpack) run restores the orbax dir.
+        resumed = str(tmp_path / "resumed")
+        run(
+            "train.py",
+            "--data-path", "synthetic:32",
+            "--results-dir", resumed,
+            "--model", "DiT-XS/8",
+            "--num-classes", "10",
+            "--num-steps", "8",
+            "--batch-size", "8",
+            "--log-every", "2",
+            "--ckpt-every", "100",
+            "--ema-snapshot-every", "0",
+            "--resume", exp,
+        )
+        log = open(
+            os.path.join(resumed, os.listdir(resumed)[0], "log.txt")
+        ).read()
+        assert "resumed from" in log and "0000006.orbax" in log
+
+
 class TestVanillaFamily:
     """BASELINE config 1: vanilla DiT (adaLN + LayerNorm, all MP flags off)
     trains and samples through the same CLI."""

@@ -1,0 +1,72 @@
+"""Real 2-process data-parallel training on CPU (SURVEY.md §4.5 extended):
+brings up `jax.distributed` with an explicit coordinator, feeds disjoint
+per-process batch slices (shared-shuffle partition, tests/test_data.py),
+assembles global batches via `make_array_from_process_local_data`, and
+writes artifacts only on process 0."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_train(tmp_path):
+    results = str(tmp_path / "results")
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""  # skip axon registration
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["MAPDIT_COORDINATOR"] = f"localhost:{port}"
+        env["MAPDIT_NUM_PROCESSES"] = "2"
+        env["MAPDIT_PROCESS_ID"] = str(pid)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, os.path.join(REPO, "train.py"),
+                    "--data-path", "synthetic:64",
+                    "--results-dir", results,
+                    "--model", "DiT-XS/8",
+                    "--num-classes", "10",
+                    "--num-steps", "6",
+                    "--batch-size", "16",
+                    "--log-every", "3",
+                    "--ckpt-every", "6",
+                    "--ema-snapshot-every", "3",
+                    "--num-lin-warmup", "2",
+                    "--start-decay", "5",
+                    "--multihost", "true",
+                ],
+                cwd=REPO, env=env, text=True,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), "\n\n".join(outs)
+
+    # Only process 0 created an experiment directory and wrote artifacts.
+    exps = os.listdir(results)
+    assert len(exps) == 1, exps
+    exp = os.path.join(results, exps[0])
+    log = open(os.path.join(exp, "log.txt")).read()
+    assert "devices: 2x" in log  # both processes joined the mesh
+    assert "train loss:" in log
+    assert os.path.exists(os.path.join(exp, "checkpoints", "0000006.msgpack"))
+    snaps = os.listdir(os.path.join(exp, "ema"))
+    assert len(snaps) == 4, snaps  # 2 stds x steps {3, 6}, written once

@@ -82,6 +82,54 @@ class TestNativeLoader:
         loader.close()
 
 
+class TestMultiProcessPartition:
+    def test_disjoint_slices_cover_global_batch(self, dataset_dir):
+        """Two loader instances with the same seed and process_index 0/1 must
+        together yield exactly the rows a single-process loader yields per
+        step (shared permutation, disjoint slices) — the multi-host feeding
+        contract."""
+        from mapdit_tpu.training.native_loader import NativeLatentLoader
+
+        d, ds = dataset_dir
+        mk = lambda p, pc: NativeLatentLoader(
+            d, batch_size=10, seed=21, num_threads=1,
+            process_index=p, process_count=pc,
+        )
+        p0, p1, ref = mk(0, 2), mk(1, 2), mk(0, 1)
+        its = [ld.batches() for ld in (p0, p1, ref)]
+        rows = lambda a: sorted(a[i].tobytes() for i in range(a.shape[0]))
+        for _ in range(10):  # 2 epochs of 5 batches
+            b0, b1, g = (next(it) for it in its)
+            assert b0["mean"].shape[0] == b1["mean"].shape[0] == 5
+            got = np.concatenate([b0["mean"], b1["mean"]])
+            assert rows(got) == rows(g["mean"])
+            assert len(set(rows(got))) == 10  # disjoint
+        for ld in (p0, p1, ref):
+            ld.close()
+
+    def test_start_step_fast_forward(self, dataset_dir):
+        """start_step=k reproduces the stream after consuming k batches —
+        mid-epoch and across the epoch boundary (5 steps/epoch at batch 10)."""
+        from mapdit_tpu.training.native_loader import NativeLatentLoader
+
+        d, ds = dataset_dir
+        for k in (2, 7):
+            fresh = NativeLatentLoader(d, batch_size=10, seed=31, num_threads=1)
+            it = fresh.batches()
+            for _ in range(k):
+                next(it)
+            resumed = NativeLatentLoader(
+                d, batch_size=10, seed=31, num_threads=1, start_step=k
+            )
+            rit = resumed.batches()
+            for _ in range(4):
+                a, b = next(it), next(rit)
+                for key in ("mean", "std", "y"):
+                    np.testing.assert_array_equal(a[key], b[key])
+            fresh.close()
+            resumed.close()
+
+
 class TestThreadStress:
     def test_many_threads_consistent(self, dataset_dir):
         """4 prefetch threads x deep queue: every yielded row must still be a

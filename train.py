@@ -71,15 +71,28 @@ def main(args):
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     if args.multihost:
         # Multi-host: one process per host, ICI within a slice. Each process
-        # feeds its local shard of the global batch (disjoint seeds) and only
-        # process 0 writes logs/checkpoints/snapshots.
-        jax.distributed.initialize()
+        # feeds its disjoint slice of every global batch (shared shuffle
+        # seed, distributed-sampler partition) and only process 0 writes
+        # logs/checkpoints/snapshots. Cluster auto-detection covers TPU
+        # pods; the MAPDIT_* env vars allow explicit bring-up (used by the
+        # 2-process CPU test in tests/test_multiprocess.py).
+        init_kw = {}
+        if os.environ.get("MAPDIT_COORDINATOR"):
+            init_kw = dict(
+                coordinator_address=os.environ["MAPDIT_COORDINATOR"],
+                num_processes=int(os.environ["MAPDIT_NUM_PROCESSES"]),
+                process_id=int(os.environ["MAPDIT_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**init_kw)
     devices = jax.devices()
     mesh = make_mesh(n_model=args.n_model)
     n_data = mesh.shape["data"]
 
-    exp_dir = setup_experiment(args.model, args.results_dir)
-    logger = create_logger(exp_dir, verbose=args.verbose)
+    # Only process 0 owns the experiment directory: logs, config.yaml,
+    # checkpoints and EMA snapshots are written once, not per host.
+    is_lead = jax.process_index() == 0
+    exp_dir = setup_experiment(args.model, args.results_dir) if is_lead else None
+    logger = create_logger(exp_dir, verbose=args.verbose if is_lead else 0)
     logger.info(f"devices: {len(devices)}x {devices[0].device_kind}; mesh data={n_data} model={args.n_model}")
     logger.info(f"experiment directory created at {exp_dir}")
 
@@ -95,7 +108,8 @@ def main(args):
     args.input_size = dataset.data_size
     args.stats_std = [float(x) for x in dataset.stats["std"]]
     args.stats_mean = [float(x) for x in dataset.stats["mean"]]
-    save_config(exp_dir, vars(args))
+    if is_lead:
+        save_config(exp_dir, vars(args))
 
     diffusion = create_diffusion(timestep_respacing="")
     cfg = config_from_args(vars(args))
@@ -128,10 +142,11 @@ def main(args):
 
     # Persist non-trainable constants (MPFourier buffers) once — sampling
     # from EMA snapshots alone must not depend on a full checkpoint existing.
-    from flax import serialization as _ser
+    if is_lead:
+        from flax import serialization as _ser
 
-    with open(os.path.join(exp_dir, "constants.msgpack"), "wb") as f:
-        f.write(_ser.to_bytes(jax.device_get(state.constants)))
+        with open(os.path.join(exp_dir, "constants.msgpack"), "wb") as f:
+            f.write(_ser.to_bytes(jax.device_get(state.constants)))
 
     step_fn = make_train_step(
         cfg,
@@ -152,10 +167,17 @@ def main(args):
     )
     b_shard = batch_sharding(mesh)
 
+    # --batch-size is the GLOBAL batch. Every process draws the same epoch
+    # permutation (shared seed) and feeds its disjoint batch_size/process_count
+    # row slice of each global batch; make_array_from_process_local_data
+    # assembles the slices into the sharded global array. start_step resumes
+    # the shuffle stream at the checkpointed cursor instead of epoch 0.
     assert args.batch_size % n_data == 0, "batch size must divide the data axis"
     assert args.batch_size % jax.process_count() == 0, (
         "batch size must divide the process count (multi-host)"
     )
+    proc_idx, proc_cnt = jax.process_index(), jax.process_count()
+    data_start_step = int(state.step)
     from mapdit_tpu.training.native_loader import NativeLatentLoader
 
     if not args.data_path.startswith("synthetic") and NativeLatentLoader.available(
@@ -166,11 +188,17 @@ def main(args):
         native = NativeLatentLoader(
             args.data_path, args.batch_size, seed=args.seed,
             num_threads=max(2, args.num_workers),
+            process_index=proc_idx, process_count=proc_cnt,
+            start_step=data_start_step,
         )
         batches = native.batches()
         logger.info("using native latent loader (prefetch threads)")
     else:
-        batches = dataset.batches(batch_size=args.batch_size, seed=args.seed)
+        batches = dataset.batches(
+            batch_size=args.batch_size, seed=args.seed,
+            process_index=proc_idx, process_count=proc_cnt,
+            start_step=data_start_step,
+        )
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
@@ -208,7 +236,8 @@ def main(args):
                     f"train steps/sec: {steps_per_sec:.2f}"
                 )
                 loss_buf = []
-                stats = devices[0].memory_stats() or {}
+                # local_devices: devices[0] may belong to another process
+                stats = jax.local_devices()[0].memory_stats() or {}
                 if stats:
                     logger.debug(
                         f"(memory) current={stats.get('bytes_in_use', 0)/1e9:.2f}GB, "
@@ -216,12 +245,14 @@ def main(args):
                     )
                 log_steps, start_time = 0, time.time()
 
-            if train_steps % args.ckpt_every == 0 and train_steps > 0:
-                path = save_state(exp_dir, train_steps, state)
+            if is_lead and train_steps % args.ckpt_every == 0 and train_steps > 0:
+                save_fn = save_state_orbax if args.checkpointer == "orbax" else save_state
+                path = save_fn(exp_dir, train_steps, state)
                 logger.info(f"saving checkpoint to {path} at step {train_steps}...")
 
             if (
-                args.ema_snapshot_every
+                is_lead
+                and args.ema_snapshot_every
                 and train_steps % args.ema_snapshot_every == 0
                 and train_steps > 0
             ):
