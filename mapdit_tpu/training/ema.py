@@ -129,10 +129,13 @@ def save_snapshot(ema_dir: str, std: float, step: int, params) -> str:
     return path
 
 
-_SNAP_RE = re.compile(r"^([0-9]*\.[0-9]+)_(\d+)\.npz$")
+_SNAP_RE = re.compile(r"^([0-9]*\.[0-9]+)_(\d+)\.(npz|pt)$")
 
 
 def list_snapshots(ema_dir: str) -> List[Tuple[float, int, str]]:
+    """Ledger scan: native ``.npz`` snapshots and reference ``.pt`` ones
+    (`src/ema.py:142-155` filename format) are both recognized, so a
+    reference training run is post-hoc-sampleable in place."""
     out = []
     for f in sorted(os.listdir(ema_dir)):
         m = _SNAP_RE.match(f)
@@ -142,6 +145,19 @@ def list_snapshots(ema_dir: str) -> List[Tuple[float, int, str]]:
 
 
 def load_snapshot(path: str) -> dict:
+    """Load one snapshot as a params pytree. ``.pt`` entries are reference
+    ledger files ``{std, t, state_dict}`` (`src/ema.py:142-155`, fp16,
+    torch.compile-prefixed keys) mapped through the torch-import renamer."""
+    if path.endswith(".pt"):
+        import torch
+
+        from mapdit_tpu.utils.torch_import import variables_from_torch_state_dict
+
+        d = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: np.asarray(v) for k, v in d["state_dict"].items()}
+        return jax.tree_util.tree_map(
+            np.asarray, variables_from_torch_state_dict(sd)["params"]
+        )
     with np.load(path) as f:
         return _unflatten({k: f[k] for k in f.files})
 

@@ -95,6 +95,38 @@ class TestEMAMath:
         assert np.isfinite(rec007["w"]).all()
         assert np.abs(rec007["w"] - np.asarray(live_007["w"])).mean() < 0.2 * scale
 
+    def test_reference_pt_ledger_ingestion(self, tmp_path):
+        """calculate_posthoc_ema reads the reference's ``ema/<std>_<step>.pt``
+        ledger in place (`src/ema.py:142-155`, fp16 torch state_dicts with
+        `_orig_mod.` prefixes): reconstruction from a torch ledger equals
+        reconstruction from the equivalent converted .npz ledger — both the
+        least-squares path (std 0.07) and the exact-match shortcut (0.05)."""
+        import os
+
+        import jax
+        import torch
+
+        g = np.load(os.path.join(os.path.dirname(__file__), "golden", "dit_xs2.npz"))
+        base = {k[3:]: np.asarray(g[k]) for k in g.files if k.startswith("sd.")}
+        pt_dir, npz_dir = str(tmp_path / "pt"), str(tmp_path / "npz")
+        os.makedirs(pt_dir)
+        ledger = [(0.05, 4, 1.0), (0.1, 4, 0.9), (0.05, 8, 1.1), (0.1, 8, 0.95)]
+        for std, step, scale in ledger:
+            sd = {
+                "_orig_mod." + k: torch.tensor(v * scale).half()
+                for k, v in base.items()
+            }
+            path = os.path.join(pt_dir, f"{std:.3f}_{step:07d}.pt")
+            torch.save({"std": std, "t": step, "state_dict": sd}, path)
+            ema_lib.save_snapshot(npz_dir, std, step, ema_lib.load_snapshot(path))
+        for out_std in (0.07, 0.05):
+            a = ema_lib.calculate_posthoc_ema(out_std, pt_dir, verbose=False)
+            b = ema_lib.calculate_posthoc_ema(out_std, npz_dir, verbose=False)
+            la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+            assert len(la) == len(lb) > 10
+            for x, y in zip(la, lb):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
 
 class TestLRSchedule:
     def test_matches_reference_lambda(self):

@@ -57,7 +57,18 @@ class TestConfigRoundTrip:
 
 
 class TestClassNames:
-    def test_fallback(self):
+    def test_vendored_table_offline_parity(self):
+        """The 1000-entry ImageNet name table ships as package data, so
+        offline prints match the reference's (`utils.py:37-1037`)."""
+        from mapdit_tpu.utils.class_names import _mapping, class_name
+
+        m = _mapping()
+        assert m is not None and len(m) == 1000
+        assert class_name(0) == "tench, Tinca tinca"
+        assert class_name(3) == "tiger shark, Galeocerdo cuvieri"
+        assert class_name(999) == "toilet tissue, toilet paper, bathroom tissue"
+
+    def test_out_of_range_fallback(self):
         from mapdit_tpu.utils.class_names import class_name
 
-        assert class_name(3) in ("class 3",) or isinstance(class_name(3), str)
+        assert class_name(1234) == "class 1234"
