@@ -260,6 +260,59 @@ def make_sampler_chains(ref, out_dir, rng):
     )
 
 
+def make_e2e_sample(ref, out_dir, rng):
+    """End-to-end sample-parity golden: the real DiT-XS/2 (same weights as
+    the dit_xs2 fixture — torch.manual_seed(0) init) driven through the
+    reference's respaced CFG p_sample chain (`sample.py:52-61` composition:
+    p_sample_loop over forward_with_cfg through SpacedDiffusion) for 10
+    steps with deterministic injected step noise. clip_denoised=True keeps
+    an untrained model's chain finite; the clip math itself is part of the
+    p_mean_variance goldens either way.
+    """
+    from diffusion import create_diffusion
+    from src.models import DIT_MODELS
+
+    torch.manual_seed(0)
+    model = DIT_MODELS["DiT-XS/2"](in_channels=4, input_size=16, num_classes=10)
+    model.eval()
+
+    n = 2
+    z = torch.tensor(rng.standard_normal((n, 4, 16, 16)), dtype=torch.float32)
+    z_cfg = torch.cat([z, z], dim=0)
+    y_cfg = torch.tensor([1, 5, 10, 10])  # [cond; null]
+    cfg_scale = 4.0
+
+    def det_noise(x, t_val):
+        idx = torch.arange(x.numel(), dtype=torch.float32).reshape(x.shape)
+        return torch.cos(idx * 0.01 + float(t_val))
+
+    d10 = create_diffusion("10")
+    wrapped = d10._wrap_model(
+        lambda x, t, **kw: model.forward_with_cfg(x, t, kw["y"], cfg_scale)
+    )
+    x = z_cfg.clone()
+    traj = []
+    with torch.no_grad():
+        # p_sample_loop internals (gd.py:490-511) with injected step noise
+        for i in reversed(range(d10.num_timesteps)):
+            t = torch.full((x.shape[0],), i, dtype=torch.long)
+            out = d10.p_mean_variance(wrapped, x, t, clip_denoised=True,
+                                      model_kwargs={"y": y_cfg})
+            nonzero = (t != 0).float().view(-1, 1, 1, 1)
+            x = out["mean"] + nonzero * torch.exp(0.5 * out["log_variance"]) * det_noise(x, i)
+            traj.append(t2n(x))
+
+    dump(
+        out_dir,
+        "e2e_sample",
+        z_cfg=t2n(z_cfg),
+        y_cfg=t2n(y_cfg),
+        cfg_scale=np.float32(cfg_scale),
+        final=t2n(x),
+        traj=np.stack(traj),
+    )
+
+
 def make_ema(ref, out_dir, rng):
     from src import ema as rema
 
@@ -364,6 +417,7 @@ def main():
     make_sampler_chains(args.reference, args.out, rng)
     make_gradient_golden(args.reference, args.out, rng)
     make_ema(args.reference, args.out, rng)
+    make_e2e_sample(args.reference, args.out, rng)
 
 
 if __name__ == "__main__":
