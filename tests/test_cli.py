@@ -238,6 +238,44 @@ class TestSampleCLI:
         # ADM evaluator format: uint8 NHWC, exactly num_samples
         assert arr.dtype == np.uint8 and arr.shape == (6, 16, 16, 4)
 
+    def test_fid_pipeline_end_to_end(self, trained_run, tmp_path):
+        """The full FID loop, weights-free: sample_fid npz -> tools/fid.py
+        stats cache -> Frechet number (random-proj extractor; the real run
+        is the same commands with --features inception once Inception
+        weights are available). Self-comparison must be ~0 and extractor
+        mismatches must be refused."""
+        run(
+            "sample_fid.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--num-samples", "16",
+            "--batch-size", "8",
+            "--num-classes", "10",
+            "--num-sampling-steps", "2",
+            "--cfg-scale", "1.5",
+            "--output-file", "fid_in.npz",
+        )
+        npz = os.path.join(trained_run, "fid_samples", "fid_in.npz")
+        stats = str(tmp_path / "ref_stats.npz")
+        run("tools/fid.py", "--make-stats", npz, "--out", stats,
+            "--features", "random-proj")
+        assert os.path.exists(stats)
+        proc = run("tools/fid.py", "--samples", npz, "--ref-stats", stats,
+                   "--features", "random-proj")
+        val = float(proc.stdout.split("FID:")[1].strip())
+        assert abs(val) < 1e-3, val  # same samples on both sides
+        # direct samples-vs-samples path
+        proc = run("tools/fid.py", "--samples", npz, "--ref-samples", npz,
+                   "--features", "random-proj")
+        assert abs(float(proc.stdout.split("FID:")[1].strip())) < 1e-3
+        # stats built with one extractor refuse comparison under another
+        bad = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "fid.py"),
+             "--samples", npz, "--ref-stats", stats, "--features", "inception"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert bad.returncode != 0 and "refusing" in bad.stderr
+
     def test_sample_ema_grid(self, trained_run, tmp_path):
         """sample_ema.py: 5-std side-by-side grid (BASELINE config 4 path)."""
         out = str(tmp_path / "ema_grid.png")

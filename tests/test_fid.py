@@ -43,3 +43,22 @@ class TestFrechet:
         mu2, s2 = fid.activation_stats(b)
         val = fid.frechet_distance(mu1, s1, mu2, s2)
         assert 0.8 < val < 1.2, val
+
+
+class TestRandomProjFeatures:
+    def test_deterministic_and_shaped(self):
+        rng = np.random.default_rng(2)
+        imgs = rng.integers(0, 256, (20, 16, 16, 4), dtype=np.uint8)
+        a = fid.random_projection_features(imgs)
+        b = fid.random_projection_features(imgs)
+        assert a.shape == (20, 64)
+        np.testing.assert_array_equal(a, b)
+
+    def test_self_fid_zero_and_shift_positive(self):
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 256, (200, 16, 16, 4), dtype=np.uint8)
+        shifted = np.clip(imgs.astype(np.int16) + 60, 0, 255).astype(np.uint8)
+        mu, s = fid.activation_stats(fid.random_projection_features(imgs))
+        mu2, s2 = fid.activation_stats(fid.random_projection_features(shifted))
+        assert abs(fid.frechet_distance(mu, s, mu, s)) < 1e-6
+        assert fid.frechet_distance(mu, s, mu2, s2) > 0.1

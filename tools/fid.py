@@ -7,9 +7,20 @@ relies on the external OpenAI evaluator. This tool closes the loop in-repo:
   python tools/fid.py --samples A.npz --ref-samples B.npz
   python tools/fid.py --make-stats A.npz --out stats.npz
 
-Feature extraction uses torchvision's InceptionV3 when its weights are
-available locally (zero-egress environments must provide a cache); the
-Frechet distance math itself is dependency-free and unit-tested
+Feature extraction (`--features`):
+  * ``inception``   — torchvision InceptionV3 pool features (2048-d), the
+                      real FID protocol; needs the weights in the local
+                      torch hub cache (zero-egress environments must
+                      provide them).
+  * ``random-proj`` — a deterministic random projection of the raw pixels
+                      (64-d). NOT a perceptual metric — it exists so the
+                      full sample_fid -> stats-cache -> Frechet pipeline
+                      can be exercised end to end without Inception
+                      weights; the moment weights land, the real run is
+                      the same commands with ``--features inception``.
+
+Stats files record which extractor produced them and comparisons refuse to
+mix extractors. The Frechet math itself is dependency-free and unit-tested
 (tests/test_fid.py).
 """
 
@@ -32,7 +43,7 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
 
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
@@ -54,7 +65,15 @@ def inception_features(images_u8: np.ndarray, batch_size: int = 64) -> np.ndarra
     Needs torchvision Inception weights in the local torch hub cache.
     """
     import torch
-    from torchvision import models, transforms
+
+    try:
+        from torchvision import models, transforms
+    except ImportError as e:
+        raise RuntimeError(
+            "--features inception needs torchvision + locally cached "
+            "InceptionV3 weights (not available in zero-egress images); "
+            "use --features random-proj to exercise the pipeline without them"
+        ) from e
 
     net = models.inception_v3(weights=models.Inception_V3_Weights.IMAGENET1K_V1)
     net.fc = torch.nn.Identity()
@@ -74,9 +93,41 @@ def inception_features(images_u8: np.ndarray, batch_size: int = 64) -> np.ndarra
     return np.concatenate(feats, axis=0)
 
 
+def random_projection_features(
+    images_u8: np.ndarray, dim: int = 64, seed: int = 0
+) -> np.ndarray:
+    """(N, H, W, C) uint8 -> (N, dim) via a fixed Gaussian random projection
+    of the centered pixels. Deterministic in (image shape, dim, seed) so
+    stats caches are reproducible. Pipeline stub, not a perceptual metric."""
+    n = images_u8.shape[0]
+    flat = images_u8.reshape(n, -1).astype(np.float32) / 127.5 - 1.0
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((flat.shape[1], dim)).astype(np.float32)
+    proj /= np.sqrt(flat.shape[1])
+    return flat @ proj
+
+
+def extract_features(images_u8: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "inception":
+        return inception_features(images_u8)
+    if kind == "random-proj":
+        return random_projection_features(images_u8)
+    raise ValueError(f"unknown feature extractor: {kind}")
+
+
 def _load_samples(path: str) -> np.ndarray:
     with np.load(path) as f:
         return f["arr_0"]
+
+
+def _load_stats(path: str, expected_kind: str):
+    with np.load(path, allow_pickle=False) as f:
+        kind = str(f["features"]) if "features" in f.files else "inception"
+        assert kind == expected_kind, (
+            f"stats file {path} was built with --features {kind}; "
+            f"refusing to compare against --features {expected_kind}"
+        )
+        return f["mu"], f["sigma"]
 
 
 def main():
@@ -86,21 +137,30 @@ def main():
     p.add_argument("--ref-stats", type=str, default=None, help="npz with mu, sigma")
     p.add_argument("--make-stats", type=str, default=None, help="samples npz -> stats")
     p.add_argument("--out", type=str, default="stats.npz")
+    p.add_argument("--features", choices=["inception", "random-proj"],
+                   default="inception",
+                   help="feature extractor; random-proj is the weights-free "
+                        "pipeline stub (see module docstring)")
     args = p.parse_args()
 
     if args.make_stats:
-        mu, sigma = activation_stats(inception_features(_load_samples(args.make_stats)))
-        np.savez(args.out, mu=mu, sigma=sigma)
+        mu, sigma = activation_stats(
+            extract_features(_load_samples(args.make_stats), args.features)
+        )
+        np.savez(args.out, mu=mu, sigma=sigma, features=args.features)
         print(f"wrote {args.out}")
         return
 
     assert args.samples and (args.ref_samples or args.ref_stats)
-    mu1, s1 = activation_stats(inception_features(_load_samples(args.samples)))
-    if args.ref_stats:
-        with np.load(args.ref_stats) as f:
-            mu2, s2 = f["mu"], f["sigma"]
+    # validate extractor compatibility before paying for feature extraction
+    ref = _load_stats(args.ref_stats, args.features) if args.ref_stats else None
+    mu1, s1 = activation_stats(extract_features(_load_samples(args.samples), args.features))
+    if ref is not None:
+        mu2, s2 = ref
     else:
-        mu2, s2 = activation_stats(inception_features(_load_samples(args.ref_samples)))
+        mu2, s2 = activation_stats(
+            extract_features(_load_samples(args.ref_samples), args.features)
+        )
     print(f"FID: {frechet_distance(mu1, s1, mu2, s2):.4f}")
 
 
