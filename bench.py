@@ -29,6 +29,31 @@ from mapdit_tpu.runtime import build_sample_fn
 TORCH_EAGER_BASELINE_STEPS_PER_SEC = 0.2042
 
 
+def _peak_flops(device_kind: str):
+    """bf16 peak FLOP/s for the MFU estimate (None if unknown)."""
+    kind = device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12
+    if "v5p" in kind or "v5" in kind:
+        return 459e12
+    if "v4" in kind:
+        return 275e12
+    return None
+
+
+def _mfu_pct(fn, example_args, chain_seconds: float):
+    """Model-FLOPs utilization: compiled-program FLOPs / wall time / peak."""
+    try:
+        comp = jax.jit(fn).lower(*example_args).compile()
+        flops = float((comp.cost_analysis() or {}).get("flops", 0.0))
+        peak = _peak_flops(jax.devices()[0].device_kind)
+        if flops > 0 and peak:
+            return round(100.0 * flops / chain_seconds / peak, 2)
+    except Exception:
+        pass
+    return None
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: repeated invocations (benchmarks,
     sampling sweeps, resumed runs) skip the multi-minute first compile."""
@@ -95,12 +120,18 @@ def main():
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--model", default="DiT-S/2")
-    p.add_argument("--attention-impl", choices=["auto", "xla", "pallas"], default="auto")
+    p.add_argument("--attention-impl",
+                   choices=["auto", "xla", "pallas", "pallas_v2", "pallas_v3"],
+                   default="auto")
     p.add_argument("--block-kernel", choices=["auto", "pallas", "off"], default="auto")
     p.add_argument("--scan-blocks", action="store_true",
                    help="lax.scan over depth-stacked block params (XL compile time)")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
+    p.add_argument("--prng", choices=["threefry", "rbg"], default="rbg",
+                   help="PRNG impl for sampler step noise: rbg is faster on "
+                        "TPU (hardware RNG), threefry is the jax default; "
+                        "sampling quality is unaffected")
     args = p.parse_args()
     _enable_compile_cache()
 
@@ -126,14 +157,17 @@ def main():
     y = jnp.concatenate(
         [jax.random.randint(y_key, (n,), 0, 1000), jnp.full((n,), 1000, jnp.int32)]
     )
+    # typed step-noise key: its impl propagates to every split/normal in
+    # the scan (legacy uint32 keys would be re-wrapped as threefry)
+    chain_key = lambda s: jax.random.key(s, impl=args.prng)
 
     # compile + warmup
-    sample_fn(z, y, jax.random.PRNGKey(1)).block_until_ready()
+    sample_fn(z, y, chain_key(1)).block_until_ready()
 
     times = []
     for i in range(args.repeats):
         start = time.perf_counter()
-        sample_fn(z, y, jax.random.PRNGKey(2 + i)).block_until_ready()
+        sample_fn(z, y, chain_key(2 + i)).block_until_ready()
         times.append(time.perf_counter() - start)
 
     best = min(times)
@@ -143,8 +177,9 @@ def main():
             {
                 "metric": "denoise_steps_per_sec_per_chip",
                 "value": round(value, 3),
-                "unit": f"DDPM steps/s (DiT-S/2, batch {n}x2 CFG, {args.steps} respaced steps, {args.dtype})",
+                "unit": f"DDPM steps/s ({args.model}, batch {n}x2 CFG, {args.steps} respaced steps, {args.dtype})",
                 "vs_baseline": round(value / TORCH_EAGER_BASELINE_STEPS_PER_SEC, 2),
+                "mfu_pct": _mfu_pct(sample_fn, (z, y, chain_key(1)), best),
             }
         )
     )

@@ -55,7 +55,7 @@ class DiTConfig:
 
     # TPU execution knobs (no reference equivalent)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
-    attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    attention_impl: str = "auto"  # "auto" | "xla" | "pallas[_v2|_v3]"
     # Fused MP-MLP half-block Pallas kernel (ops/pallas/mlp_block.py):
     # "pallas" = on (interpret mode off-TPU), "auto"/"off" = XLA fusion.
     # Default off: measured on v5e at DiT-S/2 shapes, XLA's own fusion beats
@@ -85,7 +85,7 @@ class DiTConfig:
         assert self.hidden_size % 2 == 0, "rotation modulation needs even width"
         assert self.modulation in MODULATION_KINDS, self.modulation
         assert self.compute_dtype in ("float32", "bfloat16")
-        assert self.attention_impl in ("auto", "xla", "pallas")
+        assert self.attention_impl in ("auto", "xla", "pallas", "pallas_v2", "pallas_v3")
         assert self.block_kernel in ("auto", "pallas", "off")
 
     @property

@@ -51,17 +51,19 @@ def dot_product_attention(
     ``scale = 1/sqrt(D')`` the logits are sqrt(D')-scaled cosine similarities.
     """
     if impl == "auto":
-        # Measured on v5e (DiT-S/2, T=64, D'=64, bf16): the XLA fusion path
-        # sustains ~1.7x the current per-(batch,head) Pallas kernel — these
-        # sequence lengths underfill the MXU one head at a time, and XLA
-        # batches the whole (B*H) contraction. Keep pallas opt-in until the
-        # kernel blocks multiple heads per program (BENCH notes, round 1).
+        # Measured on v5e (DiT-S/2, T=64, D'=64, bf16, 250-step protocol):
+        # the XLA fusion path sustains ~417 steps/s vs 366 for the v2 kernel
+        # and the v3 2-head-packed kernel (see docs/BENCH_NOTES.md round-2
+        # A/B); XLA batches the whole (B*H) contraction and fuses the
+        # surrounding elementwise stages. The kernels stay opt-in
+        # (--attention-impl pallas / pallas_v2 / pallas_v3).
         impl = "xla"
 
-    if impl == "pallas":
+    if impl.startswith("pallas"):
         from mapdit_tpu.ops.pallas.attention import fused_attention
 
-        return fused_attention(q, k, v, scale, cosine)
+        version = {"pallas": "auto", "pallas_v2": "v2", "pallas_v3": "v3"}[impl]
+        return fused_attention(q, k, v, scale, cosine, version)
 
     if cosine:
         q = normalize(q)

@@ -60,8 +60,32 @@ class TestFusedAttention:
     def test_dispatch_impl_flag(self, qkv):
         q, k, v = qkv
         a = dot_product_attention(q, k, v, 0.125, cosine=True, impl="xla")
-        b = dot_product_attention(q, k, v, 0.125, cosine=True, impl="pallas")
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+        for impl in ("pallas", "pallas_v2", "pallas_v3"):
+            b = dot_product_attention(q, k, v, 0.125, cosine=True, impl=impl)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("cosine", [True, False])
+    def test_v3_packed_matches_xla(self, qkv, cosine):
+        """v3 packs head pairs along the token axis with block-diagonal
+        masking — must be numerically the same attention."""
+        q, k, v = qkv
+        ours = fused_attention(q, k, v, 0.125, cosine, "v3")
+        if cosine:
+            q, k = normalize(q), normalize(k)
+        ref = _xla_attention(q, k, v, 0.125)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_v3_odd_heads_falls_back(self):
+        """H=3 can't pair-pack; version='v3' must silently use v2 and stay
+        correct."""
+        key = jax.random.PRNGKey(2)
+        q, k, v = (
+            jax.random.normal(jax.random.fold_in(key, i), (2, 3, 32, 64))
+            for i in range(3)
+        )
+        ours = fused_attention(q, k, v, 0.125, True, "v3")
+        ref = _xla_attention(normalize(q), normalize(k), v, 0.125)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
     def test_bf16_inputs(self, qkv):
         q, k, v = (z.astype(jnp.bfloat16) for z in qkv)

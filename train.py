@@ -332,7 +332,9 @@ if __name__ == "__main__":
     parser.add_argument("--scan-blocks", type=lambda s: s.lower() in ("1", "true", "yes"),
                         default=False, metavar="BOOL",
                         help="lax.scan over depth-stacked block params (XL-scale compile time)")
-    parser.add_argument("--attention-impl", choices=["auto", "xla", "pallas"], default="auto")
+    parser.add_argument("--attention-impl",
+                        choices=["auto", "xla", "pallas", "pallas_v2", "pallas_v3"],
+                        default="auto")
     parser.add_argument("--block-kernel", choices=["auto", "pallas", "off"], default="auto",
                         help="fused MP-MLP half-block Pallas kernel dispatch")
     parser.add_argument("--checkpointer", choices=["msgpack", "orbax"], default="msgpack",
