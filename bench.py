@@ -41,14 +41,16 @@ def _peak_flops(device_kind: str):
     return None
 
 
-def _mfu_pct(fn, example_args, chain_seconds: float):
-    """Model-FLOPs utilization: compiled-program FLOPs / wall time / peak."""
+def _mfu_pct(step_fn, example_args, steps: int, chain_seconds: float):
+    """Model-FLOPs utilization: per-step compiled FLOPs x steps / wall time
+    / device peak. The per-STEP program is analyzed because XLA's
+    cost_analysis counts a scan body once, not trip-count times."""
     try:
-        comp = jax.jit(fn).lower(*example_args).compile()
+        comp = jax.jit(step_fn).lower(*example_args).compile()
         flops = float((comp.cost_analysis() or {}).get("flops", 0.0))
         peak = _peak_flops(jax.devices()[0].device_kind)
         if flops > 0 and peak:
-            return round(100.0 * flops / chain_seconds / peak, 2)
+            return round(100.0 * flops * steps / chain_seconds / peak, 2)
     except Exception:
         pass
     return None
@@ -172,6 +174,14 @@ def main():
 
     best = min(times)
     value = args.steps / best  # full-chain denoise steps per second, one chip
+
+    # per-step MFU: one CFG model forward is ~all of a chain step's FLOPs
+    from mapdit_tpu.runtime import build_model_fn
+
+    fwd = build_model_fn(cfg, variables, cfg_scale=1.5, fold=True)
+    t_vec = jnp.zeros((2 * n,), jnp.float32)
+    mfu = _mfu_pct(fwd, (z, t_vec, y), args.steps, best)
+
     print(
         json.dumps(
             {
@@ -179,7 +189,7 @@ def main():
                 "value": round(value, 3),
                 "unit": f"DDPM steps/s ({args.model}, batch {n}x2 CFG, {args.steps} respaced steps, {args.dtype})",
                 "vs_baseline": round(value / TORCH_EAGER_BASELINE_STEPS_PER_SEC, 2),
-                "mfu_pct": _mfu_pct(sample_fn, (z, y, chain_key(1)), best),
+                "mfu_pct": mfu,
             }
         )
     )

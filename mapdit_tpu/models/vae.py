@@ -205,6 +205,7 @@ def load_vae_variables(path: str) -> dict:
         }
 
     params: dict = {}
+    unmapped = []
     for key, val in sd.items():
         parts = key.rsplit(".", 1)
         base, leaf = parts[0], parts[1]
@@ -212,6 +213,7 @@ def load_vae_variables(path: str) -> dict:
             base = base.rsplit(".", 1)[0] if base.endswith(".0") else base
         path_t = _torch_key_to_flax(base)
         if path_t is None:
+            unmapped.append(key)
             continue
         val = np.asarray(val)
         if leaf == "weight":
@@ -229,6 +231,15 @@ def load_vae_variables(path: str) -> dict:
         for p in path_t:
             node = node.setdefault(p, {})
         node[leaf_name] = jnp.asarray(val)
+    if unmapped:
+        # Fail loudly: a silently half-initialized VAE decodes garbage.
+        # Diffusers has renamed attention keys across versions (query/key/
+        # value/proj_attn -> to_q/to_k/to_v/to_out.0 — both are mapped);
+        # any residue here means a naming drift the mapping must learn.
+        raise KeyError(
+            f"unmapped diffusers VAE keys (naming drift?): {sorted(unmapped)[:8]}"
+            f"{' ...' if len(unmapped) > 8 else ''}"
+        )
     return {"params": params}
 
 

@@ -51,6 +51,12 @@ def test_two_process_train(tmp_path):
                     "--ema-snapshot-every", "3",
                     "--num-lin-warmup", "2",
                     "--start-decay", "5",
+                    # loss-second-moment keeps per-t loss history in the
+                    # train state: under multi-process GSPMD its update is a
+                    # cross-device collective — exercises the reference's
+                    # dist.all_gather contract (timestep_sampler.py:82-103)
+                    # on a real 2-process mesh, not just in-mesh shard_map.
+                    "--timestep-sampler", "loss-second-moment",
                     "--multihost", "true",
                 ],
                 cwd=REPO, env=env, text=True,

@@ -138,3 +138,29 @@ class TestWeightImportMapping:
             np.asarray(loaded["params"]["encoder"]["conv_in"]["kernel"]),
             np.asarray(params["encoder"]["conv_in"]["kernel"]),
         )
+
+
+class TestLoaderHardening:
+    def test_legacy_attention_naming_maps(self):
+        """Pre-0.15 diffusers AttentionBlock keys (query/key/value/proj_attn)
+        map to the same params as the modern to_q/to_k/to_v/to_out.0 names."""
+        for old, new in [("query", "to_q"), ("key", "to_k"),
+                         ("value", "to_v"), ("proj_attn", "to_out")]:
+            assert _torch_key_to_flax(f"decoder.mid_block.attentions.0.{old}") == (
+                "decoder", "mid", "attentions_0", new
+            ), old
+
+    def test_unmapped_keys_raise(self, tmp_path):
+        """A checkpoint with drifted key names must fail loudly, not decode
+        garbage from a half-initialized tree."""
+        from safetensors.numpy import save_file
+
+        from mapdit_tpu.models.vae import load_vae_variables
+
+        path = str(tmp_path / "bad.safetensors")
+        save_file({
+            "decoder.conv_in.weight": np.zeros((4, 4, 3, 3), np.float32),
+            "decoder.some_new_block.0.weight": np.zeros((4, 4), np.float32),
+        }, path)
+        with pytest.raises(KeyError, match="some_new_block"):
+            load_vae_variables(path)
