@@ -130,10 +130,12 @@ def main():
                    help="lax.scan over depth-stacked block params (XL compile time)")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
-    p.add_argument("--prng", choices=["threefry", "rbg"], default="rbg",
-                   help="PRNG impl for sampler step noise: rbg is faster on "
-                        "TPU (hardware RNG), threefry is the jax default; "
-                        "sampling quality is unaffected")
+    p.add_argument("--prng", choices=["threefry", "rbg"], default="threefry",
+                   help="PRNG impl for sampler step noise. A/B at the "
+                        "250-step protocol measured NO difference (410.0 vs "
+                        "409.5 steps/s) — step noise is not on the critical "
+                        "path at these shapes; flag kept for larger-shape "
+                        "re-tests")
     args = p.parse_args()
     _enable_compile_cache()
 
@@ -161,7 +163,8 @@ def main():
     )
     # typed step-noise key: its impl propagates to every split/normal in
     # the scan (legacy uint32 keys would be re-wrapped as threefry)
-    chain_key = lambda s: jax.random.key(s, impl=args.prng)
+    impl = {"threefry": "threefry2x32", "rbg": "rbg"}[args.prng]
+    chain_key = lambda s: jax.random.key(s, impl=impl)
 
     # compile + warmup
     sample_fn(z, y, chain_key(1)).block_until_ready()
