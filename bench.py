@@ -51,8 +51,10 @@ def _mfu_pct(step_fn, example_args, steps: int, chain_seconds: float):
         peak = _peak_flops(jax.devices()[0].device_kind)
         if flops > 0 and peak:
             return round(100.0 * flops * steps / chain_seconds / peak, 2)
-    except Exception:
-        pass
+    except Exception as e:  # diagnostic only — never fail the bench
+        import sys
+
+        print(f"mfu estimate failed: {e!r}", file=sys.stderr)
     return None
 
 
@@ -103,6 +105,18 @@ def bench_train(args, cfg):
         state, m = step_fn(state, next(batches))
     jax.block_until_ready(m["loss"])
     elapsed = time.perf_counter() - start
+
+    # per-step MFU (fwd + bwd + optimizer); with --scan-blocks the depth
+    # scan's body is counted once by cost_analysis, under-reporting.
+    mfu = None
+    try:
+        comp = step_fn.lower(state, next(batches)).compile()
+        flops = float((comp.cost_analysis() or {}).get("flops", 0.0))
+        peak = _peak_flops(jax.devices()[0].device_kind)
+        if flops > 0 and peak:
+            mfu = round(100.0 * flops * n_steps / elapsed / peak, 2)
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -110,6 +124,7 @@ def bench_train(args, cfg):
                 "value": round(n_steps / elapsed, 3),
                 "unit": f"steps/s ({args.model}, batch {args.batch}, {args.dtype})",
                 "vs_baseline": None,
+                "mfu_pct": mfu,
             }
         )
     )
@@ -178,12 +193,18 @@ def main():
     best = min(times)
     value = args.steps / best  # full-chain denoise steps per second, one chip
 
-    # per-step MFU: one CFG model forward is ~all of a chain step's FLOPs
-    from mapdit_tpu.runtime import build_model_fn
+    # per-step MFU: one CFG model forward is ~all of a chain step's FLOPs.
+    # Variables are an argument (not a baked constant) so the lowered HLO
+    # stays small enough for the axon remote-compile relay at B/XL scale.
+    from mapdit_tpu.models.dit import DiT
 
-    fwd = build_model_fn(cfg, variables, cfg_scale=1.5, fold=True)
+    fwd_model = DiT(cfg)
+
+    def fwd(v, x, t, y):
+        return fwd_model.apply(v, x, t, y, 1.5, method=DiT.forward_with_cfg)
+
     t_vec = jnp.zeros((2 * n,), jnp.float32)
-    mfu = _mfu_pct(fwd, (z, t_vec, y), args.steps, best)
+    mfu = _mfu_pct(fwd, (variables, z, t_vec, y), args.steps, best)
 
     print(
         json.dumps(
