@@ -194,17 +194,21 @@ def main():
     value = args.steps / best  # full-chain denoise steps per second, one chip
 
     # per-step MFU: one CFG model forward is ~all of a chain step's FLOPs.
-    # Variables are an argument (not a baked constant) so the lowered HLO
-    # stays small enough for the axon remote-compile relay at B/XL scale.
+    # The forward is analyzed UNROLLED (scan_blocks=False — XLA's
+    # cost_analysis counts a scan body once) with abstract shape-only
+    # variables, so nothing is materialized and the lowered HLO carries no
+    # weight constants (the axon remote-compile relay rejects >100 MB).
     from mapdit_tpu.models.dit import DiT
 
-    fwd_model = DiT(cfg)
+    cfg_flat = cfg.replace(scan_blocks=False)
+    fwd_model = DiT(cfg_flat)
 
     def fwd(v, x, t, y):
         return fwd_model.apply(v, x, t, y, 1.5, method=DiT.forward_with_cfg)
 
+    var_shapes = jax.eval_shape(lambda: init_model(cfg_flat, seed=0)[1])
     t_vec = jnp.zeros((2 * n,), jnp.float32)
-    mfu = _mfu_pct(fwd, (variables, z, t_vec, y), args.steps, best)
+    mfu = _mfu_pct(fwd, (var_shapes, z, t_vec, y), args.steps, best)
 
     print(
         json.dumps(
