@@ -143,6 +143,8 @@ def main():
     p.add_argument("--block-kernel", choices=["auto", "pallas", "off"], default="auto")
     p.add_argument("--scan-blocks", action="store_true",
                    help="lax.scan over depth-stacked block params (XL compile time)")
+    p.add_argument("--remat", action="store_true",
+                   help="per-block activation rematerialization (XL-scale train memory)")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
     p.add_argument("--prng", choices=["threefry", "rbg"], default="threefry",
@@ -163,6 +165,7 @@ def main():
         attention_impl=args.attention_impl,
         block_kernel=args.block_kernel,
         scan_blocks=args.scan_blocks,
+        remat=args.remat,
     )
     if args.mode == "train":
         return bench_train(args, cfg)
