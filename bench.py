@@ -147,6 +147,8 @@ def main():
                    help="per-block activation rematerialization (XL-scale train memory)")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
+    p.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm",
+                   help="chain family for sample mode (ddim = eta-0 chain)")
     p.add_argument("--prng", choices=["threefry", "rbg"], default="threefry",
                    help="PRNG impl for sampler step noise. A/B at the "
                         "250-step protocol measured NO difference (410.0 vs "
@@ -170,8 +172,12 @@ def main():
     if args.mode == "train":
         return bench_train(args, cfg)
     model, variables = init_model(cfg, seed=0)
-    diffusion = create_diffusion(str(args.steps))
-    sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=1.5, fold=True)
+    diffusion = create_diffusion(
+        f"ddim{args.steps}" if args.sampler == "ddim" else str(args.steps)
+    )
+    sample_fn = build_sample_fn(
+        cfg, variables, diffusion, cfg_scale=1.5, fold=True, sampler=args.sampler
+    )
 
     n = args.batch
     z_key, y_key = jax.random.split(jax.random.PRNGKey(0))
@@ -218,7 +224,7 @@ def main():
             {
                 "metric": "denoise_steps_per_sec_per_chip",
                 "value": round(value, 3),
-                "unit": f"DDPM steps/s ({args.model}, batch {n}x2 CFG, {args.steps} respaced steps, {args.dtype})",
+                "unit": f"{args.sampler.upper()} steps/s ({args.model}, batch {n}x2 CFG, {args.steps} respaced steps, {args.dtype})",
                 "vs_baseline": round(value / TORCH_EAGER_BASELINE_STEPS_PER_SEC, 2),
                 "mfu_pct": mfu,
             }

@@ -421,6 +421,23 @@ class TestVAEDecodePath:
         assert img.size == (2 * 128 + 3 * 2, 2 * 128 + 3 * 2), img.size
 
 
+class TestDownloadDataGating:
+    def test_missing_vae_weights_clear_error(self, tmp_path):
+        """Offline environments must get the documented gating message, not
+        a stack trace from deep inside the encoder."""
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "download_data.py"),
+             "--output-dir", str(tmp_path / "out"),
+             "--vae-path", str(tmp_path / "missing.safetensors")],
+            capture_output=True, text=True, cwd=REPO, env=env,
+        )
+        assert proc.returncode != 0
+        assert "SD-VAE weights not found" in (proc.stderr + proc.stdout)
+
+
 class TestRotationFamily:
     """BASELINE configs 3-4: MP + rotation modulation through the CLI."""
 
