@@ -421,6 +421,28 @@ class TestVAEDecodePath:
         assert img.size == (2 * 128 + 3 * 2, 2 * 128 + 3 * 2), img.size
 
 
+class TestBenchCLI:
+    """bench.py is the driver's headline hook — its JSON contract must not
+    regress."""
+
+    def test_sample_mode_json_contract(self):
+        proc = run("bench.py", "--steps", "2", "--batch", "2", "--repeats", "1")
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rec["metric"] == "denoise_steps_per_sec_per_chip"
+        assert rec["value"] > 0 and rec["vs_baseline"] > 0
+        assert "mfu_pct" in rec
+
+    def test_train_mode_and_kernel_flags(self):
+        proc = run("bench.py", "--mode", "train", "--batch", "4", "--steps", "10")
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rec["metric"] == "train_steps_per_sec" and rec["value"] > 0
+        proc = run("bench.py", "--steps", "2", "--batch", "2", "--repeats", "1",
+                   "--attention-impl", "pallas_v3", "--sampler", "ddim",
+                   "--prng", "rbg")
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rec["value"] > 0 and "DDIM" in rec["unit"]
+
+
 class TestDownloadDataGating:
     def test_missing_vae_weights_clear_error(self, tmp_path):
         """Offline environments must get the documented gating message, not

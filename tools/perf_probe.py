@@ -1,9 +1,12 @@
 """Perf breakdown by ablation: where does a denoise step's time go?
 
 Measures on the current backend (run on the TPU):
-  1. device matmul roofline (big bf16 matmul)
-  2. one jitted model forward_with_cfg (per-call, outside scan)
-  3. the scan sampler with the real model
+  1. device matmul roofline (big bf16 matmul; unreliable through the axon
+     relay's async dispatch — prefer whole-chain numbers)
+  2. one jitted model forward_with_cfg (per-call, outside scan) + its MFU
+     from the compiled program's FLOPs
+  3. the scan sampler at two chain lengths -> fixed per-invocation overhead
+     F and marginal per-step cost m (solve F + N*m)
   4. the scan sampler with a trivial model (sampler math + scan overhead)
 
 Usage: python tools/perf_probe.py [--batch 32] [--steps 50]
@@ -61,21 +64,41 @@ def main():
     )
     tt = jnp.full((2 * n,), 500.0)
 
-    # 2. bare forward
-    model_fn = build_model_fn(cfg, variables, cfg_scale=1.5, fold=True)
-    fwd = jax.jit(model_fn)
-    t_fwd = timeit(fwd, z, tt, y, n=30)
-    print(f"model forward_with_cfg: {t_fwd*1e3:.3f} ms/call -> {1/t_fwd:.1f} calls/s")
+    # 2. bare forward (+ MFU from compiled FLOPs; variables as an argument
+    # keep the lowered HLO small through the remote-compile relay)
+    from mapdit_tpu.models.dit import DiT
 
-    # 3. real sampler
-    d = create_diffusion(str(args.steps))
-    sample_fn = build_sample_fn(cfg, variables, d, cfg_scale=1.5, fold=True)
-    t_chain = timeit(lambda: sample_fn(z, y, jax.random.PRNGKey(1)), n=3)
-    per_step = t_chain / args.steps
-    print(
-        f"scan sampler: {t_chain*1e3:.1f} ms/chain, {per_step*1e3:.3f} ms/step "
-        f"-> {args.steps/t_chain:.1f} steps/s"
+    fwd_model = DiT(cfg)
+    fwd = jax.jit(
+        lambda v, x, t_, y_: fwd_model.apply(v, x, t_, y_, 1.5, method=DiT.forward_with_cfg)
     )
+    t_fwd = timeit(fwd, variables, z, tt, y, n=30)
+    line = f"model forward_with_cfg: {t_fwd*1e3:.3f} ms/call -> {1/t_fwd:.1f} calls/s"
+    try:
+        comp = fwd.lower(variables, z, tt, y).compile()
+        flops = float((comp.cost_analysis() or {}).get("flops", 0.0))
+        if flops:
+            line += f", {flops/t_fwd/1e12:.1f} TFLOP/s effective"
+    except Exception:
+        pass
+    print(line)
+
+    # 3. real sampler at two chain lengths: solve F + N*m
+    times = {}
+    for steps in (args.steps, 2 * args.steps):
+        d = create_diffusion(str(steps))
+        sample_fn = build_sample_fn(cfg, variables, d, cfg_scale=1.5, fold=True)
+        times[steps] = timeit(lambda sf=sample_fn: sf(z, y, jax.random.PRNGKey(1)), n=3)
+    n1, n2 = args.steps, 2 * args.steps
+    m_cost = (times[n2] - times[n1]) / (n2 - n1)
+    fixed = times[n1] - n1 * m_cost
+    t_chain, per_step = times[n1], times[n1] / n1
+    print(
+        f"scan sampler: {t_chain*1e3:.1f} ms/chain @ {n1} steps "
+        f"({times[n2]*1e3:.1f} @ {n2}); marginal m = {m_cost*1e3:.3f} ms/step, "
+        f"fixed F = {fixed*1e3:.1f} ms/invocation -> {n1/t_chain:.1f} steps/s"
+    )
+    d = create_diffusion(str(args.steps))
 
     # 4. sampler math only
     trivial = lambda x, t, y: jnp.concatenate([0.1 * x, jnp.tanh(x)], axis=1)
@@ -92,6 +115,10 @@ def main():
     print(
         f"breakdown per step: model {t_fwd*1e3:.3f} ms + sampler {t_triv/args.steps*1e3:.3f} ms "
         f"vs observed {per_step*1e3:.3f} ms"
+    )
+    print(
+        "note: per-call and roofline timings are optimistic through async "
+        "relays (axon) — trust the chain's marginal m and fixed F above"
     )
 
 
