@@ -137,6 +137,10 @@ def main():
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--model", default="DiT-S/2")
+    p.add_argument("--input-size", type=int, default=16,
+                   help="latent side (16 = shipped ImageNet-128 dataset, T=64 "
+                        "tokens at p=2; 32 = the DiT-paper ImageNet-256 regime, "
+                        "T=256)")
     p.add_argument("--attention-impl",
                    choices=["auto", "xla", "pallas", "pallas_v2", "pallas_v3"],
                    default="auto")
@@ -161,7 +165,7 @@ def main():
     cfg = build_config(
         args.model,
         in_channels=4,
-        input_size=16,
+        input_size=args.input_size,
         num_classes=1000,
         compute_dtype=args.dtype,
         attention_impl=args.attention_impl,
@@ -181,7 +185,7 @@ def main():
 
     n = args.batch
     z_key, y_key = jax.random.split(jax.random.PRNGKey(0))
-    z = jax.random.normal(z_key, (2 * n, 4, 16, 16))
+    z = jax.random.normal(z_key, (2 * n, 4, args.input_size, args.input_size))
     y = jnp.concatenate(
         [jax.random.randint(y_key, (n,), 0, 1000), jnp.full((n,), 1000, jnp.int32)]
     )

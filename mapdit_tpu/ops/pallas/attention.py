@@ -127,7 +127,10 @@ def _fused_attention_fwd_impl(
 ) -> Array:
     b, h, t, d = q.shape
     bh = b * h
-    packable = h % 2 == 0 and t % 8 == 0 and 2 * t <= 512
+    # Packing pays only while 2T fits one 128-row tile: at larger T the
+    # per-pair matmuls already fill the MXU and the 2x logit-FLOP overhead
+    # dominates (measured: T=256 v3 79.3 vs v2-style 106 steps/s in-chain).
+    packable = h % 2 == 0 and t % 8 == 0 and 2 * t <= 128
     if version == "auto":
         version = "v3" if packable else "v2"
     assert version in ("v2", "v3"), version
