@@ -23,9 +23,29 @@ from mapdit_tpu.utils.experiment import config_from_args
 from mapdit_tpu.utils.image import save_image_grid
 
 
+def _constants_from_torch(path: str, sd_key: str):
+    """Extract the Fourier-buffer constants riding inside a reference torch
+    state_dict (fp16 in EMA snapshots; cast back to f32)."""
+    import jax
+    import torch
+
+    from mapdit_tpu.utils.torch_import import variables_from_torch_state_dict
+
+    d = torch.load(path, map_location="cpu", weights_only=True)
+    sd = d[sd_key] if sd_key in d else d
+    constants = variables_from_torch_state_dict(
+        {k: np.asarray(v) for k, v in sd.items()}
+    )["constants"]
+    return jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), constants)
+
+
 def _load_constants(result_dir: str):
     """Non-trainable constants (MPFourier buffers): constants.msgpack written
-    at train start, else from the latest checkpoint."""
+    at train start, else from the latest checkpoint, else — for experiment
+    dirs migrated from the reference in place — from a torch EMA snapshot or
+    checkpoint (the buffers travel inside the reference's state_dicts)."""
+    import glob
+
     from flax import serialization
 
     path = os.path.join(result_dir, "constants.msgpack")
@@ -35,9 +55,22 @@ def _load_constants(result_dir: str):
     from mapdit_tpu.training.checkpoint import latest_checkpoint
 
     ck = latest_checkpoint(result_dir)
-    assert ck, "need constants.msgpack or at least one checkpoint"
-    with open(ck, "rb") as f:
-        return serialization.msgpack_restore(f.read())["constants"]
+    if ck:
+        with open(ck, "rb") as f:
+            return serialization.msgpack_restore(f.read())["constants"]
+    from mapdit_tpu.training.ema import list_snapshots
+
+    ema_dir = os.path.join(result_dir, "ema")
+    if os.path.isdir(ema_dir):
+        for _, _, snap in list_snapshots(ema_dir):
+            if snap.endswith(".pt"):
+                return _constants_from_torch(snap, "state_dict")
+    for pt in sorted(glob.glob(os.path.join(result_dir, "checkpoints", "*.pt"))):
+        return _constants_from_torch(pt, "model")
+    raise SystemExit(
+        "error: need constants.msgpack, a checkpoint, or a reference torch "
+        f"EMA ledger in {result_dir}"
+    )
 
 
 def load_variables(result_dir: str, train_args: dict, ckpt=None, ema_std=0.05):

@@ -345,6 +345,52 @@ class TestTorchCheckpointInterop:
         assert os.path.exists(out)
 
 
+    def test_sample_from_reference_ema_ledger_in_place(self, tmp_path):
+        """A reference experiment dir migrated as-is (config.yaml +
+        ema/<std>_<step>.pt ONLY — no constants.msgpack, no msgpack
+        checkpoints) is post-hoc-sampleable: the posthoc solve reads the
+        torch ledger and the Fourier constants are recovered from a
+        snapshot's own state_dict."""
+        import torch
+
+        g = np.load(os.path.join(REPO, "tests", "golden", "dit_xs2.npz"))
+        base = {k[len("sd.") :]: np.asarray(g[k]) for k in g.files if k.startswith("sd.")}
+        exp = tmp_path / "000-DiT-XS-2"
+        (exp / "ema").mkdir(parents=True)
+        for std, step, scale in [(0.05, 4, 1.0), (0.1, 4, 0.9), (0.05, 8, 1.05)]:
+            sd = {
+                "_orig_mod." + k: torch.tensor(v * scale).half()
+                for k, v in base.items()
+            }
+            torch.save(
+                {"std": std, "t": step, "state_dict": sd},
+                exp / "ema" / f"{std:.3f}_{step:07d}.pt",
+            )
+        with open(exp / "config.yaml", "w") as f:
+            yaml.dump(
+                {
+                    "model": "DiT-XS/2",
+                    "num_classes": 10,
+                    "in_channels": 4,
+                    "input_size": 16,
+                    "stats_mean": [0.0] * 4,
+                    "stats_std": [1.0] * 4,
+                },
+                f,
+            )
+        out = str(tmp_path / "ref_ema.png")
+        run(
+            "sample.py",
+            "--result-dir", str(exp),
+            "--use-vae", "false",
+            "--output-file", out,
+            "--num-sampling-steps", "2",
+            "--class-label", "1",
+            "--ema-std", "0.05",
+        )
+        assert os.path.exists(out)
+
+
 class TestVAEDecodePath:
     def test_sample_with_vae_decode(self, trained_run, tmp_path):
         """--use-vae true with a local (random-weights) VAE checkpoint:
