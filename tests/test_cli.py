@@ -391,6 +391,29 @@ class TestTorchCheckpointInterop:
         assert os.path.exists(out)
 
 
+class TestEMALedgerExport:
+    def test_export_ema_roundtrip(self, trained_run, tmp_path):
+        """export-ema writes a reference-format .pt ledger; reconstructing
+        from it matches reconstructing from the original .npz ledger (both
+        solver paths go through the same profile math)."""
+        out = str(tmp_path / "ema_pt")
+        run("tools/convert_checkpoint.py", "export-ema",
+            "--result-dir", trained_run, "--out", out)
+        pts = sorted(os.listdir(out))
+        assert len(pts) == 6 and all(p.endswith(".pt") for p in pts), pts
+
+        import jax
+
+        from mapdit_tpu.training import ema as ema_lib
+
+        a = ema_lib.calculate_posthoc_ema(
+            0.07, os.path.join(trained_run, "ema"), verbose=False
+        )
+        b = ema_lib.calculate_posthoc_ema(0.07, out, verbose=False)
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 class TestVAEDecodePath:
     def test_sample_with_vae_decode(self, trained_run, tmp_path):
         """--use-vae true with a local (random-weights) VAE checkpoint:
