@@ -102,6 +102,39 @@ class TestTrainCLI:
         ).read()
 
 
+class TestObservability:
+    def test_metrics_jsonl_and_profile_trace(self, tmp_path):
+        """--metrics-jsonl writes parseable per-interval records;
+        --profile-dir produces a jax.profiler trace."""
+        results = str(tmp_path / "results")
+        prof = str(tmp_path / "trace")
+        run(
+            "train.py",
+            "--data-path", "synthetic:32",
+            "--results-dir", results,
+            "--model", "DiT-XS/8",
+            "--num-classes", "10",
+            "--num-steps", "6",
+            "--batch-size", "8",
+            "--log-every", "2",
+            "--ckpt-every", "100",
+            "--ema-snapshot-every", "0",
+            "--num-lin-warmup", "2",
+            "--start-decay", "5",
+            "--metrics-jsonl", "auto",
+            "--profile-dir", prof,
+        )
+        exp = os.path.join(results, os.listdir(results)[0])
+        lines = open(os.path.join(exp, "metrics.jsonl")).read().splitlines()
+        recs = [json.loads(l) for l in lines]
+        assert [r["step"] for r in recs] == [2, 4, 6]
+        for r in recs:
+            assert r["loss"] > 0 and r["steps_per_sec"] > 0 and r["lr"] > 0
+            assert r["samples_seen"] == r["step"] * 8
+        # profiler wrote a trace tree
+        assert any(os.scandir(prof)), "empty profile dir"
+
+
 class TestOrbaxCheckpointer:
     """--checkpointer orbax routes periodic saves through the orbax backend
     (directory checkpoints) and --resume restores from them cross-backend."""

@@ -203,6 +203,17 @@ def main(args):
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
 
+    # Machine-readable metrics stream (one JSON object per log interval) —
+    # production observability next to the reference-format log lines.
+    metrics_sink = None
+    if is_lead and args.metrics_jsonl:
+        path = (
+            args.metrics_jsonl
+            if args.metrics_jsonl != "auto"
+            else os.path.join(exp_dir, "metrics.jsonl")
+        )
+        metrics_sink = open(path, "a")
+
     logger.info(f"training for {args.num_steps} steps...")
     train_steps = int(state.step)
     log_steps = 0
@@ -235,6 +246,18 @@ def main(args):
                     f"(step={train_steps:07d}) train loss: {avg_loss:.4f}, "
                     f"train steps/sec: {steps_per_sec:.2f}"
                 )
+                if metrics_sink is not None:
+                    import json
+
+                    metrics_sink.write(json.dumps({
+                        "step": train_steps,
+                        "loss": round(avg_loss, 6),
+                        "steps_per_sec": round(steps_per_sec, 3),
+                        "lr": float(schedule(train_steps)),
+                        "samples_seen": train_steps * args.batch_size,
+                        "wall_time": round(time.time(), 3),
+                    }) + "\n")
+                    metrics_sink.flush()
                 loss_buf = []
                 # local_devices: devices[0] may belong to another process
                 stats = jax.local_devices()[0].memory_stats() or {}
@@ -263,6 +286,8 @@ def main(args):
 
     if args.profile_dir:
         jax.profiler.stop_trace()
+    if metrics_sink is not None:
+        metrics_sink.close()
     logger.info("done!")
 
 
@@ -343,6 +368,9 @@ if __name__ == "__main__":
                         help="checkpoint file or experiment dir to resume from")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="write a jax.profiler trace here")
+    parser.add_argument("--metrics-jsonl", type=str, default=None,
+                        help="append one JSON metrics object per log interval "
+                             "('auto' = <exp_dir>/metrics.jsonl)")
     parser.add_argument("--multihost", type=lambda s: s.lower() in ("1", "true", "yes"),
                         default=False, metavar="BOOL",
                         help="call jax.distributed.initialize() (one process per host)")
