@@ -81,7 +81,10 @@ def bench_train(args, cfg):
     from mapdit_tpu.training.data import SyntheticLatentDataset
 
     diffusion = create_diffusion("")
-    ds = SyntheticLatentDataset(num_examples=max(1024, 2 * args.batch), num_classes=1000)
+    ds = SyntheticLatentDataset(
+        num_examples=max(1024, 2 * args.batch), num_classes=1000,
+        size=args.input_size,
+    )
     tx = create_optimizer(warmup_flat_invsqrt(1e-2, 100, 1000))
     step_fn = jax.jit(
         make_train_step(
@@ -108,15 +111,7 @@ def bench_train(args, cfg):
 
     # per-step MFU (fwd + bwd + optimizer); with --scan-blocks the depth
     # scan's body is counted once by cost_analysis, under-reporting.
-    mfu = None
-    try:
-        comp = step_fn.lower(state, next(batches)).compile()
-        flops = float((comp.cost_analysis() or {}).get("flops", 0.0))
-        peak = _peak_flops(jax.devices()[0].device_kind)
-        if flops > 0 and peak:
-            mfu = round(100.0 * flops * n_steps / elapsed / peak, 2)
-    except Exception:
-        pass
+    mfu = _mfu_pct(step_fn, (state, next(batches)), n_steps, elapsed)
     print(
         json.dumps(
             {

@@ -152,8 +152,14 @@ def _torch_key_to_flax(key: str) -> Optional[Tuple[str, ...]]:
     parts = key.split(".")
 
     def resnet(where, i, j, rest):
+        # unknown sub-names return None so the loader reports them as
+        # unmapped keys instead of raising a bare KeyError mid-scan
+        if not rest:
+            return None
         name = {"norm1": "norm1", "conv1": "conv1", "norm2": "norm2",
-                "conv2": "conv2", "conv_shortcut": "conv_shortcut"}[rest[0]]
+                "conv2": "conv2", "conv_shortcut": "conv_shortcut"}.get(rest[0])
+        if name is None:
+            return None
         return (*where, f"{'down' if where[0]=='encoder' else 'up'}_{i}_resnet_{j}", name)
 
     if parts[0] in ("quant_conv", "post_quant_conv"):
@@ -180,10 +186,11 @@ def _torch_key_to_flax(key: str) -> Optional[Tuple[str, ...]]:
         if body[1] == "resnets":
             return (side, "mid", f"resnets_{int(body[2])}", body[3])
         if body[1] == "attentions":
-            sub = body[3]
             name = {"group_norm": "group_norm", "to_q": "to_q", "to_k": "to_k",
                     "to_v": "to_v", "to_out": "to_out", "query": "to_q",
-                    "key": "to_k", "value": "to_v", "proj_attn": "to_out"}[sub]
+                    "key": "to_k", "value": "to_v", "proj_attn": "to_out"}.get(body[3])
+            if name is None:
+                return None
             return (side, "mid", "attentions_0", name)
     return None
 

@@ -78,6 +78,8 @@ def batch_index_stream(
     """
     assert batch_size % process_count == 0, (batch_size, process_count)
     assert 0 <= process_index < process_count
+    # a short final batch can't be partitioned evenly across processes
+    assert drop_last or process_count == 1, "multi-process requires drop_last"
     local = batch_size // process_count
     lo, hi = process_index * local, (process_index + 1) * local
     rng = np.random.default_rng(seed)

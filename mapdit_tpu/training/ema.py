@@ -136,11 +136,19 @@ def list_snapshots(ema_dir: str) -> List[Tuple[float, int, str]]:
     """Ledger scan: native ``.npz`` snapshots and reference ``.pt`` ones
     (`src/ema.py:142-155` filename format) are both recognized, so a
     reference training run is post-hoc-sampleable in place."""
-    out = []
+    out, seen = [], set()
+    # sorted() puts .npz before .pt, so when the same (std, step) exists in
+    # both formats (e.g. after export-ema into the same dir) the native
+    # snapshot wins — duplicates would make the least-squares Gram matrix
+    # singular.
     for f in sorted(os.listdir(ema_dir)):
         m = _SNAP_RE.match(f)
         if m:
-            out.append((float(m.group(1)), int(m.group(2)), os.path.join(ema_dir, f)))
+            key = (float(m.group(1)), int(m.group(2)))
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append((key[0], key[1], os.path.join(ema_dir, f)))
     return out
 
 

@@ -16,8 +16,8 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
-#include <deque>
 #include <fcntl.h>
+#include <map>
 #include <mutex>
 #include <random>
 #include <string>
@@ -141,7 +141,15 @@ struct Loader {
   size_t n = 0;
   size_t feat = 0;
 
-  std::deque<Batch> queue;
+  // Reorder buffer keyed by batch sequence number: with >1 prefetch
+  // threads, gathers complete out of order, but consumers MUST see batches
+  // in permutation order — the multi-host contract (every process's step-s
+  // slice comes from the same global batch s) and start_step resume both
+  // depend on it. Workers admit a batch only while its seq is inside the
+  // [next_emit, next_emit + queue_depth) window, so the lowest outstanding
+  // seq always fits and the pipeline can't deadlock.
+  std::map<uint64_t, Batch> queue;
+  uint64_t next_emit = 0;
   size_t queue_depth = 4;
   std::mutex mu;
   std::condition_variable cv_push, cv_pop;
@@ -152,6 +160,7 @@ struct Loader {
   std::mutex perm_mu;
   std::vector<uint32_t> perm;
   size_t cursor = 0;
+  uint64_t seq_counter = 0;
   std::mt19937_64 rng;
 
   void refill_perm() {
@@ -169,13 +178,15 @@ struct Loader {
   // Take this process's slice of the next global batch, reshuffling per
   // epoch (drop_last semantics). All processes seed the same permutation
   // stream and own disjoint row ranges of every global batch — exact
-  // coverage, no duplication (the distributed-sampler pattern).
-  std::vector<uint32_t> next_indices() {
+  // coverage, no duplication (the distributed-sampler pattern). The
+  // returned seq is the batch's position in the permutation order.
+  std::vector<uint32_t> next_indices(uint64_t* seq) {
     std::lock_guard<std::mutex> g(perm_mu);
     if (cursor + batch_size > n) refill_perm();
     auto lo = perm.begin() + cursor + proc_lo;
     std::vector<uint32_t> idx(lo, lo + local_b);
     cursor += batch_size;
+    *seq = seq_counter++;
     std::sort(idx.begin(), idx.end());  // mmap gather locality
     return idx;
   }
@@ -211,12 +222,15 @@ struct Loader {
   void worker_loop() {
     while (!stop.load()) {
       Batch b;
-      gather(next_indices(), &b);
+      uint64_t seq;
+      gather(next_indices(&seq), &b);
       std::unique_lock<std::mutex> lk(mu);
-      cv_push.wait(lk, [&] { return stop.load() || queue.size() < queue_depth; });
+      cv_push.wait(lk, [&] {
+        return stop.load() || seq < next_emit + queue_depth;
+      });
       if (stop.load()) return;
-      queue.push_back(std::move(b));
-      cv_pop.notify_one();
+      queue.emplace(seq, std::move(b));
+      cv_pop.notify_all();
     }
   }
 };
@@ -280,11 +294,16 @@ int ll_next(void* handle, float* mean_out, float* std_out, int32_t* labels_out) 
   Batch b;
   {
     std::unique_lock<std::mutex> lk(ld->mu);
-    ld->cv_pop.wait(lk, [&] { return ld->stop.load() || !ld->queue.empty(); });
+    // emit strictly in permutation order (reorder buffer)
+    ld->cv_pop.wait(lk, [&] {
+      return ld->stop.load() || ld->queue.count(ld->next_emit) > 0;
+    });
     if (ld->stop.load()) return -1;
-    b = std::move(ld->queue.front());
-    ld->queue.pop_front();
-    ld->cv_push.notify_one();
+    auto it = ld->queue.find(ld->next_emit);
+    b = std::move(it->second);
+    ld->queue.erase(it);
+    ld->next_emit++;
+    ld->cv_push.notify_all();
   }
   memcpy(mean_out, b.mean.data(), b.mean.size() * sizeof(float));
   memcpy(std_out, b.std.data(), b.std.size() * sizeof(float));

@@ -544,6 +544,16 @@ class TestBenchCLI:
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
         assert rec["value"] > 0 and "DDIM" in rec["unit"]
 
+    def test_input_size_flag_both_modes(self):
+        """--input-size must thread through to the synthetic data too
+        (train mode crashed on a shape mismatch before)."""
+        proc = run("bench.py", "--steps", "2", "--batch", "2", "--repeats", "1",
+                   "--input-size", "8")
+        assert json.loads(proc.stdout.strip().splitlines()[-1])["value"] > 0
+        proc = run("bench.py", "--mode", "train", "--batch", "4", "--steps", "10",
+                   "--input-size", "8")
+        assert json.loads(proc.stdout.strip().splitlines()[-1])["value"] > 0
+
 
 class TestDownloadDataGating:
     def test_missing_vae_weights_clear_error(self, tmp_path):

@@ -57,6 +57,9 @@ def test_two_process_train(tmp_path):
                     # dist.all_gather contract (timestep_sampler.py:82-103)
                     # on a real 2-process mesh, not just in-mesh shard_map.
                     "--timestep-sampler", "loss-second-moment",
+                    # orbax saves are collective barriers all processes must
+                    # join — this exercises that on a real 2-process cluster
+                    "--checkpointer", "orbax",
                     "--multihost", "true",
                 ],
                 cwd=REPO, env=env, text=True,
@@ -73,6 +76,6 @@ def test_two_process_train(tmp_path):
     log = open(os.path.join(exp, "log.txt")).read()
     assert "devices: 2x" in log  # both processes joined the mesh
     assert "train loss:" in log
-    assert os.path.exists(os.path.join(exp, "checkpoints", "0000006.msgpack"))
+    assert os.path.isdir(os.path.join(exp, "checkpoints", "0000006.orbax"))
     snaps = os.listdir(os.path.join(exp, "ema"))
     assert len(snaps) == 4, snaps  # 2 stds x steps {3, 6}, written once

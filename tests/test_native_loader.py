@@ -147,3 +147,23 @@ class TestThreadStress:
                 assert i is not None
                 assert b["y"][r] == ds.labels[i]
         loader.close()
+
+
+class TestOrderDeterminism:
+    def test_multithreaded_order_matches_single_thread(self, dataset_dir):
+        """Prefetch threads race their gathers, but the reorder buffer must
+        emit batches in exact permutation order — the multi-host
+        slice-alignment contract and start_step resume depend on it."""
+        from mapdit_tpu.training.native_loader import NativeLatentLoader
+
+        d, ds = dataset_dir
+        one = NativeLatentLoader(d, batch_size=5, seed=13, num_threads=1)
+        many = NativeLatentLoader(d, batch_size=5, seed=13, num_threads=4,
+                                  queue_depth=6)
+        it1, itn = one.batches(), many.batches()
+        for _ in range(30):  # 3 epochs
+            a, b = next(it1), next(itn)
+            for key in ("mean", "std", "y"):
+                np.testing.assert_array_equal(a[key], b[key])
+        one.close()
+        many.close()

@@ -127,6 +127,28 @@ class TestEMAMath:
             for x, y in zip(la, lb):
                 np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    def test_mixed_format_ledger_dedupes(self, tmp_path):
+        """The same (std, step) present as BOTH .npz and .pt (e.g. after
+        export-ema into the run's own ema/ dir) must not produce duplicate
+        snapshots — duplicates make the least-squares Gram matrix singular."""
+        import os
+
+        import torch
+
+        ema_dir = str(tmp_path / "ema")
+        params = {"w": np.ones((4, 4), np.float32)}
+        for std, step in [(0.05, 4), (0.1, 4), (0.05, 8), (0.1, 8)]:
+            ema_lib.save_snapshot(ema_dir, std, step, params)
+            torch.save(
+                {"std": std, "t": step, "state_dict": {}},
+                os.path.join(ema_dir, f"{std:.3f}_{step:07d}.pt"),
+            )
+        snaps = ema_lib.list_snapshots(ema_dir)
+        assert len(snaps) == 4
+        assert all(p.endswith(".npz") for _, _, p in snaps)  # native preferred
+        rec = ema_lib.calculate_posthoc_ema(0.07, ema_dir, verbose=False)
+        assert np.isfinite(rec["w"]).all()
+
 
 class TestLRSchedule:
     def test_matches_reference_lambda(self):

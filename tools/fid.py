@@ -123,10 +123,11 @@ def _load_samples(path: str) -> np.ndarray:
 def _load_stats(path: str, expected_kind: str):
     with np.load(path, allow_pickle=False) as f:
         kind = str(f["features"]) if "features" in f.files else "inception"
-        assert kind == expected_kind, (
-            f"stats file {path} was built with --features {kind}; "
-            f"refusing to compare against --features {expected_kind}"
-        )
+        if kind != expected_kind:  # hard error (assert would vanish under -O)
+            raise SystemExit(
+                f"stats file {path} was built with --features {kind}; "
+                f"refusing to compare against --features {expected_kind}"
+            )
         return f["mu"], f["sigma"]
 
 

@@ -89,10 +89,21 @@ def main(args):
     n_data = mesh.shape["data"]
 
     # Only process 0 owns the experiment directory: logs, config.yaml,
-    # checkpoints and EMA snapshots are written once, not per host.
+    # msgpack checkpoints and EMA snapshots are written once, not per host.
+    # The directory PATH is broadcast to every process because the orbax
+    # save is a collective all processes must join (shared filesystem).
     is_lead = jax.process_index() == 0
     exp_dir = setup_experiment(args.model, args.results_dir) if is_lead else None
-    logger = create_logger(exp_dir, verbose=args.verbose if is_lead else 0)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros(1024, np.uint8)
+        if is_lead:
+            enc = exp_dir.encode()
+            buf[: len(enc)] = np.frombuffer(enc, np.uint8)
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        exp_dir = bytes(buf[buf != 0]).decode()
+    logger = create_logger(exp_dir if is_lead else None, verbose=args.verbose if is_lead else 0)
     logger.info(f"devices: {len(devices)}x {devices[0].device_kind}; mesh data={n_data} model={args.n_model}")
     logger.info(f"experiment directory created at {exp_dir}")
 
@@ -268,10 +279,15 @@ def main(args):
                     )
                 log_steps, start_time = 0, time.time()
 
-            if is_lead and train_steps % args.ckpt_every == 0 and train_steps > 0:
-                save_fn = save_state_orbax if args.checkpointer == "orbax" else save_state
-                path = save_fn(exp_dir, train_steps, state)
-                logger.info(f"saving checkpoint to {path} at step {train_steps}...")
+            if train_steps % args.ckpt_every == 0 and train_steps > 0:
+                if args.checkpointer == "orbax":
+                    # collective: EVERY process must join the orbax save
+                    # barriers, or the lead deadlocks on a multi-host pod
+                    path = save_state_orbax(exp_dir, train_steps, state)
+                    logger.info(f"saving checkpoint to {path} at step {train_steps}...")
+                elif is_lead:
+                    path = save_state(exp_dir, train_steps, state)
+                    logger.info(f"saving checkpoint to {path} at step {train_steps}...")
 
             if (
                 is_lead
