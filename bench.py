@@ -148,6 +148,8 @@ def main():
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
     p.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm",
                    help="chain family for sample mode (ddim = eta-0 chain)")
+    p.add_argument("--scan-unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the fast DDPM chain")
     p.add_argument("--prng", choices=["threefry", "rbg"], default="threefry",
                    help="PRNG impl for sampler step noise. A/B at the "
                         "250-step protocol measured NO difference (410.0 vs "
@@ -175,7 +177,8 @@ def main():
         f"ddim{args.steps}" if args.sampler == "ddim" else str(args.steps)
     )
     sample_fn = build_sample_fn(
-        cfg, variables, diffusion, cfg_scale=1.5, fold=True, sampler=args.sampler
+        cfg, variables, diffusion, cfg_scale=1.5, fold=True, sampler=args.sampler,
+        scan_unroll=args.scan_unroll,
     )
 
     n = args.batch

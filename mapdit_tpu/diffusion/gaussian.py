@@ -359,6 +359,7 @@ class GaussianDiffusion:
         clip_denoised: bool = True,
         model_kwargs=None,
         noise_fn=None,
+        unroll: int = 1,
     ) -> Array:
         """DDPM chain specialized for the default EPSILON+LEARNED_RANGE mode.
 
@@ -366,7 +367,8 @@ class GaussianDiffusion:
         order) but all per-step coefficients enter the scan as prestacked
         0-d scalars through ``xs`` instead of per-step table gathers with
         (B, 1, 1, 1) broadcasts — measured ~20% of per-step time at DiT-S/2
-        shapes was this bookkeeping (docs/BENCH_NOTES.md).
+        shapes was this bookkeeping (docs/BENCH_NOTES.md). ``unroll`` is
+        forwarded to lax.scan (per-iteration loop overhead vs program size).
         """
         assert self.mean_type == EPSILON and self.var_type == LEARNED_RANGE
         n = noise.shape[0]
@@ -403,7 +405,7 @@ class GaussianDiffusion:
             x = mean + nonzero * jnp.exp(0.5 * log_variance) * step_noise
             return (x, key), None
 
-        (x, _), _ = jax.lax.scan(body, (noise, rng), coefs)
+        (x, _), _ = jax.lax.scan(body, (noise, rng), coefs, unroll=unroll)
         return x
 
     def p_sample_loop_progressive(

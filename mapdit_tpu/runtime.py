@@ -75,6 +75,7 @@ def build_shared_sample_fn(
     fold: bool = True,
     sampler: str = "ddpm",
     eta: float = 0.0,
+    scan_unroll: int = 1,
 ):
     """Like build_sample_fn but takes variables as a call argument, so one
     compiled program serves many parameter sets (sample_ema.py's five EMA
@@ -138,7 +139,7 @@ def build_shared_sample_fn(
         elif use_fast:
             x = diffusion.p_sample_loop_fast(
                 model_fn, chain_noise, rng, clip_denoised=False,
-                model_kwargs={"y": chain_y},
+                model_kwargs={"y": chain_y}, unroll=scan_unroll,
             )
         else:
             x = diffusion.p_sample_loop(
@@ -161,6 +162,7 @@ def build_sample_fn(
     fold: bool = True,
     sampler: str = "ddpm",
     eta: float = 0.0,
+    scan_unroll: int = 1,
 ):
     """Jitted (noise, y, rng) -> samples over the full denoising chain.
 
@@ -171,7 +173,8 @@ def build_sample_fn(
     over (prepared once).
     """
     prepare, shared_fn = build_shared_sample_fn(
-        cfg, diffusion, cfg_scale=cfg_scale, fold=fold, sampler=sampler, eta=eta
+        cfg, diffusion, cfg_scale=cfg_scale, fold=fold, sampler=sampler, eta=eta,
+        scan_unroll=scan_unroll,
     )
     prepared = prepare(variables)
 
