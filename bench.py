@@ -146,7 +146,7 @@ def main():
                    help="per-block activation rematerialization (XL-scale train memory)")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
-    p.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm",
+    p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm",
                    help="chain family for sample mode (ddim = eta-0 chain)")
     p.add_argument("--scan-unroll", type=int, default=1,
                    help="lax.scan unroll factor for the fast DDPM chain")

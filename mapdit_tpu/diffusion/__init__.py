@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Union
 
 from mapdit_tpu.diffusion import gaussian as gd
+from mapdit_tpu.diffusion.dpm_solver import dpm_solver_pp_loop
 from mapdit_tpu.diffusion.gaussian import GaussianDiffusion
 from mapdit_tpu.diffusion.respace import respaced_betas, space_timesteps
 from mapdit_tpu.diffusion.schedules import get_named_beta_schedule
@@ -59,6 +60,7 @@ def create_diffusion(
 __all__ = [
     "GaussianDiffusion",
     "create_diffusion",
+    "dpm_solver_pp_loop",
     "space_timesteps",
     "respaced_betas",
     "gd",

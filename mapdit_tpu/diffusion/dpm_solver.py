@@ -1,0 +1,131 @@
+"""DPM-Solver++(2M): multistep second-order ODE sampler.
+
+Beyond-reference capability (the reference ships only ancestral DDPM +
+unwired DDIM, `diffusion/gaussian_diffusion.py:376-680`): a fast
+probability-flow-ODE solver (Lu et al., arXiv 2211.01095, data-prediction
+multistep variant — the `DPMSolverMultistepScheduler` algorithm) that
+reaches DDPM-250 quality in 10-25 model calls.
+
+TPU-native design: the entire chain is one `jax.lax.scan`; every per-step
+coefficient (sigma ratios, `expm1(-h)`, the 2M correction weight) is
+precomputed host-side in float64 from the respaced schedule and enters the
+scan prestacked through `xs` as 0-d scalars — the same zero-gather pattern
+as `GaussianDiffusion.p_sample_loop_fast`. Deterministic: no step noise,
+no PRNG in the loop.
+
+Works on any `GaussianDiffusion` (respaced or not); the model is evaluated
+once per kept timestep, eps-parameterization converted to x0 via the
+process tables. The final step is first-order to a virtual sigma=0 point
+(the standard `lower_order_final` stabilization), so the chain returns the
+last x0 combination, already clean.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def dpm_solver_pp_coefficients(alphas_cumprod: np.ndarray):
+    """Per-step scalar coefficients for the 2M chain over the full grid.
+
+    ``alphas_cumprod``: the (respaced) process's cumulative alphas, ascending
+    in t. The chain visits every index from high t to low t (N model calls
+    for an N-step process) and ends on a virtual (alpha=1, sigma=0) point.
+
+    Returns float32 arrays of length N, ordered along the chain:
+      sigma_ratio[i] = sigma(t_next)/sigma(t_cur)   (0 on the final step)
+      alpha_next[i]  = alpha(t_next)                (1 on the final step)
+      em1[i]         = expm1(-h_i), h_i = lambda(t_next) - lambda(t_cur)
+                       (-1 on the final step: h -> +inf)
+      c2[i]          = h_i / (2 h_{i-1}) — the 2M history weight; 0 on the
+                       first step (no history) and the final step
+                       (lower_order_final).
+    """
+    acp = np.asarray(alphas_cumprod, dtype=np.float64)
+    n = acp.shape[0]
+    ts = np.arange(n - 1, -1, -1)  # chain order: high t -> low t
+    alpha = np.sqrt(acp[ts])
+    sigma = np.sqrt(1.0 - acp[ts])
+    lam = np.log(alpha) - np.log(sigma)
+
+    sigma_ratio = np.zeros(n)
+    alpha_next = np.ones(n)
+    em1 = np.full(n, -1.0)
+    h = np.full(n, np.inf)
+    if n > 1:
+        sigma_ratio[:-1] = sigma[1:] / sigma[:-1]
+        alpha_next[:-1] = alpha[1:]
+        h[:-1] = lam[1:] - lam[:-1]
+        em1[:-1] = np.expm1(-h[:-1])
+
+    c2 = np.zeros(n)
+    if n > 2:
+        c2[1:-1] = h[1:-1] / (2.0 * h[:-2])
+
+    f32 = lambda a: a.astype(np.float32)
+    return f32(sigma_ratio), f32(alpha_next), f32(em1), f32(c2)
+
+
+def dpm_solver_pp_loop(
+    diffusion,
+    model_fn,
+    noise: Array,
+    rng: Optional[Array] = None,
+    clip_denoised: bool = True,
+    denoised_fn=None,
+    model_kwargs=None,
+    unroll: int = 1,
+) -> Array:
+    """Run the full DPM-Solver++(2M) chain as one `lax.scan`.
+
+    ``diffusion`` is a `GaussianDiffusion`; its (respaced) grid is the
+    solver grid, so `--num-sampling-steps N` means N model calls exactly as
+    with the DDPM/DDIM chains. ``rng`` is accepted for sampler-API
+    uniformity and ignored (the solver is deterministic).
+    """
+    del rng
+    n_batch = noise.shape[0]
+    n_steps = diffusion.num_timesteps
+    ts = jnp.arange(n_steps - 1, -1, -1)
+
+    sigma_ratio, alpha_next, em1, c2 = dpm_solver_pp_coefficients(
+        np.asarray(diffusion.alphas_cumprod)
+    )
+    coefs = (
+        diffusion.timestep_map[ts].astype(jnp.float32),
+        diffusion.sqrt_recip_alphas_cumprod[ts],
+        diffusion.sqrt_recipm1_alphas_cumprod[ts],
+        jnp.asarray(sigma_ratio),
+        jnp.asarray(alpha_next),
+        jnp.asarray(em1),
+        jnp.asarray(c2),
+    )
+    learned_var = diffusion.var_type in ("learned", "learned_range")
+    assert diffusion.mean_type in ("epsilon", "start_x"), diffusion.mean_type
+    predicts_x0 = diffusion.mean_type == "start_x"
+
+    def body(carry, c):
+        x, prev_x0 = carry
+        model_t, sra, srm1, s_ratio, a_next, e, w2 = c
+        out = model_fn(x, jnp.full((n_batch,), model_t), **(model_kwargs or {}))
+        if learned_var:
+            out, _ = jnp.split(out, 2, axis=1)  # variance is unused by the ODE
+        x0 = out if predicts_x0 else sra * x - srm1 * out
+        if denoised_fn is not None:
+            x0 = denoised_fn(x0)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        d = (1.0 + w2) * x0 - w2 * prev_x0
+        x = s_ratio * x - a_next * e * d
+        return (x, x0), None
+
+    (x, _), _ = jax.lax.scan(
+        body, (noise, jnp.zeros_like(noise)), coefs, unroll=unroll
+    )
+    return x

@@ -136,6 +136,13 @@ def build_shared_sample_fn(
                 model_fn, chain_noise, rng, clip_denoised=False,
                 model_kwargs={"y": chain_y}, eta=eta,
             )
+        elif sampler == "dpm++":
+            from mapdit_tpu.diffusion.dpm_solver import dpm_solver_pp_loop
+
+            x = dpm_solver_pp_loop(
+                diffusion, model_fn, chain_noise, clip_denoised=False,
+                model_kwargs={"y": chain_y}, unroll=scan_unroll,
+            )
         elif use_fast:
             x = diffusion.p_sample_loop_fast(
                 model_fn, chain_noise, rng, clip_denoised=False,
@@ -166,8 +173,10 @@ def build_sample_fn(
 ):
     """Jitted (noise, y, rng) -> samples over the full denoising chain.
 
-    ``sampler``: "ddpm" (ancestral, the reference scripts' path) or "ddim"
-    (present-but-unwired in the reference entry points; usable here).
+    ``sampler``: "ddpm" (ancestral, the reference scripts' path), "ddim"
+    (present-but-unwired in the reference entry points; usable here), or
+    "dpm++" (DPM-Solver++(2M), beyond-reference fast ODE sampler — pass
+    --num-sampling-steps 10-25).
     Sampling scripts pass clip_denoised=False (reference `sample.py:57`).
     Thin wrapper over :func:`build_shared_sample_fn` with variables closed
     over (prepared once).

@@ -172,7 +172,7 @@ if __name__ == "__main__":
     parser.add_argument("--class-label", type=int, default=88)
     parser.add_argument("--cfg-scale", type=float, default=4.0)
     parser.add_argument("--num-sampling-steps", type=int, default=250)
-    parser.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
+    parser.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--ema-std", type=float, default=0.05)
     parser.add_argument("--ckpt", type=str, default=None,

@@ -101,7 +101,7 @@ if __name__ == "__main__":
     parser.add_argument("--num-samples", type=int, default=10_000)
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--num-sampling-steps", type=int, default=250)
-    parser.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
+    parser.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output-file", type=str, default="samples.npz")
     parser.add_argument("--ema-std", type=float, default=0.05)

@@ -254,6 +254,18 @@ class TestSampleCLI:
         )
         assert os.path.exists(out)
 
+    def test_sample_dpm_solver(self, trained_run, tmp_path):
+        out = str(tmp_path / "sample_dpm.png")
+        run(
+            "sample.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--output-file", out,
+            "--num-sampling-steps", "4",
+            "--sampler", "dpm++",
+        )
+        assert os.path.exists(out)
+
     def test_sample_fid_npz(self, trained_run):
         run(
             "sample_fid.py",

@@ -372,6 +372,108 @@ class TestFastChain:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
 
 
+class TestDPMSolverPP:
+    """DPM-Solver++(2M) — beyond-reference fast ODE sampler.
+
+    Analytic oracle: for x0 ~ N(0, I) the optimal eps-prediction is
+    eps(x_t, t) = sigma_t * x_t, every marginal is N(0, I), and the exact
+    probability-flow trajectory is CONSTANT: x(t) = x_T. Both the absolute
+    error and the convergence order are therefore measurable exactly.
+    """
+
+    @staticmethod
+    def _analytic_model():
+        full = create_diffusion("")
+        sig = jnp.sqrt(1.0 - full.alphas_cumprod)
+
+        def model(x, t, **kw):
+            s = sig[t.astype(jnp.int32)].reshape(-1, 1, 1, 1)
+            eps = s * x
+            return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=1)
+
+        return model
+
+    def _errs(self, n_steps):
+        from mapdit_tpu.diffusion import dpm_solver_pp_loop
+
+        model = self._analytic_model()
+        noise = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 8, 8))
+        d = create_diffusion(str(n_steps))
+        x_dpm = dpm_solver_pp_loop(d, model, noise, clip_denoised=False)
+        x_ddim = d.ddim_sample_loop(
+            model, noise, jax.random.PRNGKey(1), clip_denoised=False
+        )
+        err = lambda x: float(jnp.abs(x - noise).max())
+        return err(x_dpm), err(x_ddim)
+
+    def test_second_order_convergence(self):
+        # measured: dpm++ 0.072 / 0.0023 / 0.00005 at N=50/250/1000 (order ~2)
+        #           ddim  0.143 / 0.0288 / 0.00735 (order 1)
+        e50, d50 = self._errs(50)
+        e250, d250 = self._errs(250)
+        assert e50 < 0.1 and e250 < 0.005
+        # 5x fewer steps than first order needs for the same error
+        assert e250 < d250 / 5
+        # order-2 signature: 5x steps shrink the error far more than 5x
+        assert e50 / e250 > 12
+        assert 3 < d50 / d250 < 8  # ddim stays first-order
+
+    def test_deterministic_and_rng_ignored(self):
+        from mapdit_tpu.diffusion import dpm_solver_pp_loop
+
+        model = self._analytic_model()
+        noise = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8, 8))
+        d = create_diffusion("8")
+        a = dpm_solver_pp_loop(d, model, noise, rng=jax.random.PRNGKey(0))
+        b = dpm_solver_pp_loop(d, model, noise, rng=jax.random.PRNGKey(9))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_coefficients(self):
+        from mapdit_tpu.diffusion.dpm_solver import dpm_solver_pp_coefficients
+
+        d = create_diffusion("12")
+        s_ratio, a_next, em1, c2 = dpm_solver_pp_coefficients(
+            np.asarray(d.alphas_cumprod)
+        )
+        assert s_ratio.shape == (12,)
+        # final virtual step: sigma -> 0, alpha -> 1, expm1(-inf) = -1
+        assert s_ratio[-1] == 0.0 and a_next[-1] == 1.0 and em1[-1] == -1.0
+        # first step has no history; final step is forced first-order
+        assert c2[0] == 0.0 and c2[-1] == 0.0
+        assert np.all(np.isfinite(s_ratio)) and np.all(np.isfinite(c2))
+        assert np.all(c2[1:-1] > 0)
+
+    def test_single_and_two_step_chains(self):
+        from mapdit_tpu.diffusion import dpm_solver_pp_loop
+
+        model = self._analytic_model()
+        noise = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 8, 8))
+        for n in (1, 2):
+            x = dpm_solver_pp_loop(create_diffusion(str(n)), model, noise)
+            assert x.shape == noise.shape
+            assert np.all(np.isfinite(np.asarray(x)))
+
+    def test_start_x_parameterization_matches(self):
+        """x0-predicting process must trace the same trajectory as the
+        eps-predicting one when both models encode the same posterior."""
+        from mapdit_tpu.diffusion import dpm_solver_pp_loop
+
+        full = create_diffusion("")
+        acp = full.alphas_cumprod
+
+        def x0_model(x, t, **kw):
+            a = jnp.sqrt(acp[t.astype(jnp.int32)]).reshape(-1, 1, 1, 1)
+            out = a * x  # E[x0 | x_t] for N(0, I) data
+            return jnp.concatenate([out, jnp.zeros_like(out)], axis=1)
+
+        noise = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 8, 8))
+        d_eps = create_diffusion("16")
+        d_x0 = create_diffusion("16", predict_xstart=True)
+        a = dpm_solver_pp_loop(d_eps, self._analytic_model(), noise, clip_denoised=False)
+        b = dpm_solver_pp_loop(d_x0, x0_model, noise, clip_denoised=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 class TestDDIMReverse:
     @staticmethod
     def _model(x, t, **kw):
