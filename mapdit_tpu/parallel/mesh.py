@@ -9,6 +9,10 @@ TPU-native replacement for the reference's (absent) distributed tier
     MLP-out on the input dim, so each pair needs a single all-reduce on the
     branch output and the MP row-normalization stays shard-local (rows are
     never split).
+  * **fsdp** (param_sharding(..., fsdp=True)): fully-sharded (ZeRO-3)
+    params/optimizer/EMA over the *data* axis for XL-scale memory; composes
+    with TP. No extra mesh axis — the data axis plays both roles, the
+    standard JAX FSDP layout.
 
 PP/SP/EP are intentionally absent: models are <=28 blocks on 64-256-token
 sequences and fit on one chip (SURVEY.md §5.7); a sequence axis would attach
@@ -54,25 +58,50 @@ _COL_PARALLEL = ("qkv_proj", "fc1")
 _ROW_PARALLEL = ("out_proj", "fc2")
 
 
-def param_sharding(params, mesh: Mesh):
+def param_sharding(params, mesh: Mesh, fsdp: bool = False):
     """Pytree of NamedShardings: TP split for attention/MLP weights when the
-    mesh has a nontrivial 'model' axis, replicated otherwise."""
+    mesh has a nontrivial 'model' axis, replicated otherwise.
+
+    ``fsdp=True`` additionally shards every weight matrix over the **data**
+    axis (ZeRO-3 / fully-sharded layout): each device stores 1/n_data of the
+    parameters, optimizer state and EMA trees; XLA GSPMD inserts the
+    per-layer all-gathers in forward/backward and reduce-scatters the
+    gradients. The out-rows dim is preferred so the forced-WN row
+    normalization (`models/dit.py:project_weights`) stays shard-local; the
+    in-cols dim is the fallback (e.g. the (1001, hidden) label embedding).
+    Composes with TP: a TP-split matrix gets the data axis on its free dim.
+
+    Because optax's Adam mu/nu trees mirror the param dict (same key paths),
+    this function can be applied to ``opt_state`` directly to co-shard
+    optimizer moments (non-array leaves like ``count`` stay replicated).
+    """
     tp = mesh.shape[MODEL_AXIS] > 1
+    n_data = mesh.shape[DATA_AXIS]
 
     def rule(path, leaf):
         names = [p.key for p in path if hasattr(p, "key")]
-        # ndim 3 = scan_blocks depth-stacked weights: shard the same matrix
-        # dims, one axis later.
-        if tp and leaf.ndim in (2, 3) and names and names[-1] == "weight":
+        if (
+            getattr(leaf, "ndim", 0) in (2, 3)
+            and names
+            and names[-1] == "weight"
+        ):
+            # ndim 3 = scan_blocks depth-stacked weights: shard the same
+            # matrix dims, one axis later.
             parent = names[-2] if len(names) >= 2 else ""
             off = leaf.ndim - 2
-            lead = (None,) * off
-            # t_embedder's MLP is tiny and batch-1-per-token; keep replicated.
-            if "t_embedder" not in names:
+            spec = [None] * leaf.ndim
+            # t_embedder's MLP is tiny and batch-1-per-token; keep it off TP.
+            if tp and "t_embedder" not in names:
                 if parent in _COL_PARALLEL and leaf.shape[off] % mesh.shape[MODEL_AXIS] == 0:
-                    return NamedSharding(mesh, P(*lead, MODEL_AXIS, None))
-                if parent in _ROW_PARALLEL and leaf.shape[off + 1] % mesh.shape[MODEL_AXIS] == 0:
-                    return NamedSharding(mesh, P(*lead, None, MODEL_AXIS))
+                    spec[off] = MODEL_AXIS
+                elif parent in _ROW_PARALLEL and leaf.shape[off + 1] % mesh.shape[MODEL_AXIS] == 0:
+                    spec[off + 1] = MODEL_AXIS
+            if fsdp and n_data > 1:
+                for dim in (off, off + 1):  # prefer out-rows (shard-local WN)
+                    if spec[dim] is None and leaf.shape[dim] % n_data == 0:
+                        spec[dim] = DATA_AXIS
+                        break
+            return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)

@@ -170,12 +170,20 @@ def main(args):
     )
     step_fn = jax.jit(step_fn, donate_argnums=0)
 
-    # Lay out state/batch over the mesh (GSPMD inserts grad psum + TP collectives).
-    p_shard = param_sharding(state.params, mesh)
+    # Lay out state/batch over the mesh (GSPMD inserts grad psum + TP collectives;
+    # with --fsdp, per-layer all-gathers + gradient reduce-scatters).
+    p_shard = param_sharding(state.params, mesh, fsdp=args.fsdp)
     state = state.replace(
         params=shard_tree(state.params, p_shard),
         ema={k: shard_tree(v, p_shard) for k, v in state.ema.items()},
     )
+    if args.fsdp:
+        # Adam mu/nu mirror the param tree, so the same rule co-shards them.
+        state = state.replace(
+            opt_state=shard_tree(
+                state.opt_state, param_sharding(state.opt_state, mesh, fsdp=True)
+            )
+        )
     b_shard = batch_sharding(mesh)
 
     # --batch-size is the GLOBAL batch. Every process draws the same epoch
@@ -362,6 +370,10 @@ if __name__ == "__main__":
     # TPU execution
     parser.add_argument("--n-model", type=int, default=1,
                         help="tensor-parallel mesh axis size (devices/n-model = data axis)")
+    parser.add_argument("--fsdp", type=lambda s: s.lower() in ("1", "true", "yes"),
+                        default=False, metavar="BOOL",
+                        help="fully-sharded (ZeRO-3) params/optimizer/EMA over the "
+                             "data axis — XL-scale memory; composes with --n-model")
     parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32")
     parser.add_argument("--matmul-precision", choices=["default", "high", "highest"],
                         default="default",
