@@ -18,12 +18,16 @@ def to_uint8(samples: np.ndarray, value_range=(-1.0, 1.0)) -> np.ndarray:
 
 def save_image_grid(
     samples: np.ndarray,
-    path: str,
+    path,
     nrow: int = 8,
     value_range=(-1.0, 1.0),
     padding: int = 2,
+    format: str | None = None,
 ) -> None:
-    """Save an (N, C, H, W) batch as a grid PNG with `nrow` images per row."""
+    """Save an (N, C, H, W) batch as a grid PNG with `nrow` images per row.
+
+    ``path`` may be a filesystem path or a writable file object (pass
+    ``format="PNG"`` then — serve.py streams grids into HTTP responses)."""
     from PIL import Image
 
     imgs = to_uint8(np.asarray(samples), value_range)
@@ -40,4 +44,4 @@ def save_image_grid(
         grid[y : y + h, x : x + w] = img
     if c == 1:
         grid = grid[..., 0]
-    Image.fromarray(grid).save(path)
+    Image.fromarray(grid).save(path, format=format)

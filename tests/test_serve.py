@@ -1,0 +1,133 @@
+"""Serving subsystem tests: drive the real serve.py over HTTP in a
+subprocess (CPU), covering the bucket cache, both output formats, seed
+determinism, and error surfaces."""
+
+import io
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cpu_env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+    ).strip()
+    return env
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    results = str(tmp_path_factory.mktemp("results"))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"),
+         "--data-path", "synthetic:32", "--results-dir", results,
+         "--model", "DiT-XS/8", "--num-classes", "10", "--num-steps", "6",
+         "--batch-size", "8", "--log-every", "3", "--ckpt-every", "6",
+         "--ema-snapshot-every", "3", "--num-lin-warmup", "2",
+         "--start-decay", "4"],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=_cpu_env(),
+    )
+    assert proc.returncode == 0, f"train: {proc.stdout}\n{proc.stderr}"
+    exp_dir = os.path.join(results, os.listdir(results)[0])
+
+    srv = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"),
+         "--result-dir", exp_dir, "--port", "0", "--warmup", "false",
+         "--buckets", "1,4", "--default-steps", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env=_cpu_env(),
+    )
+    port = None
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        line = srv.stdout.readline()
+        if "listening on http://" in line:
+            port = int(line.split("http://")[1].split()[0].rsplit(":", 1)[1])
+            break
+        if srv.poll() is not None:
+            raise AssertionError(f"serve.py exited early:\n{srv.stdout.read()}")
+    assert port, "server did not announce its port"
+    yield f"http://127.0.0.1:{port}"
+    srv.terminate()
+    srv.wait(timeout=30)
+
+
+def _post(base, payload, timeout=600):
+    req = urllib.request.Request(
+        base + "/v1/sample",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+class TestServe:
+    def test_healthz(self, server):
+        with urllib.request.urlopen(server + "/healthz", timeout=60) as resp:
+            info = json.loads(resp.read())
+        assert info["status"] == "ok"
+        assert info["model"] == "DiT-XS/8"
+        assert info["buckets"] == [1, 4]
+        assert info["decode"] == "latent"
+
+    def test_png_grid(self, server):
+        status, ctype, body = _post(
+            server,
+            {"class_label": 3, "num_samples": 3, "steps": 4, "sampler": "dpm++"},
+        )
+        assert status == 200 and ctype == "image/png"
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_npz_format_and_seed_determinism(self, server):
+        payload = {
+            "class_labels": [1, 2], "steps": 4, "sampler": "ddim",
+            "seed": 7, "format": "npz", "cfg_scale": 1.0,
+        }
+        _, ctype, body1 = _post(server, payload)
+        _, _, body2 = _post(server, payload)
+        assert ctype == "application/x-npz"
+        with np.load(io.BytesIO(body1)) as f1, np.load(io.BytesIO(body2)) as f2:
+            a, b = f1["arr_0"], f2["arr_0"]
+        assert a.shape == (2, 16, 16, 4) and a.dtype == np.uint8
+        np.testing.assert_array_equal(a, b)
+
+    def test_bucket_reuse_is_visible(self, server):
+        # the two requests above shared (ddim, 4, 1.0, bucket 4); healthz
+        # counts compiled programs, so it must be < number of requests made
+        with urllib.request.urlopen(server + "/healthz", timeout=60) as resp:
+            info = json.loads(resp.read())
+        assert 1 <= info["compiled_programs"] <= 2
+
+    def test_errors(self, server):
+        for payload, frag in [
+            ({"class_label": 99, "steps": 4}, "class label"),
+            ({"class_label": 1, "num_samples": 64}, "bucket"),
+            ({"class_label": 1, "steps": 4, "sampler": "euler"}, "sampler"),
+        ]:
+            try:
+                _post(server, payload)
+                raise AssertionError(f"expected 400 for {payload}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert frag in json.loads(e.read())["error"]
+
+        try:
+            urllib.request.urlopen(server + "/nope", timeout=60)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
