@@ -108,6 +108,7 @@ def make_train_step(
     ema_stds: Tuple[float, ...] = EMA_STDS,
     timestep_sampler: str = "uniform",
     sampler_axis_name: Optional[str] = None,
+    grad_accum: int = 1,
 ):
     """Build the pure train-step function (jit/donate applied by the caller
     or `mapdit_tpu.training.train_loop`).
@@ -118,9 +119,20 @@ def make_train_step(
         a fresh latent mu + eps*sigma is drawn and normalized on device every
         step (the reference's stochastic posterior augmentation,
         `train.py:168-176`).
+
+    ``grad_accum > 1`` splits the (global) batch into that many equal
+    micro-batches and runs them through a `lax.scan`, averaging gradients
+    before the single Adam/EMA/projection update — activation memory drops
+    to one micro-batch while the optimizer trajectory is **exactly** the
+    unaccumulated one: per-row t, q-sample noise, and importance weights are
+    drawn for the full batch up front (identical RNG stream), and the mean
+    of equal-size micro-batch gradients equals the full-batch gradient.
+    (Only the CFG label-dropout mask derivation differs per micro-batch —
+    same marginal distribution.)
     """
     model = DiT(cfg)
     beta_fns = {ema_key(s): ema_lib.make_beta_fn(s) for s in ema_stds}
+    assert grad_accum >= 1
 
     resampler = None
     if timestep_sampler == "loss-second-moment":
@@ -148,34 +160,82 @@ def make_train_step(
             t_weights = None
         else:
             t, t_weights = resampler.sample(state.sampler_state, rng_t, n)
+        # Pre-drawn q-sample noise: identical values to training_losses's
+        # internal draw for grad_accum=1, sliceable per micro-batch otherwise.
+        noise = jax.random.normal(rng_noise, x.shape, x.dtype)
 
-        def loss_fn(params):
-            def model_fn(xt, tt, y):
-                return model.apply(
-                    {"params": params, "constants": state.constants},
-                    xt,
-                    tt,
-                    y,
-                    train=True,
-                    rngs={"label_dropout": rng_drop},
+        def make_loss_fn(xb, yb, tb, nb, wb, drop_rng):
+            def loss_fn(params):
+                def model_fn(xt, tt, y):
+                    return model.apply(
+                        {"params": params, "constants": state.constants},
+                        xt,
+                        tt,
+                        y,
+                        train=True,
+                        rngs={"label_dropout": drop_rng},
+                    )
+
+                terms = diffusion.training_losses(
+                    model_fn, xb, tb, model_kwargs={"y": yb}, noise=nb
+                )
+                per_sample = terms["loss"]
+                if wb is not None:
+                    per_sample = per_sample * wb
+                return jnp.mean(per_sample), terms
+
+            return loss_fn
+
+        if grad_accum == 1:
+            (loss, terms), grads = jax.value_and_grad(
+                make_loss_fn(x, y, t, noise, t_weights, rng_drop), has_aux=True
+            )(state.params)
+            per_sample_loss = terms["loss"]
+            mse = jnp.mean(terms["mse"]) if "mse" in terms else loss
+            vb = jnp.mean(terms["vb"]) if "vb" in terms else jnp.zeros(())
+        else:
+            assert n % grad_accum == 0, (n, grad_accum)
+            m = n // grad_accum
+            split = lambda a: a.reshape(grad_accum, m, *a.shape[1:])
+            xs = (
+                split(x),
+                split(y),
+                split(t),
+                split(noise),
+                split(t_weights) if t_weights is not None else None,
+                jnp.arange(grad_accum),
+            )
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+            def body(carry, inp):
+                g_acc, loss_acc, mse_acc, vb_acc = carry
+                xb, yb, tb, nb, wb, i = inp
+                (l, terms), g = jax.value_and_grad(
+                    make_loss_fn(xb, yb, tb, nb, wb, jax.random.fold_in(rng_drop, i)),
+                    has_aux=True,
+                )(state.params)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                mse_b = jnp.mean(terms["mse"]) if "mse" in terms else l
+                vb_b = jnp.mean(terms["vb"]) if "vb" in terms else jnp.zeros(())
+                return (
+                    (g_acc, loss_acc + l, mse_acc + mse_b, vb_acc + vb_b),
+                    jax.lax.stop_gradient(terms["loss"]),
                 )
 
-            terms = diffusion.training_losses(
-                model_fn, x, t, model_kwargs={"y": y}, rng=rng_noise
+            (g_sum, loss_sum, mse_sum, vb_sum), micro_losses = jax.lax.scan(
+                body, (zero_grads, jnp.zeros(()), jnp.zeros(()), jnp.zeros(())), xs
             )
-            per_sample = terms["loss"]
-            if t_weights is not None:
-                per_sample = per_sample * t_weights
-            return jnp.mean(per_sample), terms
-
-        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            inv = 1.0 / grad_accum
+            grads = jax.tree_util.tree_map(lambda a: a * inv, g_sum)
+            loss, mse, vb = loss_sum * inv, mse_sum * inv, vb_sum * inv
+            per_sample_loss = micro_losses.reshape(n)
 
         sampler_state = state.sampler_state
         if resampler is not None:
             sampler_state = resampler.update_with_local_losses(
                 sampler_state,
                 t,
-                jax.lax.stop_gradient(terms["loss"]),
+                jax.lax.stop_gradient(per_sample_loss),
                 axis_name=sampler_axis_name,
             )
 
@@ -194,8 +254,8 @@ def make_train_step(
 
         metrics = {
             "loss": loss,
-            "mse": jnp.mean(terms["mse"]) if "mse" in terms else loss,
-            "vb": jnp.mean(terms["vb"]) if "vb" in terms else jnp.zeros(()),
+            "mse": mse,
+            "vb": vb,
             "grad_norm": optax.global_norm(grads),
         }
         new_state = TrainState(

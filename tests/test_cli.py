@@ -123,6 +123,7 @@ class TestObservability:
             "--start-decay", "5",
             "--metrics-jsonl", "auto",
             "--profile-dir", prof,
+            "--grad-accum", "2",
         )
         exp = os.path.join(results, os.listdir(results)[0])
         lines = open(os.path.join(exp, "metrics.jsonl")).read().splitlines()

@@ -274,6 +274,77 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["loss"]))
 
 
+class TestGradAccum:
+    """--grad-accum: micro-batch scan with averaged gradients must trace the
+    EXACT unaccumulated trajectory (per-row t/noise drawn for the full batch
+    up front; mean of equal-size micro grads == full-batch grad)."""
+
+    @staticmethod
+    def _mk(grad_accum, dropout=0.0, sampler="uniform"):
+        cfg = build_config(
+            "DiT-XS/8", in_channels=4, input_size=16, num_classes=10,
+            class_dropout_prob=dropout,
+        )
+        diffusion = create_diffusion("")
+        ds = SyntheticLatentDataset(num_examples=64, num_classes=10)
+        tx = create_optimizer(warmup_flat_invsqrt(1e-2, 5, 50))
+        step_fn = make_train_step(
+            cfg, diffusion, tx,
+            stats_mean=jnp.asarray(ds.stats["mean"]),
+            stats_std=jnp.asarray(ds.stats["std"]),
+            grad_accum=grad_accum,
+            timestep_sampler=sampler,
+        )
+        state = create_train_state(
+            cfg, tx, seed=0, timestep_sampler=sampler,
+            num_timesteps=diffusion.num_timesteps,
+        )
+        return ds, jax.jit(step_fn), state
+
+    def test_exact_equivalence(self):
+        # class_dropout_prob=0 so the only per-micro RNG (the CFG label-drop
+        # mask derivation) is immaterial; everything else matches bitwise-ish.
+        ds, step1, state1 = self._mk(1)
+        _, step4, state4 = self._mk(4)
+        it1 = ds.batches(batch_size=16, seed=0)
+        it4 = ds.batches(batch_size=16, seed=0)
+        for _ in range(3):
+            state1, m1 = step1(state1, next(it1))
+            state4, m4 = step4(state4, next(it4))
+            np.testing.assert_allclose(
+                float(m1["loss"]), float(m4["loss"]), rtol=1e-5
+            )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            ),
+            state1.params,
+            state4.params,
+        )
+        assert int(state4.step) == 3  # optimizer steps, not micro steps
+
+    def test_with_dropout_and_ema(self):
+        ds, step2, state = self._mk(2, dropout=0.1)
+        it = ds.batches(batch_size=16, seed=0)
+        for _ in range(4):
+            state, metrics = step2(state, next(it))
+            assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 4
+        ema_w = np.asarray(
+            state.ema[ema_key(0.05)]["blocks_0"]["attn"]["qkv_proj"]["weight"]
+        )
+        assert np.isfinite(ema_w).all()
+
+    def test_composes_with_loss_second_moment_sampler(self):
+        ds, step2, state = self._mk(2, sampler="loss-second-moment")
+        it = ds.batches(batch_size=16, seed=0)
+        for _ in range(3):
+            state, metrics = step2(state, next(it))
+            assert np.isfinite(float(metrics["loss"]))
+        # per-sample losses from the micro scan must reach the resampler
+        assert int(np.asarray(state.sampler_state.counts).sum()) == 48
+
+
 class TestOrbaxBackend:
     def test_orbax_roundtrip(self, tiny_setup, tmp_path):
         from mapdit_tpu.training.checkpoint import (

@@ -167,6 +167,7 @@ def main(args):
         stats_std=jnp.asarray(dataset.stats["std"]),
         ema_stds=ema_stds,
         timestep_sampler=args.timestep_sampler,
+        grad_accum=args.grad_accum,
     )
     step_fn = jax.jit(step_fn, donate_argnums=0)
 
@@ -192,6 +193,9 @@ def main(args):
     # assembles the slices into the sharded global array. start_step resumes
     # the shuffle stream at the checkpointed cursor instead of epoch 0.
     assert args.batch_size % n_data == 0, "batch size must divide the data axis"
+    assert args.batch_size % args.grad_accum == 0 and (
+        args.batch_size // args.grad_accum
+    ) % n_data == 0, "micro batch (batch-size/grad-accum) must divide the data axis"
     assert args.batch_size % jax.process_count() == 0, (
         "batch size must divide the process count (multi-host)"
     )
@@ -374,6 +378,10 @@ if __name__ == "__main__":
                         default=False, metavar="BOOL",
                         help="fully-sharded (ZeRO-3) params/optimizer/EMA over the "
                              "data axis — XL-scale memory; composes with --n-model")
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="micro-batch gradient accumulation: scan over "
+                             "batch-size/N slices, one optimizer update — same "
+                             "trajectory, 1/N activation memory")
     parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32")
     parser.add_argument("--matmul-precision", choices=["default", "high", "highest"],
                         default="default",
