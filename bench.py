@@ -93,6 +93,7 @@ def bench_train(args, cfg):
             tx,
             stats_mean=jnp.asarray(ds.stats["mean"]),
             stats_std=jnp.asarray(ds.stats["std"]),
+            grad_accum=args.grad_accum,
         ),
         donate_argnums=0,
     )
@@ -117,7 +118,11 @@ def bench_train(args, cfg):
             {
                 "metric": "train_steps_per_sec",
                 "value": round(n_steps / elapsed, 3),
-                "unit": f"steps/s ({args.model}, batch {args.batch}, {args.dtype})",
+                "unit": (
+                    f"steps/s ({args.model}, batch {args.batch}"
+                    + (f" accum {args.grad_accum}" if args.grad_accum > 1 else "")
+                    + f", {args.dtype})"
+                ),
                 "vs_baseline": None,
                 "mfu_pct": mfu,
             }
@@ -144,6 +149,8 @@ def main():
                    help="lax.scan over depth-stacked block params (XL compile time)")
     p.add_argument("--remat", action="store_true",
                    help="per-block activation rematerialization (XL-scale train memory)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="train mode: micro-batch gradient accumulation factor")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
     p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm",
