@@ -155,6 +155,7 @@ def main():
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
     p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm",
                    help="chain family for sample mode (ddim = eta-0 chain)")
+    p.add_argument("--time-schedule", choices=["uniform", "karras"], default="uniform")
     p.add_argument("--scan-unroll", type=int, default=1,
                    help="lax.scan unroll factor for the fast DDPM chain")
     p.add_argument("--prng", choices=["threefry", "rbg"], default="threefry",
@@ -180,8 +181,10 @@ def main():
     if args.mode == "train":
         return bench_train(args, cfg)
     model, variables = init_model(cfg, seed=0)
+    from mapdit_tpu.diffusion import respacing_string
+
     diffusion = create_diffusion(
-        f"ddim{args.steps}" if args.sampler == "ddim" else str(args.steps)
+        respacing_string(args.steps, args.sampler, args.time_schedule)
     )
     sample_fn = build_sample_fn(
         cfg, variables, diffusion, cfg_scale=1.5, fold=True, sampler=args.sampler,

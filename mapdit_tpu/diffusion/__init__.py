@@ -13,7 +13,11 @@ from typing import Optional, Sequence, Union
 from mapdit_tpu.diffusion import gaussian as gd
 from mapdit_tpu.diffusion.dpm_solver import dpm_solver_pp_loop
 from mapdit_tpu.diffusion.gaussian import GaussianDiffusion
-from mapdit_tpu.diffusion.respace import respaced_betas, space_timesteps
+from mapdit_tpu.diffusion.respace import (
+    karras_timesteps,
+    respaced_betas,
+    space_timesteps,
+)
 from mapdit_tpu.diffusion.schedules import get_named_beta_schedule
 
 
@@ -44,7 +48,11 @@ def create_diffusion(
 
     if timestep_respacing is None or timestep_respacing == "":
         timestep_respacing = [diffusion_steps]
-    use_timesteps = space_timesteps(diffusion_steps, timestep_respacing)
+    if isinstance(timestep_respacing, str) and timestep_respacing.startswith("karras"):
+        # beyond-reference: EDM rho-7 sigma spacing (see respace.karras_timesteps)
+        use_timesteps = karras_timesteps(betas, int(timestep_respacing[len("karras"):]))
+    else:
+        use_timesteps = space_timesteps(diffusion_steps, timestep_respacing)
     new_betas, timestep_map = respaced_betas(betas, use_timesteps)
 
     return GaussianDiffusion.create(
@@ -57,10 +65,19 @@ def create_diffusion(
     )
 
 
+def respacing_string(steps: int, sampler: str = "ddpm", schedule: str = "uniform") -> str:
+    """The timestep_respacing string for a sampling protocol: uniform
+    sections (reference default), DDIM striding, or the Karras sigma grid."""
+    if schedule == "karras":
+        return f"karras{steps}"
+    return f"ddim{steps}" if sampler == "ddim" else str(steps)
+
+
 __all__ = [
     "GaussianDiffusion",
     "create_diffusion",
     "dpm_solver_pp_loop",
+    "karras_timesteps",
     "space_timesteps",
     "respaced_betas",
     "gd",

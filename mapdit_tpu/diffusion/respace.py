@@ -50,6 +50,43 @@ def space_timesteps(num_timesteps: int, section_counts: Union[str, Sequence[int]
     return set(all_steps)
 
 
+def karras_timesteps(
+    betas: np.ndarray, n: int, rho: float = 7.0
+) -> Set[int]:
+    """Karras et al. (EDM, arXiv 2206.00364 eq. 5) sigma-spaced subset.
+
+    Beyond-reference schedule: timesteps are chosen so the noise-to-signal
+    ratios sigma(t) = sqrt(1-acp)/sqrt(acp) follow the rho-7 power ramp —
+    denser near low noise, where few-step samplers (DPM-Solver++) spend
+    their discretization-error budget. Each target sigma maps to the
+    nearest discrete timestep; collisions shift to the nearest unused step
+    so exactly ``n`` model calls remain.
+    """
+    acp = np.cumprod(1.0 - np.asarray(betas, dtype=np.float64))
+    sigma = np.sqrt((1.0 - acp) / acp)  # increasing in t
+    if n >= sigma.shape[0]:
+        return set(range(sigma.shape[0]))
+    inv = 1.0 / rho
+    ramp = np.linspace(0.0, 1.0, n)
+    targets = (sigma[-1] ** inv + ramp * (sigma[0] ** inv - sigma[-1] ** inv)) ** rho
+    idx = np.abs(sigma[None, :] - targets[:, None]).argmin(axis=1)  # descending t
+    used: Set[int] = set()
+    for i in idx:
+        j = int(i)
+        step = 0
+        while j in used:  # nearest unused, alternating outward
+            step += 1
+            for cand in (j - step, j + step):
+                if 0 <= cand < sigma.shape[0] and cand not in used:
+                    j = cand
+                    break
+            else:
+                continue
+        used.add(j)
+    assert len(used) == n
+    return used
+
+
 def respaced_betas(
     betas: np.ndarray, use_timesteps: Collection[int]
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -148,9 +148,9 @@ def main(args):
     )
 
     steps = args.num_sampling_steps
-    diffusion = create_diffusion(
-        f"ddim{steps}" if args.sampler == "ddim" else str(steps)
-    )
+    from mapdit_tpu.diffusion import respacing_string
+
+    diffusion = create_diffusion(respacing_string(steps, args.sampler, args.time_schedule))
     sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler)
     samples = sample_fn(z, y, skey)
     samples = np.asarray(samples[:n])  # drop the null-class half
@@ -173,6 +173,9 @@ if __name__ == "__main__":
     parser.add_argument("--cfg-scale", type=float, default=4.0)
     parser.add_argument("--num-sampling-steps", type=int, default=250)
     parser.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm")
+    parser.add_argument("--time-schedule", choices=["uniform", "karras"], default="uniform",
+                        help="timestep grid: uniform sections (reference) or the "
+                             "EDM rho-7 sigma spacing (better at low step counts)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--ema-std", type=float, default=0.05)
     parser.add_argument("--ckpt", type=str, default=None,

@@ -41,9 +41,9 @@ def main(args):
     train_args = load_config(args.result_dir)
     cfg = config_from_args(train_args)
     steps = args.num_sampling_steps
-    diffusion = create_diffusion(
-        f"ddim{steps}" if args.sampler == "ddim" else str(steps)
-    )
+    from mapdit_tpu.diffusion import respacing_string
+
+    diffusion = create_diffusion(respacing_string(steps, args.sampler, args.time_schedule))
 
     n = 8
     # One compiled sampler shared across all five EMA parameter sets.
@@ -84,5 +84,7 @@ if __name__ == "__main__":
     parser.add_argument("--cfg-scale", type=float, default=4.0)
     parser.add_argument("--num-sampling-steps", type=int, default=250)
     parser.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm")
+    parser.add_argument("--time-schedule", choices=["uniform", "karras"], default="uniform",
+                        help="timestep grid: uniform sections (reference) or EDM sigma spacing")
     parser.add_argument("--seed", type=int, default=42)
     main(parser.parse_args())

@@ -46,9 +46,9 @@ def main(args):
     cfg = config_from_args(train_args)
     variables = load_variables(args.result_dir, train_args, args.ckpt, args.ema_std)
     steps = args.num_sampling_steps
-    diffusion = create_diffusion(
-        f"ddim{steps}" if args.sampler == "ddim" else str(steps)
-    )
+    from mapdit_tpu.diffusion import respacing_string
+
+    diffusion = create_diffusion(respacing_string(steps, args.sampler, args.time_schedule))
 
     use_cfg = args.cfg_scale > 1.0
     sample_fn = build_sample_fn(
@@ -102,6 +102,8 @@ if __name__ == "__main__":
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--num-sampling-steps", type=int, default=250)
     parser.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm")
+    parser.add_argument("--time-schedule", choices=["uniform", "karras"], default="uniform",
+                        help="timestep grid: uniform sections (reference) or EDM sigma spacing")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output-file", type=str, default="samples.npz")
     parser.add_argument("--ema-std", type=float, default=0.05)

@@ -81,16 +81,17 @@ class SamplerService:
             f"num_samples {n} exceeds the largest batch bucket {self.buckets[-1]}"
         )
 
-    def _get_fn(self, sampler: str, steps: int, cfg_scale: float, bucket: int):
-        from mapdit_tpu.diffusion import create_diffusion
+    def _get_fn(
+        self, sampler: str, steps: int, cfg_scale: float, bucket: int,
+        schedule: str = "uniform",
+    ):
+        from mapdit_tpu.diffusion import create_diffusion, respacing_string
         from mapdit_tpu.runtime import build_sample_fn
 
-        key = (sampler, steps, float(cfg_scale), bucket)
+        key = (sampler, steps, float(cfg_scale), bucket, schedule)
         fn = self._fns.get(key)
         if fn is None:
-            diffusion = create_diffusion(
-                f"ddim{steps}" if sampler == "ddim" else str(steps)
-            )
+            diffusion = create_diffusion(respacing_string(steps, sampler, schedule))
             fn = build_sample_fn(
                 self.cfg,
                 self.variables,
@@ -107,7 +108,10 @@ class SamplerService:
 
     # ------------------------------------------------------------------ #
 
-    def sample(self, class_labels, steps, sampler, cfg_scale, seed=None):
+    def sample(
+        self, class_labels, steps, sampler, cfg_scale, seed=None,
+        schedule="uniform",
+    ):
         """(labels, protocol) -> float latents/images (n, C, H, W) in [-1, 1]."""
         import jax
         import jax.numpy as jnp
@@ -143,7 +147,7 @@ class SamplerService:
                 )
             else:
                 y = jnp.asarray(labels)
-            fn = self._get_fn(sampler, steps, cfg_scale, bucket)
+            fn = self._get_fn(sampler, steps, cfg_scale, bucket, schedule)
             out = np.asarray(fn(z, y, skey))[:n]
 
         return decode_latents(out, self.train_args, self.use_vae, self.vae_path)
@@ -210,9 +214,13 @@ def make_handler(service: SamplerService, defaults: dict):
                 if not 1 <= steps <= 1000:
                     raise ValueError("steps must be in [1, 1000]")
                 cfg_scale = float(req.get("cfg_scale", defaults["cfg_scale"]))
+                schedule = req.get("schedule", "uniform")
+                if schedule not in ("uniform", "karras"):
+                    raise ValueError(f"unknown schedule {schedule!r}")
                 fmt = req.get("format", "png")
                 samples = service.sample(
-                    labels, steps, sampler, cfg_scale, seed=req.get("seed")
+                    labels, steps, sampler, cfg_scale, seed=req.get("seed"),
+                    schedule=schedule,
                 )
             except ValueError as e:
                 self._json(400, {"error": str(e)})

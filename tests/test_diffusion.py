@@ -67,6 +67,26 @@ class TestTables:
             np.asarray(dddim.timestep_map), g["timestep_map_ddim25"]
         )
 
+    def test_karras_timesteps(self):
+        from mapdit_tpu.diffusion import karras_timesteps
+
+        betas = get_named_beta_schedule("linear", 1000)
+        for n in (1, 2, 10, 20, 250):
+            ks = sorted(karras_timesteps(betas, n))
+            assert len(ks) == n and len(set(ks)) == n
+            assert all(0 <= t < 1000 for t in ks)
+        ks = sorted(karras_timesteps(betas, 20))
+        # includes both endpoints; denser at low noise than uniform spacing
+        assert ks[0] == 0 and ks[-1] == 999
+        assert sum(1 for t in ks if t < 250) > 20 * 250 // 1000
+        # full-coverage degenerate case
+        assert karras_timesteps(betas, 1000) == set(range(1000))
+        # the respaced process built on it is well-formed
+        d = create_diffusion("karras20")
+        assert d.num_timesteps == 20
+        tm = np.asarray(d.timestep_map)
+        assert (np.diff(tm) > 0).all() and tm[0] == 0 and tm[-1] == 999
+
     def test_multi_section_respacing(self):
         steps = space_timesteps(300, [10, 15, 20])
         assert len(steps) == 45
@@ -452,6 +472,22 @@ class TestDPMSolverPP:
             x = dpm_solver_pp_loop(create_diffusion(str(n)), model, noise)
             assert x.shape == noise.shape
             assert np.all(np.isfinite(np.asarray(x)))
+
+    def test_karras_schedule_beats_uniform(self):
+        """EDM sigma spacing: same solver, same step count, ~2.5-3x lower
+        discretization error (measured 0.505/0.176/0.023 vs 1.29/0.45/0.072
+        at N=10/20/50 against the exact solution)."""
+        from mapdit_tpu.diffusion import dpm_solver_pp_loop
+
+        model = self._analytic_model()
+        noise = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 8, 8))
+        err = lambda x: float(jnp.abs(x - noise).max())
+        for n, bound in ((20, 0.25), (50, 0.04)):
+            eu = err(dpm_solver_pp_loop(
+                create_diffusion(str(n)), model, noise, clip_denoised=False))
+            ek = err(dpm_solver_pp_loop(
+                create_diffusion(f"karras{n}"), model, noise, clip_denoised=False))
+            assert ek < bound and ek < eu / 2, (n, ek, eu)
 
     def test_start_x_parameterization_matches(self):
         """x0-predicting process must trace the same trajectory as the
