@@ -74,6 +74,34 @@ def save_state_orbax(exp_dir: str, step: int, state) -> str:
     return path
 
 
+class AsyncOrbaxSaver:
+    """Long-lived async checkpointer for the training loop.
+
+    `save()` returns as soon as the state is snapshotted to host memory
+    (orbax's async contract: buffers are safe to donate/mutate after save()
+    returns); the directory write proceeds in a background thread, so the
+    train loop never blocks on checkpoint IO. A subsequent save waits for
+    the previous write; `close()` joins the last one. On multi-host pods
+    every process must call save/close (collective barriers)."""
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, exp_dir: str, step: int, state) -> str:
+        path = orbax_path(exp_dir, step)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self._ckptr.save(os.path.abspath(path), state, force=True)
+        return path
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+    def close(self):
+        self._ckptr.close()
+
+
 def restore_state_orbax(path: str, state_template):
     import orbax.checkpoint as ocp
 

@@ -372,6 +372,42 @@ class TestOrbaxBackend:
             restored.params,
         )
 
+    def test_async_saver_overlapped_saves(self, tiny_setup, tmp_path):
+        """AsyncOrbaxSaver: save() must not block training — the state is
+        host-snapshotted on return, so donating/advancing it while the
+        background write runs is safe; close() joins the last write."""
+        from mapdit_tpu.training.checkpoint import (
+            AsyncOrbaxSaver,
+            latest_checkpoint_any,
+            restore_state,
+        )
+
+        cfg, ds, step_fn, _ = tiny_setup
+        tx = create_optimizer(warmup_flat_invsqrt(1e-2, 5, 50))
+        state = create_train_state(cfg, tx, seed=5)
+        it = ds.batches(batch_size=8, seed=5)
+
+        saver = AsyncOrbaxSaver()
+        saved_params = None
+        for step in (1, 2):
+            state, _ = step_fn(state, next(it))
+            saver.save(str(tmp_path), step, state)
+            # mutate immediately: donated buffers are reused by the next step
+            saved_params = jax.device_get(state.params)
+        state, _ = step_fn(state, next(it))
+        saver.close()
+
+        path = latest_checkpoint_any(str(tmp_path))
+        assert path.endswith("0000002.orbax")
+        template = create_train_state(cfg, tx, seed=9)
+        restored = restore_state(path, template)
+        assert int(restored.step) == 2
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            saved_params,
+            restored.params,
+        )
+
 
 class TestDeterminism:
     def test_same_seed_identical_trajectory(self, tiny_setup):

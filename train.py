@@ -38,7 +38,6 @@ from mapdit_tpu.training.checkpoint import (
     latest_checkpoint_any,
     restore_state,
     save_state,
-    save_state_orbax,
 )
 from mapdit_tpu.training.data import LatentDataset, SyntheticLatentDataset
 from mapdit_tpu.training.lr import default_schedule_steps
@@ -238,6 +237,7 @@ def main(args):
         metrics_sink = open(path, "a")
 
     logger.info(f"training for {args.num_steps} steps...")
+    orbax_saver = None  # lazy async checkpointer (--checkpointer orbax)
     train_steps = int(state.step)
     log_steps = 0
     loss_buf = []  # on-device scalars; fetched once per log interval
@@ -294,8 +294,14 @@ def main(args):
             if train_steps % args.ckpt_every == 0 and train_steps > 0:
                 if args.checkpointer == "orbax":
                     # collective: EVERY process must join the orbax save
-                    # barriers, or the lead deadlocks on a multi-host pod
-                    path = save_state_orbax(exp_dir, train_steps, state)
+                    # barriers, or the lead deadlocks on a multi-host pod.
+                    # Async: save() returns after the host snapshot; the
+                    # directory write overlaps subsequent train steps.
+                    if orbax_saver is None:
+                        from mapdit_tpu.training.checkpoint import AsyncOrbaxSaver
+
+                        orbax_saver = AsyncOrbaxSaver()
+                    path = orbax_saver.save(exp_dir, train_steps, state)
                     logger.info(f"saving checkpoint to {path} at step {train_steps}...")
                 elif is_lead:
                     path = save_state(exp_dir, train_steps, state)
@@ -312,6 +318,8 @@ def main(args):
                     ema_lib.save_snapshot(ema_dir, std, train_steps, state.ema[ema_key(std)])
                 logger.info(f"saving ema snapshot to {ema_dir} at step {train_steps}...")
 
+    if orbax_saver is not None:
+        orbax_saver.close()  # join the in-flight background write
     if args.profile_dir:
         jax.profiler.stop_trace()
     if metrics_sink is not None:
