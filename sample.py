@@ -151,7 +151,7 @@ def main(args):
     from mapdit_tpu.diffusion import respacing_string
 
     diffusion = create_diffusion(respacing_string(steps, args.sampler, args.time_schedule))
-    sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler)
+    sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler, eta=args.eta)
     samples = sample_fn(z, y, skey)
     samples = np.asarray(samples[:n])  # drop the null-class half
 
@@ -176,6 +176,8 @@ if __name__ == "__main__":
     parser.add_argument("--time-schedule", choices=["uniform", "karras"], default="uniform",
                         help="timestep grid: uniform sections (reference) or the "
                              "EDM rho-7 sigma spacing (better at low step counts)")
+    parser.add_argument("--eta", type=float, default=0.0,
+                        help="DDIM stochasticity (0 = deterministic ODE, 1 = DDPM-like)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--ema-std", type=float, default=0.05)
     parser.add_argument("--ckpt", type=str, default=None,

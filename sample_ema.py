@@ -48,7 +48,7 @@ def main(args):
     n = 8
     # One compiled sampler shared across all five EMA parameter sets.
     prepare, sample_fn = build_shared_sample_fn(
-        cfg, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler
+        cfg, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler, eta=args.eta
     )
     res = []
     for std in EMA_STDS:
@@ -86,5 +86,7 @@ if __name__ == "__main__":
     parser.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm")
     parser.add_argument("--time-schedule", choices=["uniform", "karras"], default="uniform",
                         help="timestep grid: uniform sections (reference) or EDM sigma spacing")
+    parser.add_argument("--eta", type=float, default=0.0,
+                        help="DDIM stochasticity (0 = deterministic ODE)")
     parser.add_argument("--seed", type=int, default=42)
     main(parser.parse_args())

@@ -55,6 +55,7 @@ def main(args):
         cfg, variables, diffusion,
         cfg_scale=args.cfg_scale if use_cfg else None,
         sampler=args.sampler,
+        eta=args.eta,
     )
 
     # Data-parallel sampling: shard each batch over all available chips
@@ -104,6 +105,8 @@ if __name__ == "__main__":
     parser.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm")
     parser.add_argument("--time-schedule", choices=["uniform", "karras"], default="uniform",
                         help="timestep grid: uniform sections (reference) or EDM sigma spacing")
+    parser.add_argument("--eta", type=float, default=0.0,
+                        help="DDIM stochasticity (0 = deterministic ODE)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output-file", type=str, default="samples.npz")
     parser.add_argument("--ema-std", type=float, default=0.05)

@@ -252,6 +252,7 @@ class TestSampleCLI:
             "--num-sampling-steps", "4",
             "--ckpt", "0000012",
             "--sampler", "ddim",
+            "--eta", "1.0",
         )
         assert os.path.exists(out)
 

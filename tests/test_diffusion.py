@@ -510,6 +510,24 @@ class TestDPMSolverPP:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+class TestDDIMEta:
+    def test_eta1_equals_ddpm_fixed_small(self):
+        """DDIM eta=1 is exactly the ancestral DDPM chain under the
+        posterior (FIXED_SMALL) variance — same per-step RNG stream, so the
+        chains coincide numerically (classic DDIM eq. 16 identity)."""
+        d = create_diffusion("10", learn_sigma=False, sigma_small=True)
+        model = lambda x, t, **kw: 0.1 * x + 0.01 * t.reshape(-1, 1, 1, 1)
+        noise = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8))
+        rng = jax.random.PRNGKey(0)
+        a = d.p_sample_loop(model, noise, rng, clip_denoised=False)
+        b = d.ddim_sample_loop(model, noise, rng, clip_denoised=False, eta=1.0)
+        scale = float(jnp.abs(a).max())
+        assert float(jnp.abs(a - b).max()) < 1e-5 * scale
+        # eta=0 is a different (deterministic) trajectory
+        c = d.ddim_sample_loop(model, noise, rng, clip_denoised=False, eta=0.0)
+        assert float(jnp.abs(a - c).max()) > 1e-2 * scale
+
+
 class TestDDIMReverse:
     @staticmethod
     def _model(x, t, **kw):
