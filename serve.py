@@ -39,8 +39,33 @@ import time
 import numpy as np
 
 
+class _Job:
+    """One request in the coalescing queue."""
+
+    __slots__ = ("labels", "seed", "done", "result", "error")
+
+    def __init__(self, labels, seed):
+        self.labels = labels
+        self.seed = seed
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
 class SamplerService:
-    """Loads a trained experiment once; serves padded-bucket sample calls."""
+    """Loads a trained experiment once; serves padded-bucket sample calls.
+
+    Concurrent requests with the same protocol (sampler, steps, cfg_scale,
+    schedule) are **coalesced** into one device batch by a dispatcher
+    thread: the first request waits up to ``coalesce_ms`` for companions,
+    then the group runs as a single padded-bucket program and results are
+    split per request. Initial latents are drawn from each request's own
+    key, so with the deterministic samplers (dpm++, ddim eta=0) a request's
+    output is identical whether it ran alone or coalesced — seed
+    determinism survives batching. (Stochastic chains share per-step noise
+    across the batch; their outputs remain seed-reproducible only for
+    identical batch compositions.)
+    """
 
     def __init__(
         self,
@@ -51,6 +76,7 @@ class SamplerService:
         vae_path=None,
         buckets=(1, 4, 8),
         seed: int = 0,
+        coalesce_ms: float = 3.0,
     ):
         import jax
 
@@ -65,11 +91,18 @@ class SamplerService:
         self.use_vae = use_vae
         self.vae_path = vae_path
         self.buckets = tuple(sorted(set(buckets)))
-        self._fns = {}  # (sampler, steps, cfg_scale, bucket) -> sample_fn
-        self._device_lock = threading.Lock()
+        self.coalesce_ms = coalesce_ms
+        self._fns = {}  # (sampler, steps, cfg_scale, bucket, schedule) -> fn
         self._base_key = jax.random.PRNGKey(seed)
         self._request_counter = 0
+        self._coalesced_batches = 0
+        self._batches_run = 0
         self.started = time.time()
+        # protocol-key -> list of pending _Job; one dispatcher owns the device
+        self._queues = {}
+        self._cv = threading.Condition()
+        self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._dispatcher.start()
 
     # ------------------------------------------------------------------ #
 
@@ -112,45 +145,124 @@ class SamplerService:
         self, class_labels, steps, sampler, cfg_scale, seed=None,
         schedule="uniform",
     ):
-        """(labels, protocol) -> float latents/images (n, C, H, W) in [-1, 1]."""
-        import jax
-        import jax.numpy as jnp
+        """(labels, protocol) -> float latents/images (n, C, H, W) in [-1, 1].
 
-        from sample import decode_latents
-
+        Called from HTTP threads: validates, enqueues a job under the
+        protocol key, and blocks until the dispatcher fills in the result
+        (already decoded — the dispatcher thread owns all device work).
+        """
         n = len(class_labels)
-        bucket = self._bucket(n)
+        self._bucket(n)  # reject oversize requests before enqueueing
         num_classes = self.cfg.num_classes
         for lab in class_labels:
             if not 0 <= int(lab) < num_classes:
                 raise ValueError(f"class label {lab} outside [0, {num_classes})")
 
-        with self._device_lock:
-            if seed is None:
+        job = _Job(np.asarray(class_labels, np.int32), seed)
+        key = (sampler, int(steps), float(cfg_scale), schedule)
+        with self._cv:
+            self._queues.setdefault(key, []).append(job)
+            self._cv.notify()
+        job.done.wait()
+        if job.error is not None:
+            raise job.error
+        return job.result
+
+    # ---------------------------------------------------------------- #
+    # dispatcher: owns the device; coalesces compatible jobs per batch
+
+    def _take_group(self):
+        """Block until work exists; return (protocol_key, jobs) where the
+        jobs fit one bucket. Waits coalesce_ms for companions first."""
+        with self._cv:
+            while not any(self._queues.values()):
+                self._cv.wait()
+        if self.coalesce_ms > 0:
+            time.sleep(self.coalesce_ms / 1e3)
+        with self._cv:
+            key = next(k for k, v in self._queues.items() if v)
+            pending = self._queues[key]
+            group, rows = [], 0
+            while pending and rows + len(pending[0].labels) <= self.buckets[-1]:
+                job = pending.pop(0)
+                group.append(job)
+                rows += len(job.labels)
+            return key, group
+
+    def _dispatch_loop(self):
+        while True:
+            try:
+                key, group = self._take_group()
+            except Exception:  # noqa: BLE001 — queue plumbing must not die
+                import traceback
+
+                traceback.print_exc()
+                time.sleep(0.1)
+                continue
+            try:
+                self._run_group(key, group)
+            except Exception as e:  # noqa: BLE001 — propagate to every waiter
+                for job in group:
+                    job.error = e
+                    job.done.set()
+
+    def _run_group(self, key, group):
+        import jax
+        import jax.numpy as jnp
+
+        sampler, steps, cfg_scale, schedule = key
+        n = sum(len(j.labels) for j in group)
+        bucket = self._bucket(n)
+        num_classes = self.cfg.num_classes
+        c = self.train_args["in_channels"]
+        s = self.train_args["input_size"]
+
+        # Per-request z keys: row noise is independent of batch position,
+        # so deterministic samplers give coalescing-invariant outputs.
+        zs, labels = [], []
+        for job in group:
+            if job.seed is None:
                 self._request_counter += 1
-                key = jax.random.fold_in(self._base_key, self._request_counter)
+                jkey = jax.random.fold_in(self._base_key, self._request_counter)
             else:
-                key = jax.random.PRNGKey(int(seed))
-            zkey, skey = jax.random.split(key)
+                jkey = jax.random.PRNGKey(int(job.seed))
+            zkey, _ = jax.random.split(jkey)
+            zs.append(jax.random.normal(zkey, (len(job.labels), c, s, s)))
+            labels.append(job.labels)
+        pad = bucket - n
+        if pad:
+            zs.append(jnp.zeros((pad, c, s, s)))
+            labels.append(np.zeros((pad,), np.int32))
+        z = jnp.concatenate(zs, axis=0)
+        y_rows = jnp.asarray(np.concatenate(labels))
 
-            c = self.train_args["in_channels"]
-            s = self.train_args["input_size"]
-            z = jax.random.normal(zkey, (bucket, c, s, s))
-            labels = np.zeros((bucket,), np.int32)
-            labels[:n] = np.asarray(class_labels, np.int32)
-            use_cfg = cfg_scale > 1.0
-            if use_cfg:
-                # reference CFG batch contract: [z; z], [labels; null]
-                z = jnp.concatenate([z, z], axis=0)
-                y = jnp.concatenate(
-                    [jnp.asarray(labels), jnp.full((bucket,), num_classes, jnp.int32)]
-                )
-            else:
-                y = jnp.asarray(labels)
-            fn = self._get_fn(sampler, steps, cfg_scale, bucket, schedule)
-            out = np.asarray(fn(z, y, skey))[:n]
+        # chain noise (DDPM / eta>0 DDIM only): fresh stream per batch
+        self._request_counter += 1
+        skey = jax.random.fold_in(self._base_key, self._request_counter)
 
-        return decode_latents(out, self.train_args, self.use_vae, self.vae_path)
+        if cfg_scale > 1.0:
+            # reference CFG batch contract: [z; z], [labels; null]
+            z = jnp.concatenate([z, z], axis=0)
+            y = jnp.concatenate(
+                [y_rows, jnp.full((bucket,), num_classes, jnp.int32)]
+            )
+        else:
+            y = y_rows
+        fn = self._get_fn(sampler, steps, cfg_scale, bucket, schedule)
+        out = np.asarray(fn(z, y, skey))[:n]
+        # decode on this thread too — the dispatcher owns all device work
+        from sample import decode_latents
+
+        out = decode_latents(out, self.train_args, self.use_vae, self.vae_path)
+
+        self._batches_run += 1
+        if len(group) > 1:
+            self._coalesced_batches += 1
+        off = 0
+        for job in group:
+            job.result = out[off : off + len(job.labels)]
+            off += len(job.labels)
+            job.done.set()
 
     def info(self) -> dict:
         return {
@@ -161,6 +273,9 @@ class SamplerService:
             "in_channels": self.train_args["in_channels"],
             "buckets": list(self.buckets),
             "compiled_programs": len(self._fns),
+            "batches_run": self._batches_run,
+            "coalesced_batches": self._coalesced_batches,
+            "coalesce_ms": self.coalesce_ms,
             "uptime_s": round(time.time() - self.started, 1),
             "decode": "vae" if self.use_vae else "latent",
         }
@@ -265,6 +380,7 @@ def main(args):
         vae_path=args.vae_path,
         buckets=tuple(int(b) for b in args.buckets.split(",")),
         seed=args.seed,
+        coalesce_ms=args.coalesce_ms,
     )
     defaults = {
         "steps": args.default_steps,
@@ -308,6 +424,10 @@ if __name__ == "__main__":
                         default="dpm++")
     parser.add_argument("--default-cfg-scale", type=float, default=4.0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--coalesce-ms", type=float, default=3.0,
+                        help="how long the dispatcher waits to merge concurrent "
+                             "same-protocol requests into one device batch "
+                             "(0 = run each request immediately)")
     parser.add_argument("--warmup", type=lambda s: s.lower() in ("1", "true", "yes"),
                         default=True, metavar="BOOL")
     main(parser.parse_args())

@@ -47,7 +47,7 @@ def server(tmp_path_factory):
     srv = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "serve.py"),
          "--result-dir", exp_dir, "--port", "0", "--warmup", "false",
-         "--buckets", "1,4", "--default-steps", "4"],
+         "--buckets", "1,4", "--default-steps", "4", "--coalesce-ms", "150"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=REPO, env=_cpu_env(),
     )
@@ -112,6 +112,43 @@ class TestServe:
         with urllib.request.urlopen(server + "/healthz", timeout=60) as resp:
             info = json.loads(resp.read())
         assert 1 <= info["compiled_programs"] <= 2
+
+    def test_coalescing_and_invariance(self, server):
+        """Concurrent same-protocol requests merge into one device batch;
+        per-request z keys make deterministic-sampler outputs identical
+        whether a request ran alone or coalesced."""
+        import threading
+
+        proto = {"steps": 4, "sampler": "dpm++", "cfg_scale": 1.0, "format": "npz"}
+        solo = _post(server, {**proto, "class_labels": [5], "seed": 11})[2]
+
+        results = {}
+        barrier = threading.Barrier(3)
+
+        def fire(name, seed):
+            barrier.wait()
+            results[name] = _post(
+                server, {**proto, "class_labels": [5], "seed": seed}
+            )[2]
+
+        threads = [
+            threading.Thread(target=fire, args=(n, s))
+            for n, s in (("a", 11), ("b", 12), ("c", 13))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        with np.load(io.BytesIO(solo)) as f1, np.load(io.BytesIO(results["a"])) as f2:
+            np.testing.assert_array_equal(f1["arr_0"], f2["arr_0"])
+        # different seeds produce different rows even inside one batch
+        with np.load(io.BytesIO(results["a"])) as fa, np.load(io.BytesIO(results["b"])) as fb:
+            assert not np.array_equal(fa["arr_0"], fb["arr_0"])
+
+        with urllib.request.urlopen(server + "/healthz", timeout=60) as resp:
+            info = json.loads(resp.read())
+        assert info["coalesced_batches"] >= 1, info
 
     def test_errors(self, server):
         for payload, frag in [
