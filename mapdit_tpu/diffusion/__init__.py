@@ -78,6 +78,7 @@ __all__ = [
     "create_diffusion",
     "dpm_solver_pp_loop",
     "karras_timesteps",
+    "respacing_string",
     "space_timesteps",
     "respaced_betas",
     "gd",

@@ -7,20 +7,23 @@ reload + EMA solve + full recompile every time). Design points, TPU-first:
 
   * **Compile-once bucket cache**: XLA programs are specialized on static
     shapes, so requests are padded up to a fixed set of batch buckets and
-    each (sampler, steps, cfg_scale, bucket) program is compiled once and
-    reused. Weights are loaded and EMA-reconstructed once at startup.
-  * **One device, one queue**: a lock serializes device execution (XLA
-    programs are not reentrant-safe to interleave from threads); HTTP
-    threads only pay JSON/PNG work concurrently.
+    each (sampler, steps, cfg_scale, bucket, schedule) program is compiled
+    once and reused. Weights are loaded and EMA-reconstructed once.
+  * **One device, one dispatcher**: a dispatcher thread owns all device
+    work and **coalesces** concurrent same-protocol requests into one
+    padded batch (see SamplerService); HTTP threads only pay JSON/PNG
+    work concurrently.
   * Stateless request protocol (class labels + optional seed in, PNG grid
-    or ADM-format npz out) so replicas can sit behind any LB.
+    or ADM-format npz out) so replicas can sit behind any LB. With the
+    deterministic samplers, a request's output depends only on its own
+    seed — not on what it was batched with.
 
 Endpoints:
   GET  /healthz            -> {"status": "ok", ...model/config info}
   POST /v1/sample          -> image/png grid or application/x-npz
       {"class_labels": [207, 360] | "class_label": 88, "num_samples": 4,
        "steps": 20, "sampler": "ddpm|ddim|dpm++", "cfg_scale": 4.0,
-       "seed": 0, "format": "png|npz"}
+       "schedule": "uniform|karras", "seed": 0, "format": "png|npz"}
 
 Example:
   python serve.py --result-dir results/000-DiT-S-2 --port 8000 &
