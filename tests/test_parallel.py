@@ -181,6 +181,41 @@ class TestDataParallel:
         out = sh["blocks_0"]["attn"]["out_proj"]["weight"]
         assert out.spec == jax.sharding.PartitionSpec("data", MODEL_AXIS)
 
+    def test_grad_accum_on_dp_mesh_matches_single_device(self, setup):
+        """--grad-accum under a data-sharded batch: the (accum, micro, ...)
+        reshape + micro scan must still reproduce the single-device step
+        (GSPMD reshards the micro batch dim transparently)."""
+        cfg, _, state, batch = setup
+        from mapdit_tpu.diffusion import create_diffusion
+        from mapdit_tpu.training.data import SyntheticLatentDataset
+
+        diffusion = create_diffusion("")
+        ds = SyntheticLatentDataset(num_examples=64, num_classes=10)
+        tx = create_optimizer(warmup_flat_invsqrt(1e-2, 5, 50))
+        cfg_nodrop = cfg.replace(class_dropout_prob=0.0)
+        step_fn = make_train_step(
+            cfg_nodrop, diffusion, tx,
+            stats_mean=jnp.asarray(ds.stats["mean"]),
+            stats_std=jnp.asarray(ds.stats["std"]),
+            grad_accum=2,
+        )
+        step_plain = make_train_step(
+            cfg_nodrop, diffusion, tx,
+            stats_mean=jnp.asarray(ds.stats["mean"]),
+            stats_std=jnp.asarray(ds.stats["std"]),
+        )
+        state = create_train_state(cfg_nodrop, tx, seed=0)
+        ref_state, _ = _run_step(step_plain, state, batch)
+        mesh = make_mesh(n_data=8, n_model=1)
+        acc_state, _ = _run_step(step_fn, state, batch, mesh)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            ),
+            ref_state.params,
+            acc_state.params,
+        )
+
     def test_sampler_runs_data_parallel(self, setup):
         """The scan sampler under a data-sharded batch."""
         cfg, _, state, _ = setup
