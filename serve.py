@@ -80,6 +80,7 @@ class SamplerService:
         buckets=(1, 4, 8),
         seed: int = 0,
         coalesce_ms: float = 3.0,
+        shard: bool = True,
     ):
         import jax
 
@@ -87,6 +88,15 @@ class SamplerService:
         from mapdit_tpu.utils.experiment import config_from_args
         from sample import load_variables
 
+        # Data-parallel serving: buckets divisible by the device count run
+        # sharded over a ('data',) mesh (GSPMD replicates params, splits the
+        # chain batch) — one request can use a whole v5e slice.
+        self._mesh = None
+        if shard and len(jax.devices()) > 1:
+            from mapdit_tpu.parallel import batch_sharding, make_mesh
+
+            self._mesh = make_mesh(n_model=1)
+            self._b_shard = batch_sharding(self._mesh)
         self.result_dir = result_dir
         self.train_args = load_config(result_dir)
         self.cfg = config_from_args(self.train_args)
@@ -252,7 +262,15 @@ class SamplerService:
         else:
             y = y_rows
         fn = self._get_fn(sampler, steps, cfg_scale, bucket, schedule)
-        out = np.asarray(fn(z, y, skey))[:n]
+        n_dev = self._mesh.shape["data"] if self._mesh is not None else 1
+        cfg_rows = 2 * bucket if cfg_scale > 1.0 else bucket
+        if n_dev > 1 and bucket % n_dev == 0 and cfg_rows % n_dev == 0:
+            z = jax.device_put(z, self._b_shard)
+            y = jax.device_put(y, self._b_shard)
+            with jax.set_mesh(self._mesh):
+                out = np.asarray(fn(z, y, skey))[:n]
+        else:
+            out = np.asarray(fn(z, y, skey))[:n]
         # decode on this thread too — the dispatcher owns all device work
         from sample import decode_latents
 
@@ -275,6 +293,7 @@ class SamplerService:
             "input_size": self.train_args["input_size"],
             "in_channels": self.train_args["in_channels"],
             "buckets": list(self.buckets),
+            "devices": self._mesh.shape["data"] if self._mesh is not None else 1,
             "compiled_programs": len(self._fns),
             "batches_run": self._batches_run,
             "coalesced_batches": self._coalesced_batches,
@@ -384,6 +403,7 @@ def main(args):
         buckets=tuple(int(b) for b in args.buckets.split(",")),
         seed=args.seed,
         coalesce_ms=args.coalesce_ms,
+        shard=args.shard,
     )
     defaults = {
         "steps": args.default_steps,
@@ -427,6 +447,9 @@ if __name__ == "__main__":
                         default="dpm++")
     parser.add_argument("--default-cfg-scale", type=float, default=4.0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--shard", type=lambda s: s.lower() in ("1", "true", "yes"),
+                        default=True, metavar="BOOL",
+                        help="shard divisible buckets over all chips (data-parallel)")
     parser.add_argument("--coalesce-ms", type=float, default=3.0,
                         help="how long the dispatcher waits to merge concurrent "
                              "same-protocol requests into one device batch "

@@ -150,6 +150,57 @@ class TestServe:
             info = json.loads(resp.read())
         assert info["coalesced_batches"] >= 1, info
 
+    def test_sharded_serving_virtual_mesh(self, tmp_path):
+        """--shard over the 8-device virtual mesh: divisible buckets run
+        data-parallel (GSPMD splits the chain batch)."""
+        env = _cpu_env()
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        results = str(tmp_path)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "train.py"),
+             "--data-path", "synthetic:32", "--results-dir", results,
+             "--model", "DiT-XS/8", "--num-classes", "10", "--num-steps", "4",
+             "--batch-size", "8", "--log-every", "2", "--ckpt-every", "4",
+             "--ema-snapshot-every", "2"],
+            capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+        )
+        assert proc.returncode == 0, f"{proc.stdout}\n{proc.stderr}"
+        exp_dir = os.path.join(results, os.listdir(results)[0])
+        srv = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "serve.py"),
+             "--result-dir", exp_dir, "--port", "0", "--warmup", "false",
+             "--buckets", "8", "--shard", "true"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env,
+        )
+        try:
+            port = None
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                line = srv.stdout.readline()
+                if "listening on http://" in line:
+                    port = int(line.split("http://")[1].split()[0].rsplit(":", 1)[1])
+                    break
+                if srv.poll() is not None:
+                    raise AssertionError(f"serve.py exited:\n{srv.stdout.read()}")
+            assert port
+            base = f"http://127.0.0.1:{port}"
+            with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+                info = json.loads(resp.read())
+            assert info["devices"] == 8
+            # CFG batch: 16 rows over 8 devices
+            status, ctype, body = _post(
+                base,
+                {"class_label": 1, "num_samples": 8, "steps": 4,
+                 "sampler": "dpm++", "cfg_scale": 4.0, "format": "npz"},
+            )
+            assert status == 200
+            with np.load(io.BytesIO(body)) as f:
+                assert f["arr_0"].shape == (8, 16, 16, 4)
+        finally:
+            srv.terminate()
+            srv.wait(timeout=30)
+
     def test_errors(self, server):
         for payload, frag in [
             ({"class_label": 99, "steps": 4}, "class label"),
