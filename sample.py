@@ -100,15 +100,22 @@ def load_variables(result_dir: str, train_args: dict, ckpt=None, ema_std=0.05):
     return {"params": params, "constants": _load_constants(result_dir)}
 
 
-def decode_latents(samples: np.ndarray, train_args: dict, use_vae: bool, vae_path=None):
-    """Denormalize by dataset stats and optionally decode through the VAE."""
+def decode_latents(
+    samples: np.ndarray, train_args: dict, use_vae: bool, vae_path=None,
+    decoder=None,
+):
+    """Denormalize by dataset stats and optionally decode through the VAE.
+
+    ``decoder`` short-circuits the weight load — long-lived callers
+    (serve.py) pass the decoder they built once at startup."""
     mean = np.asarray(train_args["stats_mean"], np.float32).reshape(1, -1, 1, 1)
     std = np.asarray(train_args["stats_std"], np.float32).reshape(1, -1, 1, 1)
     samples = samples * std + mean
     if use_vae:
-        from mapdit_tpu.models.vae import load_decoder
+        if decoder is None:
+            from mapdit_tpu.models.vae import load_decoder
 
-        decoder = load_decoder(vae_path)
+            decoder = load_decoder(vae_path)
         if decoder is None:
             print("warning: no VAE weights available (--vae-path); writing raw latents")
         else:

@@ -81,6 +81,7 @@ class SamplerService:
         seed: int = 0,
         coalesce_ms: float = 3.0,
         shard: bool = True,
+        max_programs: int = 32,
     ):
         import jax
 
@@ -103,8 +104,14 @@ class SamplerService:
         self.variables = load_variables(result_dir, self.train_args, ckpt, ema_std)
         self.use_vae = use_vae
         self.vae_path = vae_path
+        self._decoder = None
+        if use_vae:
+            from mapdit_tpu.models.vae import load_decoder
+
+            self._decoder = load_decoder(vae_path)  # load weights ONCE
         self.buckets = tuple(sorted(set(buckets)))
         self.coalesce_ms = coalesce_ms
+        self.max_programs = max_programs
         self._fns = {}  # (sampler, steps, cfg_scale, bucket, schedule) -> fn
         self._base_key = jax.random.PRNGKey(seed)
         self._request_counter = 0
@@ -137,6 +144,15 @@ class SamplerService:
         key = (sampler, steps, float(cfg_scale), bucket, schedule)
         fn = self._fns.get(key)
         if fn is None:
+            if len(self._fns) >= self.max_programs:
+                # each new protocol costs a multi-minute XLA compile that
+                # stalls the single dispatcher — bound it instead of letting
+                # a protocol-scanning client wedge the server
+                raise ValueError(
+                    f"compile budget exhausted ({self.max_programs} programs); "
+                    "reuse an already-compiled (sampler, steps, cfg_scale, "
+                    "schedule) protocol or restart with --max-programs"
+                )
             diffusion = create_diffusion(respacing_string(steps, sampler, schedule))
             fn = build_sample_fn(
                 self.cfg,
@@ -165,14 +181,28 @@ class SamplerService:
         (already decoded — the dispatcher thread owns all device work).
         """
         n = len(class_labels)
+        if n < 1:
+            raise ValueError("num_samples / class_labels must request >= 1 sample")
         self._bucket(n)  # reject oversize requests before enqueueing
         num_classes = self.cfg.num_classes
         for lab in class_labels:
             if not 0 <= int(lab) < num_classes:
                 raise ValueError(f"class label {lab} outside [0, {num_classes})")
+        if seed is not None:
+            # validate HERE: a bad seed must fail this request alone, not
+            # poison a coalesced group inside the dispatcher
+            try:
+                seed = int(seed)
+            except (TypeError, ValueError):
+                raise ValueError(f"seed must be an integer, got {seed!r}") from None
+            if not 0 <= seed < 2**63:
+                raise ValueError("seed must be in [0, 2**63)")
+        cfg_scale = float(cfg_scale)
+        if cfg_scale <= 1.0:
+            cfg_scale = 1.0  # all <=1 values compile the identical no-CFG program
 
         job = _Job(np.asarray(class_labels, np.int32), seed)
-        key = (sampler, int(steps), float(cfg_scale), schedule)
+        key = (sampler, int(steps), cfg_scale, schedule)
         with self._cv:
             self._queues.setdefault(key, []).append(job)
             self._cv.notify()
@@ -194,6 +224,9 @@ class SamplerService:
             time.sleep(self.coalesce_ms / 1e3)
         with self._cv:
             key = next(k for k, v in self._queues.items() if v)
+            # round-robin across protocols: move the served key to the back
+            # so a sustained stream on one protocol cannot starve others
+            self._queues[key] = self._queues.pop(key)
             pending = self._queues[key]
             group, rows = [], 0
             while pending and rows + len(pending[0].labels) <= self.buckets[-1]:
@@ -274,7 +307,10 @@ class SamplerService:
         # decode on this thread too — the dispatcher owns all device work
         from sample import decode_latents
 
-        out = decode_latents(out, self.train_args, self.use_vae, self.vae_path)
+        out = decode_latents(
+            out, self.train_args, self.use_vae, self.vae_path,
+            decoder=self._decoder,
+        )
 
         self._batches_run += 1
         if len(group) > 1:
@@ -355,6 +391,8 @@ def make_handler(service: SamplerService, defaults: dict):
                 if schedule not in ("uniform", "karras"):
                     raise ValueError(f"unknown schedule {schedule!r}")
                 fmt = req.get("format", "png")
+                if fmt not in ("png", "npz"):
+                    raise ValueError(f"unknown format {fmt!r}")
                 samples = service.sample(
                     labels, steps, sampler, cfg_scale, seed=req.get("seed"),
                     schedule=schedule,
@@ -404,6 +442,7 @@ def main(args):
         seed=args.seed,
         coalesce_ms=args.coalesce_ms,
         shard=args.shard,
+        max_programs=args.max_programs,
     )
     defaults = {
         "steps": args.default_steps,
@@ -447,6 +486,9 @@ if __name__ == "__main__":
                         default="dpm++")
     parser.add_argument("--default-cfg-scale", type=float, default=4.0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max-programs", type=int, default=32,
+                        help="compile-budget cap on distinct (sampler, steps, "
+                             "cfg_scale, bucket, schedule) programs")
     parser.add_argument("--shard", type=lambda s: s.lower() in ("1", "true", "yes"),
                         default=True, metavar="BOOL",
                         help="shard divisible buckets over all chips (data-parallel)")

@@ -265,6 +265,7 @@ class TestSampleCLI:
             "--output-file", out,
             "--num-sampling-steps", "4",
             "--sampler", "dpm++",
+            "--time-schedule", "karras",
         )
         assert os.path.exists(out)
 
@@ -277,6 +278,7 @@ class TestSampleCLI:
             "--batch-size", "4",
             "--num-classes", "10",
             "--num-sampling-steps", "4",
+            "--time-schedule", "karras",
             "--cfg-scale", "1.5",
         )
         path = os.path.join(trained_run, "fid_samples", "samples.npz")

@@ -206,6 +206,10 @@ class TestServe:
             ({"class_label": 99, "steps": 4}, "class label"),
             ({"class_label": 1, "num_samples": 64}, "bucket"),
             ({"class_label": 1, "steps": 4, "sampler": "euler"}, "sampler"),
+            ({"class_label": 1, "num_samples": 0}, ">= 1"),
+            ({"class_label": 1, "steps": 4, "seed": "abc"}, "seed"),
+            ({"class_label": 1, "steps": 4, "format": "jpeg"}, "format"),
+            ({"class_label": 1, "steps": 4, "schedule": "exp"}, "schedule"),
         ]:
             try:
                 _post(server, payload)
