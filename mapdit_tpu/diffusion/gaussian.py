@@ -105,9 +105,14 @@ class GaussianDiffusion:
         acp_next = np.append(acp[1:], 0.0)
 
         post_var = betas * (1.0 - acp_prev) / (1.0 - acp)
-        post_logvar_clipped = (
-            np.log(np.append(post_var[1], post_var[1:])) if n > 1 else np.log(post_var)
-        )
+        # n == 1: the only posterior variance is exactly 0 -> logvar -inf is
+        # intended (the t==0 step never adds noise); silence numpy's warning.
+        with np.errstate(divide="ignore"):
+            post_logvar_clipped = (
+                np.log(np.append(post_var[1], post_var[1:]))
+                if n > 1
+                else np.log(post_var)
+            )
         fixed_large_var = np.append(post_var[1], betas[1:]) if n > 1 else betas
 
         if timestep_map is None:
