@@ -100,6 +100,16 @@ def bench_train(args, cfg):
     state = create_train_state(cfg, tx, seed=0)
     batches = ds.batches(batch_size=args.batch, seed=0)
 
+    if args.resident_data:
+        # Device-resident batch, reused every step: isolates pure device
+        # train throughput from the per-step host->device batch upload
+        # (which pays the full axon relay cost in this container — a
+        # direct-attached host with the native prefetch loader would not).
+        fixed = {k: jax.device_put(jnp.asarray(v)) for k, v in next(batches).items()}
+        import itertools
+
+        batches = itertools.repeat(fixed)
+
     state, m = step_fn(state, next(batches))  # compile
     jax.block_until_ready(m["loss"])
 
@@ -121,6 +131,7 @@ def bench_train(args, cfg):
                 "unit": (
                     f"steps/s ({args.model}, batch {args.batch}"
                     + (f" accum {args.grad_accum}" if args.grad_accum > 1 else "")
+                    + (", resident-data" if args.resident_data else "")
                     + f", {args.dtype})"
                 ),
                 "vs_baseline": None,
@@ -151,6 +162,9 @@ def main():
                    help="per-block activation rematerialization (XL-scale train memory)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="train mode: micro-batch gradient accumulation factor")
+    p.add_argument("--resident-data", action="store_true",
+                   help="train mode: reuse one device-resident batch — pure "
+                        "device throughput, no per-step host upload")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
     p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm",
