@@ -24,8 +24,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_train(tmp_path):
-    results = str(tmp_path / "results")
+def _run_two_process(results, extra_args):
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -61,14 +60,17 @@ def test_two_process_train(tmp_path):
                     # join — this exercises that on a real 2-process cluster
                     "--checkpointer", "orbax",
                     "--multihost", "true",
-                ],
+                ] + extra_args,
                 cwd=REPO, env=env, text=True,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
         )
     outs = [p.communicate(timeout=900)[0] for p in procs]
     assert all(p.returncode == 0 for p in procs), "\n\n".join(outs)
+    return outs
 
+
+def _check_artifacts(results):
     # Only process 0 created an experiment directory and wrote artifacts.
     exps = os.listdir(results)
     assert len(exps) == 1, exps
@@ -79,3 +81,19 @@ def test_two_process_train(tmp_path):
     assert os.path.isdir(os.path.join(exp, "checkpoints", "0000006.orbax"))
     snaps = os.listdir(os.path.join(exp, "ema"))
     assert len(snaps) == 4, snaps  # 2 stds x steps {3, 6}, written once
+
+
+def test_two_process_train(tmp_path):
+    results = str(tmp_path / "results")
+    _run_two_process(results, [])
+    _check_artifacts(results)
+
+
+def test_two_process_train_fsdp(tmp_path):
+    """FSDP across REAL process boundaries: param/opt/EMA shards live on
+    different hosts' devices; orbax checkpoints are collective shard-aware
+    saves and EMA snapshots re-replicate via an all-process jit before the
+    lead writes them."""
+    results = str(tmp_path / "results")
+    _run_two_process(results, ["--fsdp", "true"])
+    _check_artifacts(results)

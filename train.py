@@ -184,7 +184,24 @@ def main(args):
                 state.opt_state, param_sharding(state.opt_state, mesh, fsdp=True)
             )
         )
+        if jax.process_count() > 1:
+            assert args.checkpointer == "orbax", (
+                "--fsdp on a multi-host cluster requires --checkpointer orbax "
+                "(msgpack saves device_get the full state, which one process "
+                "cannot address when shards span hosts; orbax saves are "
+                "collective and shard-aware)"
+            )
     b_shard = batch_sharding(mesh)
+
+    def gather_replicated(tree):
+        """Collective re-replication of a cross-process-sharded pytree so the
+        lead process can materialize it host-side (EMA snapshots under
+        multihost FSDP). Every process must execute this."""
+        from mapdit_tpu.parallel import replicated
+
+        return jax.device_get(
+            jax.jit(lambda t: t, out_shardings=replicated(mesh))(tree)
+        )
 
     # --batch-size is the GLOBAL batch. Every process draws the same epoch
     # permutation (shared seed) and feeds its disjoint batch_size/process_count
@@ -308,15 +325,22 @@ def main(args):
                     logger.info(f"saving checkpoint to {path} at step {train_steps}...")
 
             if (
-                is_lead
-                and args.ema_snapshot_every
+                args.ema_snapshot_every
                 and train_steps % args.ema_snapshot_every == 0
                 and train_steps > 0
             ):
                 ema_dir = os.path.join(exp_dir, "ema")
                 for std in ema_stds:
-                    ema_lib.save_snapshot(ema_dir, std, train_steps, state.ema[ema_key(std)])
-                logger.info(f"saving ema snapshot to {ema_dir} at step {train_steps}...")
+                    tree = state.ema[ema_key(std)]
+                    if args.fsdp and jax.process_count() > 1:
+                        # FSDP shards span processes: re-replicate via a
+                        # collective (ALL processes must execute this jit)
+                        # so the lead holds full arrays to snapshot.
+                        tree = gather_replicated(tree)
+                    if is_lead:
+                        ema_lib.save_snapshot(ema_dir, std, train_steps, tree)
+                if is_lead:
+                    logger.info(f"saving ema snapshot to {ema_dir} at step {train_steps}...")
 
     if orbax_saver is not None:
         orbax_saver.close()  # join the in-flight background write
