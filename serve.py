@@ -365,6 +365,16 @@ def make_handler(service: SamplerService, defaults: dict):
         def do_GET(self):
             if self.path in ("/healthz", "/info"):
                 self._json(200, service.info())
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the numeric counters
+                info = service.info()
+                lines = []
+                for k, v in info.items():
+                    if isinstance(v, (int, float)) and not isinstance(v, bool):
+                        lines.append(f"# TYPE mapdit_{k} gauge")
+                        lines.append(f"mapdit_{k} {v}")
+                body = ("\n".join(lines) + "\n").encode()
+                self._bytes(200, body, "text/plain; version=0.0.4")
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
@@ -460,12 +470,25 @@ def main(args):
         f"({service.info()['model']}, decode={service.info()['decode']})",
         flush=True,
     )
+
+    # graceful SIGTERM (the standard container stop signal): finish in-flight
+    # requests, stop accepting, exit 0
+    import signal
+
+    def _term(signum, frame):
+        print("[serve] SIGTERM: shutting down", flush=True)
+        import threading as _t
+
+        _t.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         server.server_close()
+        print("[serve] stopped", flush=True)
 
 
 if __name__ == "__main__":

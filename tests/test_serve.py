@@ -62,8 +62,8 @@ def server(tmp_path_factory):
             raise AssertionError(f"serve.py exited early:\n{srv.stdout.read()}")
     assert port, "server did not announce its port"
     yield f"http://127.0.0.1:{port}"
-    srv.terminate()
-    srv.wait(timeout=30)
+    srv.terminate()  # SIGTERM: graceful-shutdown path
+    assert srv.wait(timeout=30) == 0, "server should exit 0 on SIGTERM"
 
 
 def _post(base, payload, timeout=600):
@@ -84,6 +84,13 @@ class TestServe:
         assert info["model"] == "DiT-XS/8"
         assert info["buckets"] == [1, 4]
         assert info["decode"] == "latent"
+
+    def test_metrics_prometheus(self, server):
+        with urllib.request.urlopen(server + "/metrics", timeout=60) as resp:
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            text = resp.read().decode()
+        assert "mapdit_batches_run " in text
+        assert "# TYPE mapdit_compiled_programs gauge" in text
 
     def test_png_grid(self, server):
         status, ctype, body = _post(
