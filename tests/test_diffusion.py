@@ -473,6 +473,41 @@ class TestDPMSolverPP:
             assert x.shape == noise.shape
             assert np.all(np.isfinite(np.asarray(x)))
 
+    def test_point_mass_oracle_exact_trajectory(self):
+        """Second analytic oracle: for point-mass data at x0*, the optimal
+        eps is (x - alpha x0*)/sigma and the probability-flow trajectory is
+        exactly affine: x(t) = alpha_t x0* + sigma_t c with
+        c = (x_T - alpha_T x0*)/sigma_T. At t=0 the exact sample is
+        alpha_0 x0* + sigma_0 c — an inhomogeneous field (unlike the N(0,I)
+        oracle's constant trajectory), so it exercises different solver
+        terms. [The DDPM-table endpoint is t=0, not sigma=0: the solver's
+        virtual final step returns the last D combination, which for this
+        model is x0* exactly.]"""
+        from mapdit_tpu.diffusion import dpm_solver_pp_loop
+
+        full = create_diffusion("")
+        alpha = jnp.sqrt(full.alphas_cumprod)
+        sigma = jnp.sqrt(1.0 - full.alphas_cumprod)
+        x0_star = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 8, 8)) * 0.5
+
+        def model(x, t, **kw):
+            ti = t.astype(jnp.int32)
+            a = alpha[ti].reshape(-1, 1, 1, 1)
+            s = sigma[ti].reshape(-1, 1, 1, 1)
+            eps = (x - a * x0_star) / s
+            return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=1)
+
+        noise = jax.random.normal(jax.random.PRNGKey(6), (3, 4, 8, 8))
+        # exact x0 prediction at every point -> the final D is exactly x0*
+        for n in (5, 20):
+            x = dpm_solver_pp_loop(
+                create_diffusion(str(n)), model, noise, clip_denoised=False
+            )
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(jnp.broadcast_to(x0_star, x.shape)),
+                atol=5e-4,
+            )
+
     def test_karras_schedule_beats_uniform(self):
         """EDM sigma spacing: same solver, same step count, ~2.5-3x lower
         discretization error (measured 0.505/0.176/0.023 vs 1.29/0.45/0.072
