@@ -166,6 +166,30 @@ def main(args):
     save_image_grid(samples, args.output_file, nrow=2)
     print(f"output class: {class_name(args.class_label)} ({args.class_label})")
 
+    if args.save_trajectory:
+        # Denoising-evolution grid via the progressive scan (the reference's
+        # p_sample_loop_progressive generator API, `gd.py:464-511`, which
+        # neither codebase otherwise wires to a CLI): one row per sample,
+        # columns = pred_xstart at ~8 evenly spaced chain positions.
+        assert args.sampler == "ddpm", "--save-trajectory needs --sampler ddpm"
+        from mapdit_tpu.runtime import build_model_fn
+
+        model_fn = build_model_fn(cfg, variables, cfg_scale=args.cfg_scale)
+        outs = jax.jit(
+            lambda z, y, k: diffusion.p_sample_loop_progressive(
+                model_fn, z, k, clip_denoised=False, model_kwargs={"y": y}
+            )
+        )(z, y, skey)
+        frames_t = np.linspace(0, steps - 1, min(8, steps)).round().astype(int)
+        # (T, 2n, C, H, W) -> (n, F, C, H, W), conditioned half only
+        traj = np.asarray(outs["pred_xstart"])[frames_t][:, :n]
+        traj = np.swapaxes(traj, 0, 1)
+        n_frames = traj.shape[1]
+        traj = traj.reshape(n * n_frames, *traj.shape[2:])
+        traj = decode_latents(traj, train_args, args.use_vae, args.vae_path)
+        save_image_grid(traj, args.save_trajectory, nrow=n_frames)
+        print(f"trajectory grid ({n_frames} frames/sample): {args.save_trajectory}")
+
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
@@ -185,6 +209,9 @@ if __name__ == "__main__":
                              "EDM rho-7 sigma spacing (better at low step counts)")
     parser.add_argument("--eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic ODE, 1 = DDPM-like)")
+    parser.add_argument("--save-trajectory", type=str, default=None,
+                        help="also write a denoising-evolution grid (pred_xstart "
+                             "at 8 chain positions) to this PNG; ddpm only")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--ema-std", type=float, default=0.05)
     parser.add_argument("--ckpt", type=str, default=None,

@@ -230,6 +230,7 @@ class TestVanillaFamily:
 class TestSampleCLI:
     def test_sample_png(self, trained_run, tmp_path):
         out = str(tmp_path / "sample.png")
+        traj = str(tmp_path / "traj.png")
         proc = run(
             "sample.py",
             "--result-dir", trained_run,
@@ -237,8 +238,10 @@ class TestSampleCLI:
             "--output-file", out,
             "--class-label", "3",
             "--num-sampling-steps", "4",
+            "--save-trajectory", traj,
         )
         assert os.path.exists(out)
+        assert os.path.exists(traj)  # progressive-chain evolution grid
         # vendored ImageNet name table: real names offline, like the reference
         assert "tiger shark" in proc.stdout
 
