@@ -165,6 +165,12 @@ def main():
     p.add_argument("--resident-data", action="store_true",
                    help="train mode: reuse one device-resident batch — pure "
                         "device throughput, no per-step host upload")
+    p.add_argument("--cache-interval", type=int, default=0,
+                   help="sample mode: Delta-DiT block-span caching — recompute "
+                        "the middle-half block span only every N steps (0 = "
+                        "exact chain). LOSSY: see BENCH_NOTES deviation numbers")
+    p.add_argument("--cache-span", type=str, default=None,
+                   help="lo,hi block span to cache (default middle half)")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
     p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm",
@@ -200,10 +206,23 @@ def main():
     diffusion = create_diffusion(
         respacing_string(args.steps, args.sampler, args.time_schedule)
     )
-    sample_fn = build_sample_fn(
-        cfg, variables, diffusion, cfg_scale=1.5, fold=True, sampler=args.sampler,
-        scan_unroll=args.scan_unroll,
-    )
+    if args.cache_interval > 1:
+        from mapdit_tpu.runtime import build_cached_sample_fn
+
+        span = (
+            tuple(int(v) for v in args.cache_span.split(","))
+            if args.cache_span
+            else None
+        )
+        sample_fn = build_cached_sample_fn(
+            cfg, variables, diffusion, cfg_scale=1.5, fold=True,
+            span=span, cache_interval=args.cache_interval,
+        )
+    else:
+        sample_fn = build_sample_fn(
+            cfg, variables, diffusion, cfg_scale=1.5, fold=True, sampler=args.sampler,
+            scan_unroll=args.scan_unroll,
+        )
 
     n = args.batch
     z_key, y_key = jax.random.split(jax.random.PRNGKey(0))
@@ -250,7 +269,12 @@ def main():
             {
                 "metric": "denoise_steps_per_sec_per_chip",
                 "value": round(value, 3),
-                "unit": f"{args.sampler.upper()} steps/s ({args.model}, batch {n}x2 CFG, {args.steps} respaced steps, {args.dtype})",
+                "unit": (
+                    f"{args.sampler.upper()} steps/s ({args.model}, batch {n}x2 CFG, "
+                    f"{args.steps} respaced steps"
+                    + (f", cache-interval {args.cache_interval}" if args.cache_interval > 1 else "")
+                    + f", {args.dtype})"
+                ),
                 "vs_baseline": round(value / TORCH_EAGER_BASELINE_STEPS_PER_SEC, 2),
                 "mfu_pct": mfu,
             }

@@ -52,7 +52,25 @@ class DiT(nn.Module):
         y: Array,
         train: bool = False,
         force_drop_ids: Optional[Array] = None,
+        span: Optional[tuple] = None,
+        cached_delta: Optional[Array] = None,
+        return_delta: bool = False,
     ) -> Array:
+        """Standard forward, plus the opt-in block-span cache protocol for
+        Delta-DiT-style sampling acceleration (arXiv 2406.01125; see
+        `mapdit_tpu/runtime.py:build_cached_sample_fn`):
+
+          * ``span=(i, j), return_delta=True`` — full forward that also
+            returns the span's token-state displacement
+            ``delta = x_after_block_j - x_before_block_i``.
+          * ``span=(i, j), cached_delta=delta`` — partial forward: blocks
+            [i, j) are replaced by ``x += delta`` (the Delta-DiT
+            approximation: a span's displacement field drifts slowly across
+            adjacent timesteps), skipping their compute entirely.
+
+        With both None (the default) the forward is exactly the reference
+        path — golden-tested behavior is untouched.
+        """
         cfg = self.cfg
         n = x.shape[0]
 
@@ -84,6 +102,36 @@ class DiT(nn.Module):
         c = mp_sum(t_emb, y_emb, t=0.5) if cfg.mp_style else t_emb + y_emb
 
         block_cls = nn.remat(DiTBlock) if cfg.remat else DiTBlock
+        if span is not None:
+            assert not cfg.scan_blocks, "block-span caching needs scan_blocks=False"
+            lo, hi = span
+            assert 0 <= lo <= hi <= cfg.depth, span
+            for i in range(lo):
+                x = block_cls(cfg, name=f"blocks_{i}")(x, c)
+            if cached_delta is not None:
+                x = x + cached_delta
+                delta = cached_delta
+            else:
+                x_before = x
+                for i in range(lo, hi):
+                    x = block_cls(cfg, name=f"blocks_{i}")(x, c)
+                delta = x - x_before
+            for i in range(hi, cfg.depth):
+                x = block_cls(cfg, name=f"blocks_{i}")(x, c)
+            out = FinalLayer(cfg, name="final_layer")(x, c)
+            if cfg.learn_sigma:
+                mean, sigma = out
+                out = jnp.concatenate(
+                    [
+                        unpatchify(mean, cfg.input_size, cfg.patch_size),
+                        unpatchify(sigma, cfg.input_size, cfg.patch_size),
+                    ],
+                    axis=1,
+                ).astype(jnp.float32)
+            else:
+                out = unpatchify(out, cfg.input_size, cfg.patch_size).astype(jnp.float32)
+            return (out, delta) if return_delta else out
+
         if cfg.scan_blocks:
             # Compile ONE block and lax.scan over depth-stacked params:
             # graph size (and compile time) per model drops ~depth-fold —
@@ -116,21 +164,39 @@ class DiT(nn.Module):
             ).astype(jnp.float32)
         return unpatchify(out, cfg.input_size, cfg.patch_size).astype(jnp.float32)
 
-    def forward_with_cfg(self, x: Array, t: Array, y: Array, cfg_scale) -> Array:
+    def forward_with_cfg(
+        self,
+        x: Array,
+        t: Array,
+        y: Array,
+        cfg_scale,
+        span: Optional[tuple] = None,
+        cached_delta: Optional[Array] = None,
+        return_delta: bool = False,
+    ) -> Array:
         """Batched classifier-free guidance (reference `src/dit.py:107-118`).
 
         The first half of x is the real batch; labels carry [cond; null].
         Only the eps channels are guided; sigma channels pass through.
+        The span/cached_delta/return_delta protocol passes through to
+        :meth:`__call__` (delta batch = the combined [cond; uncond] batch).
         """
         c = self.cfg
         half = x[: x.shape[0] // 2]
         combined = jnp.concatenate([half, half], axis=0)
-        model_out = self(combined, t, y)
+        model_out = self(
+            combined, t, y,
+            span=span, cached_delta=cached_delta, return_delta=return_delta,
+        )
+        delta = None
+        if return_delta:
+            model_out, delta = model_out
         eps, rest = model_out[:, : c.in_channels], model_out[:, c.in_channels :]
         cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
         half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
         eps = jnp.concatenate([half_eps, half_eps], axis=0)
-        return jnp.concatenate([eps, rest], axis=1)
+        out = jnp.concatenate([eps, rest], axis=1)
+        return (out, delta) if return_delta else out
 
 
 def project_weights(params, cfg: DiTConfig):

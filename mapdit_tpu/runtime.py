@@ -161,6 +161,131 @@ def build_shared_sample_fn(
     return prepare, sample_fn
 
 
+def build_cached_sample_fn(
+    cfg: DiTConfig,
+    variables: Dict,
+    diffusion,
+    cfg_scale: Optional[float] = None,
+    fold: bool = True,
+    span: Optional[tuple] = None,
+    cache_interval: int = 2,
+    clip_denoised: bool = False,
+):
+    """DDPM chain with Delta-DiT-style block-span caching (arXiv 2406.01125).
+
+    The chain scans over groups of ``cache_interval`` steps: the group's
+    first step runs the full model and records the displacement of the
+    block span ``[span[0], span[1])``; the remaining steps replace that
+    span with the cached displacement (the Delta-DiT approximation — a
+    span's contribution drifts slowly across adjacent timesteps), skipping
+    its compute entirely. Per-step FLOPs drop by
+    ``(hi-lo)/depth * (interval-1)/interval``. This is a LOSSY accelerator:
+    pair any use with a measured deviation against the exact chain
+    (tests/test_runtime_cache.py does; docs/BENCH_NOTES.md records it).
+
+    ``span`` defaults to the middle half of the depth. Exactness limits
+    (tested): an empty span or ``cache_interval=1`` reproduces the exact
+    chain bit-for-bit (same RNG stream as ``p_sample_loop_fast``).
+    """
+    from mapdit_tpu.diffusion import gd
+    from mapdit_tpu.models.dit import DiT
+
+    assert diffusion.mean_type == gd.EPSILON and diffusion.var_type == gd.LEARNED_RANGE
+    n_steps = diffusion.num_timesteps
+    assert n_steps % cache_interval == 0, (n_steps, cache_interval)
+    if span is None:
+        span = (cfg.depth // 4, cfg.depth - cfg.depth // 4)
+
+    run_cfg = cfg.replace(fold_weights=True) if (fold and cfg.use_weight_normalization) else cfg
+    assert not run_cfg.scan_blocks, "block-span caching needs scan_blocks=False"
+    model = DiT(run_cfg)
+    if fold and cfg.use_weight_normalization:
+        variables = dict(
+            variables, params=fold_weights_for_inference(variables["params"], run_cfg)
+        )
+
+    ts = jnp.arange(n_steps - 1, -1, -1)
+    coefs = (
+        diffusion.timestep_map[ts].astype(jnp.float32),
+        diffusion.sqrt_recip_alphas_cumprod[ts],
+        diffusion.sqrt_recipm1_alphas_cumprod[ts],
+        diffusion.posterior_mean_coef1[ts],
+        diffusion.posterior_mean_coef2[ts],
+        diffusion.posterior_log_variance_clipped[ts],
+        diffusion.log_betas[ts],
+        (ts != 0).astype(jnp.float32),
+    )
+    n_groups = n_steps // cache_interval
+    gcoefs = tuple(a.reshape(n_groups, cache_interval) for a in coefs)
+
+    @jax.jit
+    def sample_fn(noise: Array, y: Array, rng: Array) -> Array:
+        if cfg_scale is None:
+            chain_noise, chain_y = noise, y
+
+            def call(x, t_vec, delta):
+                if delta is None:
+                    return model.apply(
+                        variables, x, t_vec, chain_y, span=span, return_delta=True
+                    )
+                return (
+                    model.apply(
+                        variables, x, t_vec, chain_y, span=span, cached_delta=delta
+                    ),
+                    delta,
+                )
+
+        else:
+            n_half = noise.shape[0] // 2
+            chain_noise = noise[:n_half]
+            y_full = y  # [cond; null]
+
+            def call(x_half, t_vec, delta):
+                out = model.apply(
+                    variables,
+                    jnp.concatenate([x_half, x_half], axis=0),
+                    jnp.concatenate([t_vec, t_vec]),
+                    y_full,
+                    cfg_scale,
+                    span=span,
+                    cached_delta=delta,
+                    return_delta=delta is None,
+                    method=DiT.forward_with_cfg,
+                )
+                if delta is None:
+                    out, delta = out
+                return out[:n_half], delta
+
+        n = chain_noise.shape[0]
+
+        def group_body(carry, gc):
+            x, key = carry
+            delta = None
+            for s in range(cache_interval):
+                model_t, sra, srm1, pc1, pc2, min_log, max_log, nonzero = (
+                    a[s] for a in gc
+                )
+                key, step_key = jax.random.split(key)
+                out, delta = call(x, jnp.full((n,), model_t), delta)
+                eps_hat, var_values = jnp.split(out, 2, axis=1)
+                frac = (var_values + 1.0) / 2.0
+                log_variance = frac * max_log + (1.0 - frac) * min_log
+                pred_xstart = sra * x - srm1 * eps_hat
+                if clip_denoised:
+                    pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
+                mean = pc1 * pred_xstart + pc2 * x
+                step_noise = jax.random.normal(step_key, x.shape, x.dtype)
+                x = mean + nonzero * jnp.exp(0.5 * log_variance) * step_noise
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(group_body, (chain_noise, rng), gcoefs)
+        if cfg_scale is not None:
+            x = jnp.concatenate([x, x], axis=0)
+        return x
+
+    return sample_fn
+
+
 def build_sample_fn(
     cfg: DiTConfig,
     variables: Dict,
