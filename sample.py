@@ -158,7 +158,18 @@ def main(args):
     from mapdit_tpu.diffusion import respacing_string
 
     diffusion = create_diffusion(respacing_string(steps, args.sampler, args.time_schedule))
-    sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler, eta=args.eta)
+    if args.cache_interval > 1:
+        # Delta-DiT block-span caching: LOSSY accelerator (ddpm only) —
+        # measured deviation numbers in docs/BENCH_NOTES.md
+        assert args.sampler == "ddpm", "--cache-interval needs --sampler ddpm"
+        from mapdit_tpu.runtime import build_cached_sample_fn
+
+        sample_fn = build_cached_sample_fn(
+            cfg, variables, diffusion, cfg_scale=args.cfg_scale,
+            cache_interval=args.cache_interval,
+        )
+    else:
+        sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler, eta=args.eta)
     samples = sample_fn(z, y, skey)
     samples = np.asarray(samples[:n])  # drop the null-class half
 
@@ -209,6 +220,9 @@ if __name__ == "__main__":
                              "EDM rho-7 sigma spacing (better at low step counts)")
     parser.add_argument("--eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic ODE, 1 = DDPM-like)")
+    parser.add_argument("--cache-interval", type=int, default=0,
+                        help="Delta-DiT block-span caching every N steps "
+                             "(0 = exact chain; lossy — see BENCH_NOTES)")
     parser.add_argument("--save-trajectory", type=str, default=None,
                         help="also write a denoising-evolution grid (pred_xstart "
                              "at 8 chain positions) to this PNG; ddpm only")

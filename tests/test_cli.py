@@ -259,6 +259,18 @@ class TestSampleCLI:
         )
         assert os.path.exists(out)
 
+    def test_sample_cached_chain(self, trained_run, tmp_path):
+        out = str(tmp_path / "sample_cached.png")
+        run(
+            "sample.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--output-file", out,
+            "--num-sampling-steps", "4",
+            "--cache-interval", "2",
+        )
+        assert os.path.exists(out)
+
     def test_sample_dpm_solver(self, trained_run, tmp_path):
         out = str(tmp_path / "sample_dpm.png")
         run(
