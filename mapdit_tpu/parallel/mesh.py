@@ -68,7 +68,13 @@ def param_sharding(params, mesh: Mesh, fsdp: bool = False):
     per-layer all-gathers in forward/backward and reduce-scatters the
     gradients. The out-rows dim is preferred so the forced-WN row
     normalization (`models/dit.py:project_weights`) stays shard-local; the
-    in-cols dim is the fallback (e.g. the (1001, hidden) label embedding).
+    in-cols dim is the fallback. Gather-indexed embedding tables are the
+    exception: they stay **replicated** — sharding the feature dim of a
+    table behind a `take` forces GSPMD into involuntary full
+    rematerialization around the gather every step (spmd_partitioner
+    warnings in the r02 dryrun), and the (1001, hidden) table is a few MB.
+    The reference keeps its embedding replicated by construction
+    (`src/basic/mp_embedding.py:8-24`).
     Composes with TP: a TP-split matrix gets the data axis on its free dim.
 
     Because optax's Adam mu/nu trees mirror the param dict (same key paths),
@@ -88,10 +94,19 @@ def param_sharding(params, mesh: Mesh, fsdp: bool = False):
             # ndim 3 = scan_blocks depth-stacked weights: shard the same
             # matrix dims, one axis later.
             parent = names[-2] if len(names) >= 2 else ""
+            if parent == "embedding":
+                # gather-indexed table: replicate (see docstring)
+                return NamedSharding(mesh, P())
             off = leaf.ndim - 2
             spec = [None] * leaf.ndim
-            # t_embedder's MLP is tiny and batch-1-per-token; keep it off TP.
-            if tp and "t_embedder" not in names:
+            # t_embedder's MLP is tiny (hidden x hidden once, not per block);
+            # keep it off TP *and* FSDP — sharding it makes the conditioning
+            # vector inherit a feature-sharded layout that GSPMD then fully
+            # rematerializes at the grad-accum scan boundary every iteration,
+            # for ~zero memory savings.
+            if "t_embedder" in names:
+                return NamedSharding(mesh, P())
+            if tp:
                 if parent in _COL_PARALLEL and leaf.shape[off] % mesh.shape[MODEL_AXIS] == 0:
                     spec[off] = MODEL_AXIS
                 elif parent in _ROW_PARALLEL and leaf.shape[off + 1] % mesh.shape[MODEL_AXIS] == 0:

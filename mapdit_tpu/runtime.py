@@ -76,6 +76,7 @@ def build_shared_sample_fn(
     sampler: str = "ddpm",
     eta: float = 0.0,
     scan_unroll: int = 1,
+    clip_denoised: bool = False,
 ):
     """Like build_sample_fn but takes variables as a call argument, so one
     compiled program serves many parameter sets (sample_ema.py's five EMA
@@ -133,24 +134,24 @@ def build_shared_sample_fn(
 
         if sampler == "ddim":
             x = diffusion.ddim_sample_loop(
-                model_fn, chain_noise, rng, clip_denoised=False,
+                model_fn, chain_noise, rng, clip_denoised=clip_denoised,
                 model_kwargs={"y": chain_y}, eta=eta,
             )
         elif sampler == "dpm++":
             from mapdit_tpu.diffusion.dpm_solver import dpm_solver_pp_loop
 
             x = dpm_solver_pp_loop(
-                diffusion, model_fn, chain_noise, clip_denoised=False,
+                diffusion, model_fn, chain_noise, clip_denoised=clip_denoised,
                 model_kwargs={"y": chain_y}, unroll=scan_unroll,
             )
         elif use_fast:
             x = diffusion.p_sample_loop_fast(
-                model_fn, chain_noise, rng, clip_denoised=False,
+                model_fn, chain_noise, rng, clip_denoised=clip_denoised,
                 model_kwargs={"y": chain_y}, unroll=scan_unroll,
             )
         else:
             x = diffusion.p_sample_loop(
-                model_fn, chain_noise, rng, clip_denoised=False,
+                model_fn, chain_noise, rng, clip_denoised=clip_denoised,
                 model_kwargs={"y": chain_y},
             )
         if half_cfg_chain:
@@ -295,6 +296,7 @@ def build_sample_fn(
     sampler: str = "ddpm",
     eta: float = 0.0,
     scan_unroll: int = 1,
+    clip_denoised: bool = False,
 ):
     """Jitted (noise, y, rng) -> samples over the full denoising chain.
 
@@ -308,7 +310,7 @@ def build_sample_fn(
     """
     prepare, shared_fn = build_shared_sample_fn(
         cfg, diffusion, cfg_scale=cfg_scale, fold=fold, sampler=sampler, eta=eta,
-        scan_unroll=scan_unroll,
+        scan_unroll=scan_unroll, clip_denoised=clip_denoised,
     )
     prepared = prepare(variables)
 

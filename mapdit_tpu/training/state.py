@@ -109,6 +109,7 @@ def make_train_step(
     timestep_sampler: str = "uniform",
     sampler_axis_name: Optional[str] = None,
     grad_accum: int = 1,
+    grad_shardings: Any = None,
 ):
     """Build the pure train-step function (jit/donate applied by the caller
     or `mapdit_tpu.training.train_loop`).
@@ -129,6 +130,19 @@ def make_train_step(
     of equal-size micro-batch gradients equals the full-batch gradient.
     (Only the CFG label-dropout mask derivation differs per micro-batch —
     same marginal distribution.)
+
+    ``grad_shardings`` (a pytree of NamedShardings matching the params, i.e.
+    the `param_sharding(..., fsdp=...)` layout) pins the per-micro-batch
+    gradients inside the accumulation scan to the parameter layout. Without
+    it, GSPMD leaves the backward-dot outputs in their natural (transposed)
+    tiling and must involuntarily fully rematerialize them at the scan-carry
+    boundary every iteration (spmd_partitioner.cc warnings); the constraint
+    moves the reduce-scatter to the dot. No-op semantics — only the
+    collective placement changes. (A handful of forward weight-transpose
+    reshard warnings can remain on a pure-FSDP mesh inside the scan — those
+    are the per-layer weight all-gathers FSDP requires anyway, expressed
+    inefficiently by the pre-Shardy partitioner; tracked upstream as
+    b/433785288.)
     """
     model = DiT(cfg)
     beta_fns = {ema_key(s): ema_lib.make_beta_fn(s) for s in ema_stds}
@@ -206,6 +220,10 @@ def make_train_step(
                 jnp.arange(grad_accum),
             )
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            if grad_shardings is not None:
+                zero_grads = jax.lax.with_sharding_constraint(
+                    zero_grads, grad_shardings
+                )
 
             def body(carry, inp):
                 g_acc, loss_acc, mse_acc, vb_acc = carry
@@ -214,6 +232,8 @@ def make_train_step(
                     make_loss_fn(xb, yb, tb, nb, wb, jax.random.fold_in(rng_drop, i)),
                     has_aux=True,
                 )(state.params)
+                if grad_shardings is not None:
+                    g = jax.lax.with_sharding_constraint(g, grad_shardings)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
                 mse_b = jnp.mean(terms["mse"]) if "mse" in terms else l
                 vb_b = jnp.mean(terms["vb"]) if "vb" in terms else jnp.zeros(())

@@ -148,9 +148,11 @@ class TestDataParallel:
         sh = param_sharding(state.params, mesh, fsdp=True)
         qkv_spec = sh["blocks_0"]["attn"]["qkv_proj"]["weight"].spec
         assert qkv_spec == jax.sharding.PartitionSpec("data", None)
-        # label embedding: 1001 rows indivisible -> falls back to cols
+        # gather-indexed label embedding stays replicated: sharding either
+        # dim of a table behind a `take` forces GSPMD full rematerialization
+        # around the gather (r02 dryrun spmd_partitioner warnings)
         emb = sh["y_embedder"]["embedding"]["weight"]
-        assert emb.spec == jax.sharding.PartitionSpec(None, "data")
+        assert emb.spec == jax.sharding.PartitionSpec()
         # scalars replicated
         assert sh["blocks_0"]["gain_msa"].spec == jax.sharding.PartitionSpec()
 

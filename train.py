@@ -158,6 +158,9 @@ def main(args):
         with open(os.path.join(exp_dir, "constants.msgpack"), "wb") as f:
             f.write(_ser.to_bytes(jax.device_get(state.constants)))
 
+    # Lay out state/batch over the mesh (GSPMD inserts grad psum + TP collectives;
+    # with --fsdp, per-layer all-gathers + gradient reduce-scatters).
+    p_shard = param_sharding(state.params, mesh, fsdp=args.fsdp)
     step_fn = make_train_step(
         cfg,
         diffusion,
@@ -167,12 +170,12 @@ def main(args):
         ema_stds=ema_stds,
         timestep_sampler=args.timestep_sampler,
         grad_accum=args.grad_accum,
+        # pin accumulated grads to the param layout inside the micro scan —
+        # without it GSPMD full-remats the backward-dot outputs at the scan
+        # carry every iteration (see make_train_step docstring)
+        grad_shardings=p_shard if args.grad_accum > 1 and mesh.size > 1 else None,
     )
     step_fn = jax.jit(step_fn, donate_argnums=0)
-
-    # Lay out state/batch over the mesh (GSPMD inserts grad psum + TP collectives;
-    # with --fsdp, per-layer all-gathers + gradient reduce-scatters).
-    p_shard = param_sharding(state.params, mesh, fsdp=args.fsdp)
     state = state.replace(
         params=shard_tree(state.params, p_shard),
         ema={k: shard_tree(v, p_shard) for k, v in state.ema.items()},
