@@ -186,14 +186,19 @@ def main(args):
         from mapdit_tpu.runtime import build_model_fn
 
         model_fn = build_model_fn(cfg, variables, cfg_scale=args.cfg_scale)
-        outs = jax.jit(
-            lambda z, y, k: diffusion.p_sample_loop_progressive(
+        frames_t = np.linspace(0, steps - 1, min(8, steps)).round().astype(int)
+
+        # Gather the ~8 kept frames (conditioned half only) INSIDE the jitted
+        # program: only (n, F, C, H, W) ever crosses to the host instead of
+        # the full (T, 2n, C, H, W) stack.
+        @jax.jit
+        def traj_fn(z, y, k):
+            outs = diffusion.p_sample_loop_progressive(
                 model_fn, z, k, clip_denoised=False, model_kwargs={"y": y}
             )
-        )(z, y, skey)
-        frames_t = np.linspace(0, steps - 1, min(8, steps)).round().astype(int)
-        # (T, 2n, C, H, W) -> (n, F, C, H, W), conditioned half only
-        traj = np.asarray(outs["pred_xstart"])[frames_t][:, :n]
+            return outs["pred_xstart"][jnp.asarray(frames_t)][:, :n]
+
+        traj = np.asarray(traj_fn(z, y, skey))  # (F, n, C, H, W)
         traj = np.swapaxes(traj, 0, 1)
         n_frames = traj.shape[1]
         traj = traj.reshape(n * n_frames, *traj.shape[2:])
@@ -225,7 +230,10 @@ if __name__ == "__main__":
                              "(0 = exact chain; lossy — see BENCH_NOTES)")
     parser.add_argument("--save-trajectory", type=str, default=None,
                         help="also write a denoising-evolution grid (pred_xstart "
-                             "at 8 chain positions) to this PNG; ddpm only")
+                             "at 8 chain positions) to this PNG; ddpm only. "
+                             "Runs a second full denoising chain (~doubles "
+                             "sampling time); only the kept frames leave the "
+                             "device")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--ema-std", type=float, default=0.05)
     parser.add_argument("--ckpt", type=str, default=None,

@@ -336,6 +336,10 @@ class SamplerService:
             "coalesce_ms": self.coalesce_ms,
             "uptime_s": round(time.time() - self.started, 1),
             "decode": "vae" if self.use_vae else "latent",
+            # ddpm draws per-step noise shaped like the coalesced batch; a
+            # seed reproduces its output only for identical batch
+            # compositions (X-Seed-Deterministic response header per request)
+            "seed_deterministic_samplers": ["dpm++", "ddim"],
         }
 
 
@@ -355,10 +359,12 @@ def make_handler(service: SamplerService, defaults: dict):
             self.end_headers()
             self.wfile.write(body)
 
-        def _bytes(self, code: int, body: bytes, ctype: str):
+        def _bytes(self, code: int, body: bytes, ctype: str, headers=None):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -385,8 +391,14 @@ def make_handler(service: SamplerService, defaults: dict):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
                 labels = req.get("class_labels")
-                if labels is None:
+                if labels is not None:
+                    if not isinstance(labels, list):
+                        raise ValueError("class_labels must be a list of integers")
+                    labels = [int(lab) for lab in labels]
+                else:
                     labels = [int(req.get("class_label", 0))] * int(
                         req.get("num_samples", 1)
                     )
@@ -407,22 +419,30 @@ def make_handler(service: SamplerService, defaults: dict):
                     labels, steps, sampler, cfg_scale, seed=req.get("seed"),
                     schedule=schedule,
                 )
-            except ValueError as e:
+            except (ValueError, TypeError) as e:
+                # TypeError covers malformed JSON value types (e.g. a dict
+                # where an int belongs) — a client error, not a server fault
                 self._json(400, {"error": str(e)})
                 return
             except Exception as e:  # noqa: BLE001 — surface as a 500, keep serving
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
 
+            # Seed determinism disclosure: stochastic chains (ddpm) draw
+            # per-step noise shaped like the coalesced batch, so a seed only
+            # reproduces the output for identical batch compositions.
+            headers = {
+                "X-Seed-Deterministic": "false" if sampler == "ddpm" else "true"
+            }
             buf = io.BytesIO()
             if fmt == "npz":
                 # ADM evaluator format, like sample_fid.py (arr_0 uint8 NHWC)
                 np.savez(buf, arr_0=to_uint8(samples))
-                self._bytes(200, buf.getvalue(), "application/x-npz")
+                self._bytes(200, buf.getvalue(), "application/x-npz", headers)
             else:
                 nrow = int(np.ceil(np.sqrt(len(samples))))
                 save_image_grid(samples, buf, nrow=max(1, nrow), format="PNG")
-                self._bytes(200, buf.getvalue(), "image/png")
+                self._bytes(200, buf.getvalue(), "image/png", headers)
 
         def log_message(self, fmt, *args):  # route through stdout, one line
             print(f"[serve] {self.address_string()} {fmt % args}", flush=True)

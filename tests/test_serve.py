@@ -208,6 +208,30 @@ class TestServe:
             srv.terminate()
             srv.wait(timeout=30)
 
+    def test_seed_determinism_header(self, server):
+        """Responses disclose whether the seed fully determines the output
+        (stochastic ddpm chains share per-step noise across the coalesced
+        batch; deterministic samplers do not)."""
+        req = urllib.request.Request(
+            server + "/v1/sample",
+            data=json.dumps(
+                {"class_label": 1, "steps": 4, "sampler": "dpm++", "seed": 3}
+            ).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            assert resp.headers["X-Seed-Deterministic"] == "true"
+        req = urllib.request.Request(
+            server + "/v1/sample",
+            data=json.dumps(
+                {"class_label": 1, "steps": 4, "sampler": "ddpm", "seed": 3}
+            ).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            assert resp.headers["X-Seed-Deterministic"] == "false"
+        with urllib.request.urlopen(server + "/healthz", timeout=60) as resp:
+            info = json.loads(resp.read())
+        assert info["seed_deterministic_samplers"] == ["dpm++", "ddim"]
+
     def test_errors(self, server):
         for payload, frag in [
             ({"class_label": 99, "steps": 4}, "class label"),
@@ -217,6 +241,11 @@ class TestServe:
             ({"class_label": 1, "steps": 4, "seed": "abc"}, "seed"),
             ({"class_label": 1, "steps": 4, "format": "jpeg"}, "format"),
             ({"class_label": 1, "steps": 4, "schedule": "exp"}, "schedule"),
+            # malformed value *types* must be 400s, not 500s
+            ({"class_labels": 5, "steps": 4}, "list"),
+            ({"class_labels": {"a": 1}, "steps": 4}, "list"),
+            ({"class_label": 1, "num_samples": [2], "steps": 4}, ""),
+            ({"class_label": [1], "steps": 4}, ""),
         ]:
             try:
                 _post(server, payload)
