@@ -396,7 +396,14 @@ if __name__ == "__main__":
     flag("use-forced-weight-normalization")
     flag("use-mp-residual")
     flag("use-mp-silu")
-    flag("use-no-layernorm")
+    parser.add_argument(
+        "--use-no-layernorm", type=lambda s: s.lower() in ("1", "true", "yes"),
+        default=True, metavar="BOOL",
+        help="ON (reference) drops LayerNorm AND selects the MP conditioning "
+             "arithmetic mp_sum(x*scale, shift, gain) everywhere; OFF restores "
+             "pre-modulation LayerNorm AND the classic x*(1+scale)+shift "
+             "arithmetic (vanilla DiT). The pairing is deliberate: the classic "
+             "form assumes normalized activations (DiTConfig.mp_style)")
     flag("use-mp-pos-enc")
     flag("use-mp-embedding")
     parser.add_argument("--modulation", choices=["adaln", "rotation", "rotation_scale"],
