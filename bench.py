@@ -209,6 +209,9 @@ def main():
     if args.cache_interval > 1:
         from mapdit_tpu.runtime import build_cached_sample_fn
 
+        assert args.sampler in ("ddpm", "dpm++"), (
+            "--cache-interval composes with --sampler ddpm or dpm++"
+        )
         span = (
             tuple(int(v) for v in args.cache_span.split(","))
             if args.cache_span
@@ -216,7 +219,7 @@ def main():
         )
         sample_fn = build_cached_sample_fn(
             cfg, variables, diffusion, cfg_scale=1.5, fold=True,
-            span=span, cache_interval=args.cache_interval,
+            span=span, cache_interval=args.cache_interval, sampler=args.sampler,
         )
     else:
         sample_fn = build_sample_fn(
@@ -272,6 +275,7 @@ def main():
                 "unit": (
                     f"{args.sampler.upper()} steps/s ({args.model}, batch {n}x2 CFG, "
                     f"{args.steps} respaced steps"
+                    + (f", {args.time_schedule}" if args.time_schedule != "uniform" else "")
                     + (f", cache-interval {args.cache_interval}" if args.cache_interval > 1 else "")
                     + f", {args.dtype})"
                 ),

@@ -171,26 +171,35 @@ def build_cached_sample_fn(
     span: Optional[tuple] = None,
     cache_interval: int = 2,
     clip_denoised: bool = False,
+    sampler: str = "ddpm",
 ):
-    """DDPM chain with Delta-DiT-style block-span caching (arXiv 2406.01125).
+    """Denoising chain with Delta-DiT-style block-span caching (arXiv
+    2406.01125), for the ancestral DDPM chain or the DPM-Solver++(2M) ODE
+    chain (``sampler="dpm++"`` — composes with karras-respaced schedules,
+    since the respacing lives in ``diffusion``).
 
     The chain scans over groups of ``cache_interval`` steps: the group's
     first step runs the full model and records the displacement of the
     block span ``[span[0], span[1])``; the remaining steps replace that
     span with the cached displacement (the Delta-DiT approximation — a
     span's contribution drifts slowly across adjacent timesteps), skipping
-    its compute entirely. Per-step FLOPs drop by
+    its compute entirely. The protocol wraps the *model call*, not the
+    chain math, which is why it is sampler-agnostic. Per-step FLOPs drop by
     ``(hi-lo)/depth * (interval-1)/interval``. This is a LOSSY accelerator:
     pair any use with a measured deviation against the exact chain
     (tests/test_runtime_cache.py does; docs/BENCH_NOTES.md records it).
 
     ``span`` defaults to the middle half of the depth. Exactness limits
     (tested): an empty span or ``cache_interval=1`` reproduces the exact
-    chain bit-for-bit (same RNG stream as ``p_sample_loop_fast``).
+    chain bit-for-bit (same RNG stream as ``p_sample_loop_fast`` /
+    same op order as ``dpm_solver_pp_loop``).
     """
+    import numpy as np
+
     from mapdit_tpu.diffusion import gd
     from mapdit_tpu.models.dit import DiT
 
+    assert sampler in ("ddpm", "dpm++"), sampler
     assert diffusion.mean_type == gd.EPSILON and diffusion.var_type == gd.LEARNED_RANGE
     n_steps = diffusion.num_timesteps
     assert n_steps % cache_interval == 0, (n_steps, cache_interval)
@@ -206,16 +215,32 @@ def build_cached_sample_fn(
         )
 
     ts = jnp.arange(n_steps - 1, -1, -1)
-    coefs = (
-        diffusion.timestep_map[ts].astype(jnp.float32),
-        diffusion.sqrt_recip_alphas_cumprod[ts],
-        diffusion.sqrt_recipm1_alphas_cumprod[ts],
-        diffusion.posterior_mean_coef1[ts],
-        diffusion.posterior_mean_coef2[ts],
-        diffusion.posterior_log_variance_clipped[ts],
-        diffusion.log_betas[ts],
-        (ts != 0).astype(jnp.float32),
-    )
+    if sampler == "ddpm":
+        coefs = (
+            diffusion.timestep_map[ts].astype(jnp.float32),
+            diffusion.sqrt_recip_alphas_cumprod[ts],
+            diffusion.sqrt_recipm1_alphas_cumprod[ts],
+            diffusion.posterior_mean_coef1[ts],
+            diffusion.posterior_mean_coef2[ts],
+            diffusion.posterior_log_variance_clipped[ts],
+            diffusion.log_betas[ts],
+            (ts != 0).astype(jnp.float32),
+        )
+    else:
+        from mapdit_tpu.diffusion.dpm_solver import dpm_solver_pp_coefficients
+
+        sigma_ratio, alpha_next, em1, c2 = dpm_solver_pp_coefficients(
+            np.asarray(diffusion.alphas_cumprod)
+        )
+        coefs = (
+            diffusion.timestep_map[ts].astype(jnp.float32),
+            diffusion.sqrt_recip_alphas_cumprod[ts],
+            diffusion.sqrt_recipm1_alphas_cumprod[ts],
+            jnp.asarray(sigma_ratio),
+            jnp.asarray(alpha_next),
+            jnp.asarray(em1),
+            jnp.asarray(c2),
+        )
     n_groups = n_steps // cache_interval
     gcoefs = tuple(a.reshape(n_groups, cache_interval) for a in coefs)
 
@@ -259,27 +284,52 @@ def build_cached_sample_fn(
 
         n = chain_noise.shape[0]
 
-        def group_body(carry, gc):
-            x, key = carry
-            delta = None
-            for s in range(cache_interval):
-                model_t, sra, srm1, pc1, pc2, min_log, max_log, nonzero = (
-                    a[s] for a in gc
-                )
-                key, step_key = jax.random.split(key)
-                out, delta = call(x, jnp.full((n,), model_t), delta)
-                eps_hat, var_values = jnp.split(out, 2, axis=1)
-                frac = (var_values + 1.0) / 2.0
-                log_variance = frac * max_log + (1.0 - frac) * min_log
-                pred_xstart = sra * x - srm1 * eps_hat
-                if clip_denoised:
-                    pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
-                mean = pc1 * pred_xstart + pc2 * x
-                step_noise = jax.random.normal(step_key, x.shape, x.dtype)
-                x = mean + nonzero * jnp.exp(0.5 * log_variance) * step_noise
-            return (x, key), None
+        if sampler == "ddpm":
 
-        (x, _), _ = jax.lax.scan(group_body, (chain_noise, rng), gcoefs)
+            def group_body(carry, gc):
+                x, key = carry
+                delta = None
+                for s in range(cache_interval):
+                    model_t, sra, srm1, pc1, pc2, min_log, max_log, nonzero = (
+                        a[s] for a in gc
+                    )
+                    key, step_key = jax.random.split(key)
+                    out, delta = call(x, jnp.full((n,), model_t), delta)
+                    eps_hat, var_values = jnp.split(out, 2, axis=1)
+                    frac = (var_values + 1.0) / 2.0
+                    log_variance = frac * max_log + (1.0 - frac) * min_log
+                    pred_xstart = sra * x - srm1 * eps_hat
+                    if clip_denoised:
+                        pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
+                    mean = pc1 * pred_xstart + pc2 * x
+                    step_noise = jax.random.normal(step_key, x.shape, x.dtype)
+                    x = mean + nonzero * jnp.exp(0.5 * log_variance) * step_noise
+                return (x, key), None
+
+            init = (chain_noise, rng)
+        else:
+            # DPM-Solver++(2M) group step (diffusion/dpm_solver.py math with
+            # the cached-span model call); deterministic — rng unused
+            def group_body(carry, gc):
+                x, prev_x0 = carry
+                delta = None
+                for s in range(cache_interval):
+                    model_t, sra, srm1, s_ratio, a_next, e, w2 = (
+                        a[s] for a in gc
+                    )
+                    out, delta = call(x, jnp.full((n,), model_t), delta)
+                    eps_hat, _ = jnp.split(out, 2, axis=1)
+                    x0 = sra * x - srm1 * eps_hat
+                    if clip_denoised:
+                        x0 = jnp.clip(x0, -1.0, 1.0)
+                    d = (1.0 + w2) * x0 - w2 * prev_x0
+                    x = s_ratio * x - a_next * e * d
+                    prev_x0 = x0
+                return (x, prev_x0), None
+
+            init = (chain_noise, jnp.zeros_like(chain_noise))
+
+        (x, _), _ = jax.lax.scan(group_body, init, gcoefs)
         if cfg_scale is not None:
             x = jnp.concatenate([x, x], axis=0)
         return x

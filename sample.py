@@ -159,14 +159,17 @@ def main(args):
 
     diffusion = create_diffusion(respacing_string(steps, args.sampler, args.time_schedule))
     if args.cache_interval > 1:
-        # Delta-DiT block-span caching: LOSSY accelerator (ddpm only) —
-        # measured deviation numbers in docs/BENCH_NOTES.md
-        assert args.sampler == "ddpm", "--cache-interval needs --sampler ddpm"
+        # Delta-DiT block-span caching: LOSSY accelerator (ddpm and dpm++;
+        # stacks with --time-schedule karras) — measured deviation numbers
+        # in docs/BENCH_NOTES.md
+        assert args.sampler in ("ddpm", "dpm++"), (
+            "--cache-interval composes with --sampler ddpm or dpm++"
+        )
         from mapdit_tpu.runtime import build_cached_sample_fn
 
         sample_fn = build_cached_sample_fn(
             cfg, variables, diffusion, cfg_scale=args.cfg_scale,
-            cache_interval=args.cache_interval,
+            cache_interval=args.cache_interval, sampler=args.sampler,
         )
     else:
         sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler, eta=args.eta)

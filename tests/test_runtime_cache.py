@@ -102,3 +102,82 @@ class TestBlockSpanCache:
         cfg, variables, d, z, y, rng = setup
         with pytest.raises(AssertionError):
             build_cached_sample_fn(cfg, variables, d, cache_interval=3)
+
+
+class TestDpmppComposition:
+    """The span-delta protocol wraps the model call, not the chain math —
+    it composes with the DPM-Solver++(2M) chain (and, through the respaced
+    diffusion, with karras schedules): VERDICT r02 item #4."""
+
+    def _exact_dpmpp(self, cfg, variables, d, z, y):
+        from mapdit_tpu.diffusion.dpm_solver import dpm_solver_pp_loop
+        from mapdit_tpu.runtime import build_model_fn
+
+        model_fn = build_model_fn(cfg, variables)
+        return dpm_solver_pp_loop(
+            d, model_fn, z, clip_denoised=True, model_kwargs={"y": y}
+        )
+
+    def test_interval_one_is_exact(self, setup):
+        cfg, variables, d, z, y, rng = setup
+        base = self._exact_dpmpp(cfg, variables, d, z, y)
+        cached = build_cached_sample_fn(
+            cfg, variables, d, span=(1, 5), cache_interval=1,
+            clip_denoised=True, sampler="dpm++",
+        )(z, y, rng)
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(cached), atol=1e-5, rtol=1e-5
+        )
+
+    def test_empty_span_is_exact(self, setup):
+        cfg, variables, d, z, y, rng = setup
+        base = self._exact_dpmpp(cfg, variables, d, z, y)
+        cached = build_cached_sample_fn(
+            cfg, variables, d, span=(0, 0), cache_interval=2,
+            clip_denoised=True, sampler="dpm++",
+        )(z, y, rng)
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(cached), atol=1e-5, rtol=1e-5
+        )
+
+    def test_karras_deviation_measured_and_bounded(self, setup):
+        """The declared serving stack: dpm++ + karras schedule + span cache.
+        Deviation vs the exact dpm+++karras chain, measured on the golden
+        torch-initialized weights."""
+        from mapdit_tpu.diffusion import create_diffusion, respacing_string
+
+        cfg, variables, _, z, y, rng = setup
+        dk = create_diffusion(respacing_string(8, "dpm++", "karras"))
+        base = np.asarray(self._exact_dpmpp(cfg, variables, dk, z, y))
+        cached = np.asarray(
+            build_cached_sample_fn(
+                cfg, variables, dk, cache_interval=2, clip_denoised=True,
+                sampler="dpm++",
+            )(z, y, rng)
+        )
+        assert np.isfinite(cached).all()
+        rel = np.linalg.norm(cached - base) / np.linalg.norm(base)
+        assert 0 < rel < 0.5, rel
+        print(
+            f"\ndpm+++karras span-cache rel-L2 deviation "
+            f"(8 steps, interval 2): {rel:.4f}"
+        )
+
+    def test_cfg_chain_shape_and_halves(self, setup):
+        cfg, variables, d, z, y, rng = setup
+        z2 = jnp.concatenate([z, z], axis=0)
+        y2 = jnp.concatenate([y, jnp.full((2,), cfg.num_classes, jnp.int32)])
+        out = np.asarray(
+            build_cached_sample_fn(
+                cfg, variables, d, cfg_scale=4.0, cache_interval=2,
+                clip_denoised=True, sampler="dpm++",
+            )(z2, y2, rng)
+        )
+        assert out.shape == (4, 4, 16, 16)
+        np.testing.assert_array_equal(out[:2], out[2:])
+        assert np.isfinite(out).all()
+
+    def test_unknown_sampler_rejected(self, setup):
+        cfg, variables, d, *_ = setup
+        with pytest.raises(AssertionError):
+            build_cached_sample_fn(cfg, variables, d, sampler="ddim")
