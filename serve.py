@@ -23,7 +23,11 @@ Endpoints:
   POST /v1/sample          -> image/png grid or application/x-npz
       {"class_labels": [207, 360] | "class_label": 88, "num_samples": 4,
        "steps": 20, "sampler": "ddpm|ddim|dpm++", "cfg_scale": 4.0,
-       "schedule": "uniform|karras", "seed": 0, "format": "png|npz"}
+       "schedule": "uniform|karras", "cache_interval": 0, "seed": 0,
+       "format": "png|npz"}
+      cache_interval >= 2 enables Delta-DiT block-span caching (LOSSY —
+      docs/BENCH_NOTES.md records the deviation; ddpm/dpm++ only, must
+      divide steps).
 
 Example:
   python serve.py --result-dir results/000-DiT-S-2 --port 8000 &
@@ -42,10 +46,20 @@ import time
 import numpy as np
 
 
+class QueueFullError(Exception):
+    """Pending-request cap hit — surfaces as HTTP 503 (shed load now,
+    retry later) instead of letting queues grow without bound."""
+
+
+class RequestTimeoutError(Exception):
+    """The per-request deadline elapsed before the dispatcher finished —
+    surfaces as HTTP 504. The job is abandoned (skipped if still queued)."""
+
+
 class _Job:
     """One request in the coalescing queue."""
 
-    __slots__ = ("labels", "seed", "done", "result", "error")
+    __slots__ = ("labels", "seed", "done", "result", "error", "abandoned")
 
     def __init__(self, labels, seed):
         self.labels = labels
@@ -53,6 +67,7 @@ class _Job:
         self.done = threading.Event()
         self.result = None
         self.error = None
+        self.abandoned = False  # set on timeout; dispatcher skips it
 
 
 class SamplerService:
@@ -82,6 +97,8 @@ class SamplerService:
         coalesce_ms: float = 3.0,
         shard: bool = True,
         max_programs: int = 32,
+        max_pending: int = 64,
+        request_timeout_s: float = 600.0,
     ):
         import jax
 
@@ -112,6 +129,11 @@ class SamplerService:
         self.buckets = tuple(sorted(set(buckets)))
         self.coalesce_ms = coalesce_ms
         self.max_programs = max_programs
+        self.max_pending = max_pending
+        self.request_timeout_s = request_timeout_s
+        self._pending = 0  # jobs enqueued but not yet taken by the dispatcher
+        self._timeouts = 0
+        self._rejected = 0
         self._fns = {}  # (sampler, steps, cfg_scale, bucket, schedule) -> fn
         self._base_key = jax.random.PRNGKey(seed)
         self._request_counter = 0
@@ -136,12 +158,12 @@ class SamplerService:
 
     def _get_fn(
         self, sampler: str, steps: int, cfg_scale: float, bucket: int,
-        schedule: str = "uniform",
+        schedule: str = "uniform", cache_interval: int = 0,
     ):
         from mapdit_tpu.diffusion import create_diffusion, respacing_string
-        from mapdit_tpu.runtime import build_sample_fn
+        from mapdit_tpu.runtime import build_cached_sample_fn, build_sample_fn
 
-        key = (sampler, steps, float(cfg_scale), bucket, schedule)
+        key = (sampler, steps, float(cfg_scale), bucket, schedule, cache_interval)
         fn = self._fns.get(key)
         if fn is None:
             if len(self._fns) >= self.max_programs:
@@ -154,13 +176,24 @@ class SamplerService:
                     "schedule) protocol or restart with --max-programs"
                 )
             diffusion = create_diffusion(respacing_string(steps, sampler, schedule))
-            fn = build_sample_fn(
-                self.cfg,
-                self.variables,
-                diffusion,
-                cfg_scale=cfg_scale if cfg_scale > 1.0 else None,
-                sampler=sampler,
-            )
+            if cache_interval > 1:
+                # Delta-DiT block-span caching (LOSSY; docs/BENCH_NOTES.md)
+                fn = build_cached_sample_fn(
+                    self.cfg,
+                    self.variables,
+                    diffusion,
+                    cfg_scale=cfg_scale if cfg_scale > 1.0 else None,
+                    cache_interval=cache_interval,
+                    sampler=sampler,
+                )
+            else:
+                fn = build_sample_fn(
+                    self.cfg,
+                    self.variables,
+                    diffusion,
+                    cfg_scale=cfg_scale if cfg_scale > 1.0 else None,
+                    sampler=sampler,
+                )
             self._fns[key] = fn
         return fn
 
@@ -172,7 +205,7 @@ class SamplerService:
 
     def sample(
         self, class_labels, steps, sampler, cfg_scale, seed=None,
-        schedule="uniform",
+        schedule="uniform", cache_interval=0,
     ):
         """(labels, protocol) -> float latents/images (n, C, H, W) in [-1, 1].
 
@@ -200,13 +233,54 @@ class SamplerService:
         cfg_scale = float(cfg_scale)
         if cfg_scale <= 1.0:
             cfg_scale = 1.0  # all <=1 values compile the identical no-CFG program
+        cache_interval = int(cache_interval)
+        if cache_interval > 1:
+            if sampler not in ("ddpm", "dpm++"):
+                raise ValueError(
+                    "cache_interval composes with sampler ddpm or dpm++"
+                )
+            if int(steps) % cache_interval != 0:
+                raise ValueError(
+                    f"cache_interval {cache_interval} must divide steps {steps}"
+                )
+        elif cache_interval < 0:
+            raise ValueError("cache_interval must be >= 0")
 
         job = _Job(np.asarray(class_labels, np.int32), seed)
-        key = (sampler, int(steps), cfg_scale, schedule)
+        key = (sampler, int(steps), cfg_scale, schedule, cache_interval)
         with self._cv:
+            # Backpressure: bound the pending queue (503 on overflow) and
+            # gate brand-new protocols on the compile budget at ADMISSION,
+            # so a protocol-scanning client is turned away with a 400
+            # before it can park jobs behind a multi-minute compile.
+            if self._pending >= self.max_pending:
+                self._rejected += 1
+                raise QueueFullError(
+                    f"server overloaded: {self._pending} pending requests "
+                    f"(max {self.max_pending}); retry later"
+                )
+            # _fns keys carry an extra bucket element at index 3
+            if (
+                len(self._fns) >= self.max_programs
+                and not any((k[0], k[1], k[2], k[4], k[5]) == key for k in self._fns)
+            ):
+                raise ValueError(
+                    f"compile budget exhausted ({self.max_programs} programs); "
+                    "reuse an already-compiled (sampler, steps, cfg_scale, "
+                    "schedule, cache_interval) protocol or restart with "
+                    "--max-programs"
+                )
+            self._pending += 1
             self._queues.setdefault(key, []).append(job)
             self._cv.notify()
-        job.done.wait()
+        if not job.done.wait(timeout=self.request_timeout_s or None):
+            job.abandoned = True  # dispatcher will skip it if still queued
+            self._timeouts += 1
+            raise RequestTimeoutError(
+                f"request did not complete within {self.request_timeout_s:g}s "
+                "(first use of a protocol pays its XLA compile; warm protocols "
+                "or raise --request-timeout-s)"
+            )
         if job.error is not None:
             raise job.error
         return job.result
@@ -231,6 +305,9 @@ class SamplerService:
             group, rows = [], 0
             while pending and rows + len(pending[0].labels) <= self.buckets[-1]:
                 job = pending.pop(0)
+                self._pending -= 1
+                if job.abandoned:  # timed out while queued — don't run it
+                    continue
                 group.append(job)
                 rows += len(job.labels)
             return key, group
@@ -245,6 +322,8 @@ class SamplerService:
                 traceback.print_exc()
                 time.sleep(0.1)
                 continue
+            if not group:  # every queued job timed out before we got to it
+                continue
             try:
                 self._run_group(key, group)
             except Exception as e:  # noqa: BLE001 — propagate to every waiter
@@ -256,7 +335,7 @@ class SamplerService:
         import jax
         import jax.numpy as jnp
 
-        sampler, steps, cfg_scale, schedule = key
+        sampler, steps, cfg_scale, schedule, cache_interval = key
         n = sum(len(j.labels) for j in group)
         bucket = self._bucket(n)
         num_classes = self.cfg.num_classes
@@ -294,7 +373,7 @@ class SamplerService:
             )
         else:
             y = y_rows
-        fn = self._get_fn(sampler, steps, cfg_scale, bucket, schedule)
+        fn = self._get_fn(sampler, steps, cfg_scale, bucket, schedule, cache_interval)
         n_dev = self._mesh.shape["data"] if self._mesh is not None else 1
         cfg_rows = 2 * bucket if cfg_scale > 1.0 else bucket
         if n_dev > 1 and bucket % n_dev == 0 and cfg_rows % n_dev == 0:
@@ -331,8 +410,14 @@ class SamplerService:
             "buckets": list(self.buckets),
             "devices": self._mesh.shape["data"] if self._mesh is not None else 1,
             "compiled_programs": len(self._fns),
+            "max_programs": self.max_programs,
             "batches_run": self._batches_run,
             "coalesced_batches": self._coalesced_batches,
+            "pending": self._pending,
+            "max_pending": self.max_pending,
+            "request_timeout_s": self.request_timeout_s,
+            "timeouts": self._timeouts,
+            "rejected": self._rejected,
             "coalesce_ms": self.coalesce_ms,
             "uptime_s": round(time.time() - self.started, 1),
             "decode": "vae" if self.use_vae else "latent",
@@ -351,11 +436,13 @@ def make_handler(service: SamplerService, defaults: dict):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
-        def _json(self, code: int, obj: dict):
+        def _json(self, code: int, obj: dict, headers=None):
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -415,10 +502,18 @@ def make_handler(service: SamplerService, defaults: dict):
                 fmt = req.get("format", "png")
                 if fmt not in ("png", "npz"):
                     raise ValueError(f"unknown format {fmt!r}")
+                cache_interval = int(req.get("cache_interval", 0))
                 samples = service.sample(
                     labels, steps, sampler, cfg_scale, seed=req.get("seed"),
-                    schedule=schedule,
+                    schedule=schedule, cache_interval=cache_interval,
                 )
+            except QueueFullError as e:
+                # standard shed-load signal
+                self._json(503, {"error": str(e)}, {"Retry-After": "5"})
+                return
+            except RequestTimeoutError as e:
+                self._json(504, {"error": str(e)})
+                return
             except (ValueError, TypeError) as e:
                 # TypeError covers malformed JSON value types (e.g. a dict
                 # where an int belongs) — a client error, not a server fault
@@ -473,6 +568,8 @@ def main(args):
         coalesce_ms=args.coalesce_ms,
         shard=args.shard,
         max_programs=args.max_programs,
+        max_pending=args.max_pending,
+        request_timeout_s=args.request_timeout_s,
     )
     defaults = {
         "steps": args.default_steps,
@@ -531,7 +628,19 @@ if __name__ == "__main__":
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max-programs", type=int, default=32,
                         help="compile-budget cap on distinct (sampler, steps, "
-                             "cfg_scale, bucket, schedule) programs")
+                             "cfg_scale, bucket, schedule, cache_interval) "
+                             "programs; new protocols past the cap are 400s "
+                             "at admission")
+    parser.add_argument("--max-pending", type=int, default=64,
+                        help="pending-request cap; requests past it get an "
+                             "immediate 503 + Retry-After instead of queueing "
+                             "without bound")
+    parser.add_argument("--request-timeout-s", type=float, default=600.0,
+                        help="per-request deadline (504 on expiry; a still-"
+                             "queued timed-out job is skipped, never run). "
+                             "First use of a protocol pays its XLA compile — "
+                             "keep this above compile time or pre-warm (0 = "
+                             "no deadline)")
     parser.add_argument("--shard", type=lambda s: s.lower() in ("1", "true", "yes"),
                         default=True, metavar="BOOL",
                         help="shard divisible buckets over all chips (data-parallel)")

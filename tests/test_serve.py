@@ -30,7 +30,7 @@ def _cpu_env():
 
 
 @pytest.fixture(scope="module")
-def server(tmp_path_factory):
+def trained_exp(tmp_path_factory):
     results = str(tmp_path_factory.mktemp("results"))
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "train.py"),
@@ -42,12 +42,14 @@ def server(tmp_path_factory):
         capture_output=True, text=True, timeout=900, cwd=REPO, env=_cpu_env(),
     )
     assert proc.returncode == 0, f"train: {proc.stdout}\n{proc.stderr}"
-    exp_dir = os.path.join(results, os.listdir(results)[0])
+    return os.path.join(results, os.listdir(results)[0])
 
+
+def _start_server(exp_dir, extra_args=()):
     srv = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "serve.py"),
          "--result-dir", exp_dir, "--port", "0", "--warmup", "false",
-         "--buckets", "1,4", "--default-steps", "4", "--coalesce-ms", "150"],
+         *extra_args],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=REPO, env=_cpu_env(),
     )
@@ -61,7 +63,16 @@ def server(tmp_path_factory):
         if srv.poll() is not None:
             raise AssertionError(f"serve.py exited early:\n{srv.stdout.read()}")
     assert port, "server did not announce its port"
-    yield f"http://127.0.0.1:{port}"
+    return srv, f"http://127.0.0.1:{port}"
+
+
+@pytest.fixture(scope="module")
+def server(trained_exp):
+    srv, base = _start_server(
+        trained_exp,
+        ["--buckets", "1,4", "--default-steps", "4", "--coalesce-ms", "150"],
+    )
+    yield base
     srv.terminate()  # SIGTERM: graceful-shutdown path
     assert srv.wait(timeout=30) == 0, "server should exit 0 on SIGTERM"
 
@@ -208,6 +219,44 @@ class TestServe:
             srv.terminate()
             srv.wait(timeout=30)
 
+    def test_cache_interval_protocol(self, server):
+        """Delta-DiT span caching is a first-class serving protocol knob
+        (VERDICT r02 item #4): a cached dpm++ request runs end-to-end."""
+        status, ctype, body = _post(
+            server,
+            {"class_label": 2, "steps": 4, "sampler": "dpm++",
+             "cache_interval": 2, "cfg_scale": 1.0, "format": "npz",
+             "seed": 5},
+        )
+        assert status == 200 and ctype == "application/x-npz"
+        with np.load(io.BytesIO(body)) as f:
+            cached = f["arr_0"]
+        assert cached.shape == (1, 16, 16, 4)
+        # and it is a distinct program from the exact chain: same request
+        # without caching differs (lossy approximation)
+        _, _, body2 = _post(
+            server,
+            {"class_label": 2, "steps": 4, "sampler": "dpm++",
+             "cfg_scale": 1.0, "format": "npz", "seed": 5},
+        )
+        with np.load(io.BytesIO(body2)) as f:
+            exact = f["arr_0"]
+        assert not np.array_equal(cached, exact)
+
+        for payload, frag in [
+            ({"class_label": 1, "steps": 4, "sampler": "ddim",
+              "cache_interval": 2}, "composes"),
+            ({"class_label": 1, "steps": 4, "sampler": "ddpm",
+              "cache_interval": 3}, "divide"),
+            ({"class_label": 1, "steps": 4, "cache_interval": -1}, ">= 0"),
+        ]:
+            try:
+                _post(server, payload)
+                raise AssertionError(f"expected 400 for {payload}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert frag in json.loads(e.read())["error"]
+
     def test_seed_determinism_header(self, server):
         """Responses disclose whether the seed fully determines the output
         (stochastic ddpm chains share per-step noise across the coalesced
@@ -259,3 +308,173 @@ class TestServe:
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+    def test_mixed_protocol_concurrent_load(self, server):
+        """Concurrent distinct protocols: every request completes (the
+        dispatcher round-robins across protocol queues; compiles are
+        serialized but bounded), nothing 500s."""
+        import threading
+
+        protos = [
+            {"class_label": 1, "steps": 4, "sampler": "dpm++", "cfg_scale": 1.0},
+            {"class_label": 2, "steps": 4, "sampler": "ddim", "cfg_scale": 1.0},
+            {"class_label": 3, "steps": 4, "sampler": "ddpm", "cfg_scale": 4.0},
+        ]
+        results = {}
+
+        def fire(i):
+            p = {**protos[i % len(protos)], "format": "npz", "seed": i}
+            try:
+                results[i] = _post(server, p)[0]
+            except urllib.error.HTTPError as e:  # any HTTP error is a failure
+                results[i] = e.code
+
+        threads = [threading.Thread(target=fire, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(code == 200 for code in results.values()), results
+
+
+class TestBackpressure:
+    """Bounded queues + per-request deadlines (VERDICT r02 item #6): the
+    server sheds load with 503/504 instead of queueing without bound or
+    letting compile storms wedge the dispatcher."""
+
+    def test_queue_overflow_503(self, trained_exp):
+        import threading
+
+        srv, base = _start_server(
+            trained_exp,
+            ["--buckets", "1", "--coalesce-ms", "900", "--max-pending", "1"],
+        )
+        try:
+            codes = {}
+
+            def fire(name, delay):
+                time.sleep(delay)
+                try:
+                    codes[name] = _post(
+                        base,
+                        {"class_label": 1, "steps": 2, "sampler": "dpm++",
+                         "cfg_scale": 1.0},
+                    )[0]
+                except urllib.error.HTTPError as e:
+                    codes[name] = e.code
+                    if e.code == 503:
+                        assert e.headers.get("Retry-After")
+
+            # A enqueues; the dispatcher sleeps coalesce_ms=900 before
+            # taking it, so B (fired 300ms later) hits the pending cap
+            threads = [
+                threading.Thread(target=fire, args=("a", 0.0)),
+                threading.Thread(target=fire, args=("b", 0.3)),
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert sorted(codes.values()) == [200, 503], codes
+            with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+                info = json.loads(resp.read())
+            assert info["rejected"] >= 1
+            assert info["pending"] == 0
+        finally:
+            srv.terminate()
+            srv.wait(timeout=30)
+
+    def test_request_timeout_504_and_recovery(self, trained_exp):
+        import threading
+
+        srv, base = _start_server(
+            trained_exp,
+            ["--buckets", "1", "--coalesce-ms", "0",
+             "--request-timeout-s", "1.5"],
+        )
+        try:
+            codes = {}
+
+            def fire(name, delay):
+                time.sleep(delay)
+                try:
+                    codes[name] = _post(
+                        base,
+                        {"class_label": 1, "steps": 2, "sampler": "dpm++",
+                         "cfg_scale": 1.0},
+                    )[0]
+                except urllib.error.HTTPError as e:
+                    codes[name] = e.code
+
+            # first request pays a multi-second XLA compile -> 504; the
+            # second times out while QUEUED behind it and must be skipped
+            # by the dispatcher (abandoned), never run
+            threads = [
+                threading.Thread(target=fire, args=("a", 0.0)),
+                threading.Thread(target=fire, args=("b", 0.2)),
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert codes == {"a": 504, "b": 504}, codes
+
+            # the server recovers: once the compile finishes, the (now
+            # cached) protocol completes within the deadline
+            deadline = time.time() + 120
+            ok = False
+            while time.time() < deadline:
+                try:
+                    status = _post(
+                        base,
+                        {"class_label": 1, "steps": 2, "sampler": "dpm++",
+                         "cfg_scale": 1.0},
+                    )[0]
+                    if status == 200:
+                        ok = True
+                        break
+                except urllib.error.HTTPError as e:
+                    assert e.code == 504, e.code
+                time.sleep(2)
+            assert ok, "server never recovered after compile finished"
+            with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+                info = json.loads(resp.read())
+            assert info["timeouts"] >= 2
+            # the abandoned queued job was skipped: only the compile batch
+            # and the successful retry actually ran
+            assert info["batches_run"] <= 2 + 1, info
+        finally:
+            srv.terminate()
+            srv.wait(timeout=30)
+
+    def test_compile_budget_admission_400(self, trained_exp):
+        srv, base = _start_server(
+            trained_exp,
+            ["--buckets", "1", "--coalesce-ms", "0", "--max-programs", "1"],
+        )
+        try:
+            # occupy the single program slot
+            status = _post(
+                base,
+                {"class_label": 1, "steps": 2, "sampler": "dpm++",
+                 "cfg_scale": 1.0},
+            )[0]
+            assert status == 200
+            # a brand-new protocol is rejected AT ADMISSION (no queueing,
+            # no compile), while the warmed protocol keeps working
+            try:
+                _post(base, {"class_label": 1, "steps": 4, "sampler": "dpm++",
+                             "cfg_scale": 1.0})
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert "compile budget" in json.loads(e.read())["error"]
+            status = _post(
+                base,
+                {"class_label": 2, "steps": 2, "sampler": "dpm++",
+                 "cfg_scale": 1.0},
+            )[0]
+            assert status == 200
+        finally:
+            srv.terminate()
+            srv.wait(timeout=30)
