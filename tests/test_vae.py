@@ -188,16 +188,13 @@ def _np_group_norm(x, scale, bias, groups=32, eps=1e-6):
 
 
 def _np_conv(x, w, b, stride=1, pad=1):
+    from numpy.lib.stride_tricks import sliding_window_view
+
     xp = np.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0))) if pad else x
-    kh, kw, _, co = w.shape
-    oh = (xp.shape[1] - kh) // stride + 1
-    ow = (xp.shape[2] - kw) // stride + 1
-    out = np.zeros((x.shape[0], oh, ow, co), np.float32)
-    for i in range(oh):
-        for j in range(ow):
-            patch = xp[:, i * stride : i * stride + kh, j * stride : j * stride + kw, :]
-            out[:, i, j, :] = np.tensordot(patch, w, axes=([1, 2, 3], [0, 1, 2]))
-    return out + b
+    kh, kw, _, _ = w.shape
+    win = sliding_window_view(xp, (kh, kw), axis=(1, 2))  # (b,oh,ow,ci,kh,kw)
+    win = win[:, ::stride, ::stride]
+    return np.einsum("bijckl,klco->bijo", win, w, optimize=True) + b
 
 
 class TestNumericsVsNumpy:
@@ -259,3 +256,114 @@ class TestNumericsVsNumpy:
         got = np.asarray(jax.image.resize(jnp.asarray(x), (1, 6, 6, 8), method="nearest"))
         expect = x.repeat(2, axis=1).repeat(2, axis=2)
         np.testing.assert_array_equal(got, expect)
+
+
+# --------------------------------------------------------------------------- #
+# FULL-graph numpy oracle (VERDICT r02 item #5): an independent numpy
+# implementation of the complete diffusers AutoencoderKL spec — the whole
+# asymmetric-pad downsample chain, mid attention, groupnorm/silu ordering,
+# quant convs, logvar clamp — asserted against the flax graph at random
+# weights. With this, the only remaining weights-day risk is key naming
+# (covered loudly by TestWeightImportMapping / TestLoaderHardening).
+
+def _np_resnet(p, x):
+    h = _np_silu(_np_group_norm(x, p["norm1"]["scale"], p["norm1"]["bias"]))
+    h = _np_conv(h, p["conv1"]["kernel"], p["conv1"]["bias"])
+    h = _np_silu(_np_group_norm(h, p["norm2"]["scale"], p["norm2"]["bias"]))
+    h = _np_conv(h, p["conv2"]["kernel"], p["conv2"]["bias"])
+    if "conv_shortcut" in p:
+        x = _np_conv(x, p["conv_shortcut"]["kernel"], p["conv_shortcut"]["bias"], pad=0)
+    return x + h
+
+
+def _np_attention(p, x):
+    b, h, w, c = x.shape
+    y = _np_group_norm(x, p["group_norm"]["scale"], p["group_norm"]["bias"])
+    y = y.reshape(b, h * w, c)
+    dense = lambda name, z: z @ p[name]["kernel"] + p[name]["bias"]
+    q, k, v = dense("to_q", y), dense("to_k", y), dense("to_v", y)
+    logits = np.einsum("bqc,bkc->bqk", q, k) / np.sqrt(np.float32(c))
+    attn = np.exp(logits - logits.max(-1, keepdims=True))
+    attn /= attn.sum(-1, keepdims=True)
+    out = dense("to_out", np.einsum("bqk,bkc->bqc", attn, v))
+    return x + out.reshape(b, h, w, c)
+
+
+def _np_mid(p, x):
+    x = _np_resnet(p["resnets_0"], x)
+    x = _np_attention(p["attentions_0"], x)
+    return _np_resnet(p["resnets_1"], x)
+
+
+def _np_encoder(p, x):
+    from mapdit_tpu.models.vae import BLOCK_CHANNELS
+
+    x = _np_conv(x, p["conv_in"]["kernel"], p["conv_in"]["bias"])
+    for i in range(len(BLOCK_CHANNELS)):
+        for j in range(2):
+            x = _np_resnet(p[f"down_{i}_resnet_{j}"], x)
+        if i < len(BLOCK_CHANNELS) - 1:
+            x = np.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            d = p[f"down_{i}_downsample"]
+            x = _np_conv(x, d["kernel"], d["bias"], stride=2, pad=0)
+    x = _np_mid(p["mid"], x)
+    x = _np_silu(
+        _np_group_norm(x, p["conv_norm_out"]["scale"], p["conv_norm_out"]["bias"])
+    )
+    return _np_conv(x, p["conv_out"]["kernel"], p["conv_out"]["bias"])
+
+
+def _np_decoder(p, z):
+    from mapdit_tpu.models.vae import BLOCK_CHANNELS
+
+    rev = tuple(reversed(BLOCK_CHANNELS))
+    x = _np_conv(z, p["conv_in"]["kernel"], p["conv_in"]["bias"])
+    x = _np_mid(p["mid"], x)
+    for i in range(len(rev)):
+        for j in range(3):
+            x = _np_resnet(p[f"up_{i}_resnet_{j}"], x)
+        if i < len(rev) - 1:
+            x = x.repeat(2, axis=1).repeat(2, axis=2)
+            u = p[f"up_{i}_upsample"]
+            x = _np_conv(x, u["kernel"], u["bias"])
+    x = _np_silu(
+        _np_group_norm(x, p["conv_norm_out"]["scale"], p["conv_norm_out"]["bias"])
+    )
+    return _np_conv(x, p["conv_out"]["kernel"], p["conv_out"]["bias"])
+
+
+class TestFullGraphVsNumpy:
+    def test_encode_full_graph(self):
+        from mapdit_tpu.models.vae import AutoencoderKL
+
+        x = np.random.default_rng(7).normal(size=(1, 3, 32, 32)).astype(np.float32)
+        model = AutoencoderKL()
+        variables = model.init(jax.random.PRNGKey(8), jnp.asarray(x), mode="encode")
+        p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+        h = _np_encoder(p["encoder"], x.transpose(0, 2, 3, 1))
+        q = p["quant_conv"]
+        moments = _np_conv(h, q["kernel"], q["bias"], pad=0).transpose(0, 3, 1, 2)
+        mean_e, logvar_e = np.split(moments, 2, axis=1)
+        std_e = np.exp(0.5 * np.clip(logvar_e, -30.0, 20.0))
+
+        mean, std = model.apply(variables, jnp.asarray(x), method=AutoencoderKL.encode)
+        assert mean.shape == (1, 4, 4, 4)
+        np.testing.assert_allclose(np.asarray(mean), mean_e, rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(std), std_e, rtol=2e-3, atol=2e-3)
+
+    def test_decode_full_graph(self):
+        from mapdit_tpu.models.vae import AutoencoderKL
+
+        z = np.random.default_rng(9).normal(size=(1, 4, 4, 4)).astype(np.float32)
+        model = AutoencoderKL()
+        variables = model.init(jax.random.PRNGKey(10), jnp.asarray(z), mode="decode")
+        p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+        pq = p["post_quant_conv"]
+        h = _np_conv(z.transpose(0, 2, 3, 1), pq["kernel"], pq["bias"], pad=0)
+        img_e = _np_decoder(p["decoder"], h).transpose(0, 3, 1, 2)
+
+        img = model.apply(variables, jnp.asarray(z), method=AutoencoderKL.decode)
+        assert img.shape == (1, 3, 32, 32)
+        np.testing.assert_allclose(np.asarray(img), img_e, rtol=2e-3, atol=2e-3)
