@@ -155,7 +155,8 @@ def main():
     p.add_argument("--attention-impl",
                    choices=["auto", "xla", "pallas", "pallas_v2", "pallas_v3"],
                    default="auto")
-    p.add_argument("--block-kernel", choices=["auto", "pallas", "off"], default="auto")
+    p.add_argument("--block-kernel", choices=["auto", "pallas", "mega", "off"],
+                   default="auto")
     p.add_argument("--scan-blocks", action="store_true",
                    help="lax.scan over depth-stacked block params (XL compile time)")
     p.add_argument("--remat", action="store_true",
@@ -178,6 +179,10 @@ def main():
     p.add_argument("--time-schedule", choices=["uniform", "karras"], default="uniform")
     p.add_argument("--scan-unroll", type=int, default=1,
                    help="lax.scan unroll factor for the fast DDPM chain")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler trace (with perfetto json) of "
+                        "one timed chain run into this directory; analyze with "
+                        "tools/trace_breakdown.py")
     p.add_argument("--prng", choices=["threefry", "rbg"], default="threefry",
                    help="PRNG impl for sampler step noise. A/B at the "
                         "250-step protocol measured NO difference (410.0 vs "
@@ -240,6 +245,30 @@ def main():
 
     # compile + warmup
     sample_fn(z, y, chain_key(1)).block_until_ready()
+
+    if args.profile_dir:
+        # On-chip trace of ONE full chain (separate from the timed repeats
+        # so the trace overhead never pollutes the headline number).
+        jax.profiler.start_trace(args.profile_dir, create_perfetto_trace=True)
+        sample_fn(z, y, chain_key(99)).block_until_ready()
+        jax.profiler.stop_trace()
+        import sys
+
+        # compiled HLO next to the trace: tools/trace_breakdown.py uses the
+        # fused-computation op_name metadata to attribute opaque fusion.N
+        # trace events to model stages (attention / mlp / modulation / ...)
+        try:
+            hlo = (
+                jax.jit(sample_fn)
+                .lower(z, y, chain_key(1))
+                .compile()
+                .as_text()
+            )
+            with open(os.path.join(args.profile_dir, "chain_hlo.txt"), "w") as f:
+                f.write(hlo)
+        except Exception as e:  # trace remains useful without it
+            print(f"hlo dump failed: {e!r}", file=sys.stderr)
+        print(f"trace written to {args.profile_dir}", file=sys.stderr)
 
     times = []
     for i in range(args.repeats):

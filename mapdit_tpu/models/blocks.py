@@ -24,19 +24,69 @@ from mapdit_tpu.ops.mp import modulate, mp_sum, rotate_pairs
 Array = jax.Array
 
 
-def _use_fused_mlp(cfg: DiTConfig, seq_len: int) -> bool:
-    """Dispatch policy for the fused MP-MLP Pallas kernel."""
-    family = (
+def _mp_adaln_family(cfg: DiTConfig) -> bool:
+    return (
         cfg.modulation == "adaln"
         and cfg.mp_style
         and cfg.use_mp_silu
         and cfg.use_mp_residual
         and cfg.use_weight_normalization
-        and seq_len % 8 == 0
     )
+
+
+def _use_fused_mlp(cfg: DiTConfig, seq_len: int) -> bool:
+    """Dispatch policy for the fused MP-MLP Pallas kernel."""
     # "auto" currently resolves to off: XLA fusion measured faster at the
     # shipped shapes (see DiTConfig.block_kernel).
-    return family and cfg.block_kernel == "pallas"
+    return (
+        _mp_adaln_family(cfg) and seq_len % 8 == 0 and cfg.block_kernel == "pallas"
+    )
+
+
+def _mega_auto_ok() -> bool:
+    """auto-dispatch environment gate: real single-chip TPU only (interpret
+    mode off-TPU is debugging-speed; multi-chip GSPMD has no partitioning
+    rule for the kernel yet — explicit "mega" overrides both)."""
+    import functools
+
+    @functools.lru_cache(maxsize=1)
+    def probe():
+        try:
+            import jax
+
+            return jax.devices()[0].platform == "tpu" and jax.device_count() == 1
+        except Exception:
+            return False
+
+    return probe()
+
+
+def _use_megakernel(cfg: DiTConfig, seq_len: int) -> bool:
+    """Dispatch policy for the whole-block Pallas megakernel
+    (`ops/pallas/dit_block.py`): one VMEM residency per block. Requires the
+    full MP + adaln + cosine-attention family (the kernel hard-codes that
+    math) and an even head split.
+
+    ``block_kernel="auto"`` dispatches here for folded-weight (inference)
+    programs on a single real TPU chip when all five weight matrices fit
+    VMEM next to the activations — measured +26% on the S/2 250-step
+    headline chain (515 vs 409 steps/s, docs/BENCH_NOTES.md r03): it
+    eliminates the HBM head-relayout copies (30% of the chain) and the
+    separate q/k normalize passes (17%) the r03 trace attributed.
+    """
+    if not (
+        _mp_adaln_family(cfg)
+        and cfg.use_cosine_attention
+        and cfg.hidden_size % cfg.num_heads == 0
+    ):
+        return False
+    if cfg.block_kernel == "mega":
+        return True
+    if cfg.block_kernel != "auto" or not cfg.fold_weights:
+        return False
+    d, h = cfg.hidden_size, int(cfg.hidden_size * cfg.mlp_ratio)
+    weight_bytes = (10 * d * d + 2 * d * h) * (2 if cfg.dtype == jnp.bfloat16 else 4)
+    return weight_bytes <= 7 * 2**20 and _mega_auto_ok()
 
 
 def modulation_dims(cfg: DiTConfig, with_gate: bool) -> Tuple[int, ...]:
@@ -88,18 +138,19 @@ class ModulationHead(nn.Module):
     cfg: DiTConfig
     dims: Tuple[int, ...]
 
-    @nn.compact
-    def __call__(self, c: Array) -> Tuple[Array, ...]:
+    def setup(self):
         cfg = self.cfg
-        return MPLinearSplit(
+        self.linear = MPLinearSplit(
             cfg.hidden_size,
             self.dims,
             use_wn=cfg.use_weight_normalization,
             zero_init=not cfg.mp_style,
             folded=cfg.fold_weights,
             dtype=cfg.dtype,
-            name="linear",
-        )(activation(c, cfg))
+        )
+
+    def __call__(self, c: Array) -> Tuple[Array, ...]:
+        return self.linear(activation(c, self.cfg))
 
 
 class DiTBlock(nn.Module):
@@ -118,13 +169,36 @@ class DiTBlock(nn.Module):
     def __call__(self, x: Array, c: Array):
         cfg = self.cfg
         dims = modulation_dims(cfg, with_gate=True)
-        mods = ModulationHead(cfg, dims + dims, name="modulation")(c)
-        n = len(dims)
-        msa_mods, gate_msa = mods[: n - 1], mods[n - 1]
-        mlp_mods, gate_mlp = mods[n : 2 * n - 1], mods[2 * n - 1]
+        mod_head = ModulationHead(cfg, dims + dims, name="modulation")
 
         gain_msa = self.param("gain_msa", nn.initializers.zeros, ())
         gain_mlp = self.param("gain_mlp", nn.initializers.zeros, ())
+
+        if _use_megakernel(cfg, x.shape[1]):
+            # whole block in one Pallas kernel: raw fused weights in, the
+            # updated residual stream out (see ops/pallas/dit_block.py)
+            from mapdit_tpu.ops.pallas.dit_block import fused_dit_block
+
+            attn_m = Attention(cfg, cfg.hidden_size, name="attn")
+            mlp_m = MLP(cfg, cfg.hidden_size, cfg.hidden_size,
+                        mlp_ratio=cfg.mlp_ratio, name="mlp")
+            x = fused_dit_block(
+                x.astype(cfg.dtype),
+                activation(c, cfg).astype(cfg.dtype),
+                jnp.stack([gain_msa, gain_mlp]),
+                mod_head.linear.effective_weight().astype(cfg.dtype),
+                attn_m.qkv_proj.effective_weight().astype(cfg.dtype),
+                attn_m.out_proj.effective_weight().astype(cfg.dtype),
+                mlp_m.fc1.effective_weight().astype(cfg.dtype),
+                mlp_m.fc2.effective_weight().astype(cfg.dtype),
+                cfg.num_heads,
+            )
+            return (x, None) if self.scan_mode else x
+
+        mods = mod_head(c)
+        n = len(dims)
+        msa_mods, gate_msa = mods[: n - 1], mods[n - 1]
+        mlp_mods, gate_mlp = mods[n : 2 * n - 1], mods[2 * n - 1]
 
         def maybe_norm(z):
             if cfg.use_no_layernorm:

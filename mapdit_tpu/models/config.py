@@ -56,12 +56,17 @@ class DiTConfig:
     # TPU execution knobs (no reference equivalent)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas[_v2|_v3]"
-    # Fused MP-MLP half-block Pallas kernel (ops/pallas/mlp_block.py):
-    # "pallas" = on (interpret mode off-TPU), "auto"/"off" = XLA fusion.
-    # Default off: measured on v5e at DiT-S/2 shapes, XLA's own fusion beats
-    # the hand kernel by ~2% (417 vs 410 steps/s at the 250-step protocol,
-    # docs/BENCH_NOTES.md) — the kernel stays as opt-in A/B infrastructure
-    # for larger shapes.
+    # Block-fusion Pallas kernels:
+    #   "mega"   — whole-DiT-block megakernel (ops/pallas/dit_block.py):
+    #              both modulations + cosine attention + MLP + MP residuals
+    #              in one VMEM residency. The r03 trace showed 30% of the
+    #              S/2 chain was HBM head-relayout copies + 17% separate
+    #              normalize passes; this kernel eliminates both (A/B'd on
+    #              chip, docs/BENCH_NOTES.md). MP+adaln family only;
+    #              interpret mode off-TPU.
+    #   "pallas" — fused MP-MLP half-block only (ops/pallas/mlp_block.py);
+    #              measured ~2% BEHIND XLA at S/2 — kept as A/B infra.
+    #   "auto"/"off" — XLA fusion pipeline.
     block_kernel: str = "off"
     # Activation rematerialization per block (jax.checkpoint) — trades
     # backward-pass FLOPs for memory on deep models (XL: 28 blocks). The
@@ -86,7 +91,7 @@ class DiTConfig:
         assert self.modulation in MODULATION_KINDS, self.modulation
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.attention_impl in ("auto", "xla", "pallas", "pallas_v2", "pallas_v3")
-        assert self.block_kernel in ("auto", "pallas", "off")
+        assert self.block_kernel in ("auto", "pallas", "mega", "off")
 
     @property
     def dtype(self):

@@ -116,30 +116,50 @@ class MPLinearSplit(nn.Module):
     dtype: jnp.dtype = jnp.float32
     folded: bool = False
 
-    @nn.compact
-    def __call__(self, x: Array) -> Tuple[Array, ...]:
+    def setup(self):
+        # setup-style (not @compact) so effective_weight() can hand the raw
+        # fused matrix to fused kernels while this module owns the parameter
         total = sum(self.out_dims)
         if self.use_wn:
-            w = self.param("weight", nn.initializers.normal(1.0), (total, self.in_dim))
-            if not self.folded:
-                w = normalize(w)
-            w = w / math.sqrt(self.in_dim)
-            out = x.astype(self.dtype) @ w.T.astype(self.dtype)
+            self.weight = self.param(
+                "weight", nn.initializers.normal(1.0), (total, self.in_dim)
+            )
         else:
             init = (
                 nn.initializers.zeros
                 if self.zero_init
                 else nn.initializers.xavier_uniform()
             )
-            w = self.param("weight", init, (total, self.in_dim))
-            b = self.param("bias", nn.initializers.zeros, (total,))
-            out = x.astype(self.dtype) @ w.T.astype(self.dtype) + b.astype(self.dtype)
+            self.weight = self.param("weight", init, (total, self.in_dim))
+            self.bias = self.param("bias", nn.initializers.zeros, (total,))
+
+    def __call__(self, x: Array) -> Tuple[Array, ...]:
+        if self.use_wn:
+            w = self.weight
+            if not self.folded:
+                w = normalize(w)
+            w = w / math.sqrt(self.in_dim)
+            out = x.astype(self.dtype) @ w.T.astype(self.dtype)
+        else:
+            out = (
+                x.astype(self.dtype) @ self.weight.T.astype(self.dtype)
+                + self.bias.astype(self.dtype)
+            )
 
         splits, start = [], 0
         for d in self.out_dims:
             splits.append(out[..., start : start + d])
             start += d
         return tuple(splits)
+
+    def effective_weight(self) -> Array:
+        """The fused (sum(out_dims), in) matrix actually multiplied against
+        inputs, excluding the 1/sqrt(in_dim) scalar (WN mode only)."""
+        assert self.use_wn
+        w = self.weight
+        if not self.folded:
+            w = normalize(w)
+        return w
 
 
 class MPEmbedding(nn.Module):
@@ -188,21 +208,30 @@ class Attention(nn.Module):
     cfg: DiTConfig
     in_dim: int
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        self.qkv_proj = MPLinearSplit(
+            self.in_dim,
+            (self.in_dim,) * 3,
+            use_wn=c.use_weight_normalization,
+            folded=c.fold_weights,
+            dtype=c.dtype,
+        )
+        self.out_proj = MPLinear(
+            self.in_dim,
+            self.in_dim,
+            use_wn=c.use_weight_normalization,
+            folded=c.fold_weights,
+            dtype=c.dtype,
+        )
+
     def __call__(self, x: Array) -> Array:
         c = self.cfg
         h = c.num_heads
         hd = self.in_dim // h
         b, t, _ = x.shape
 
-        q, k, v = MPLinearSplit(
-            self.in_dim,
-            (self.in_dim,) * 3,
-            use_wn=c.use_weight_normalization,
-            folded=c.fold_weights,
-            dtype=c.dtype,
-            name="qkv_proj",
-        )(x)
+        q, k, v = self.qkv_proj(x)
 
         def to_heads(z):
             return z.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
@@ -216,14 +245,7 @@ class Attention(nn.Module):
             impl=c.attention_impl,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.in_dim)
-        return MPLinear(
-            self.in_dim,
-            self.in_dim,
-            use_wn=c.use_weight_normalization,
-            folded=c.fold_weights,
-            dtype=c.dtype,
-            name="out_proj",
-        )(out)
+        return self.out_proj(out)
 
 
 class MLP(nn.Module):

@@ -1,0 +1,274 @@
+"""Whole-DiT-block Pallas megakernel: one VMEM residency per block.
+
+The r02 trace question (VERDICT #1): XLA runs a DiT block as ~8 HBM-separated
+stages (modulation GEMM, modulate, qkv GEMM, attention, out GEMM, residual,
+fc1, silu, fc2, residual), each re-streaming the (N, T, D) activation through
+HBM. This kernel executes the ENTIRE block — both modulations, cosine
+attention, the MLP, both gated MP residuals — for a group of G samples with
+x and all five weight matrices VMEM-resident, so the activation touches HBM
+exactly twice per block (read x, write x').
+
+Reference math: `src/blocks/dit_block.py:10-37` (modulation order
+shift/scale/gate x {msa, mlp}, learned gains as modulate lerp weights,
+fixed t=0.3 MP residuals), `src/layers/attention.py:9-51` (cosine q/k
+normalization, explicit 1/sqrt(head_dim) scale).
+
+Scope: the MP + adaln family with folded (pre-normalized) weights — the
+sampling fast path. Training-safe via a custom VJP that recomputes through
+the plain jnp reference ops. Parity + A/B wiring: DiTBlock dispatches here
+when ``cfg.block_kernel == "mega"``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_RES_T = 0.3
+_RES_DENOM = math.sqrt((1 - _RES_T) ** 2 + _RES_T**2)
+_SILU_DIV = 0.596
+_NORM_EPS = 1e-4
+
+
+def _modulate(x, shift, scale, gain):
+    # mp_sum(x*scale, shift, t=gain); gain is a traced scalar — the
+    # denominator is constant w.r.t. grad by the custom VJP construction
+    xs = x * scale
+    denom = jnp.sqrt((1.0 - gain) ** 2 + gain**2)
+    return (xs + (shift - xs) * gain) / denom
+
+
+def _row_normalize(z, dim):
+    # reference normalize(): z * sqrt(dim) / (||z|| + eps), f32 rows
+    norm = jnp.sqrt(jnp.sum(z * z, axis=-1, keepdims=True))
+    return z * math.sqrt(dim) / (norm + _NORM_EPS)
+
+
+def _kernel(
+    gains_ref,  # SMEM (1, 2): gain_msa, gain_mlp
+    x_ref,      # (G, T, D)
+    a_ref,      # (G, D)  mp_silu(c), shared modulation-head input
+    wmod_ref,   # (6D, D)
+    wqkv_ref,   # (3D, D)
+    wout_ref,   # (D, D)
+    w1_ref,     # (H, D)
+    w2_ref,     # (D, H)
+    o_ref,      # (G, T, D)
+    *,
+    heads: int,
+    inv_d: float,
+    inv_h: float,
+):
+    g, t, d = x_ref.shape
+    hd = d // heads
+    dtype = wqkv_ref.dtype
+
+    x = x_ref[...].astype(jnp.float32)  # (G, T, D)
+
+    # ---- modulation head: (G, D) @ (6D, D)^T / sqrt(D) -> 6 chunks ---- #
+    mods = jax.lax.dot_general(
+        a_ref[...].astype(dtype),
+        wmod_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d  # (G, 6D)
+
+    def chunk(i):
+        return mods[:, i * d : (i + 1) * d].reshape(g, 1, d)
+
+    shift_msa, scale_msa, gate_msa = chunk(0), chunk(1), chunk(2)
+    shift_mlp, scale_mlp, gate_mlp = chunk(3), chunk(4), chunk(5)
+
+    gain_msa = gains_ref[0, 0]
+    gain_mlp = gains_ref[0, 1]
+
+    # ---- attention branch (transpose-free: static head loop, per-head
+    # G-batched 64x64 contractions — head slices are contiguous lane
+    # ranges, so no relayout ever materializes) ---- #
+    h_in = _modulate(x, shift_msa, scale_msa, gain_msa)
+    qkv = jax.lax.dot_general(
+        h_in.reshape(g * t, d).astype(dtype),
+        wqkv_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d  # (G*T, 3D)
+
+    head_outs = []
+    for hi in range(heads):
+        q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd].reshape(g, t, hd)
+        k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd].reshape(g, t, hd)
+        v = qkv[:, 2 * d + hi * hd : 2 * d + (hi + 1) * hd].reshape(g, t, hd)
+        # cosine attention: q/k rows normalized to norm sqrt(hd); with the
+        # 1/sqrt(hd) SDPA scale the logits are sqrt(hd)-scaled cosines
+        q = _row_normalize(q, hd)
+        k = _row_normalize(k, hd)
+        logits = jax.lax.dot_general(
+            q.astype(dtype),
+            k.astype(dtype),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / math.sqrt(hd))  # (G, T, T)
+        probs = jax.nn.softmax(logits, axis=-1)
+        head_outs.append(
+            jax.lax.dot_general(
+                probs.astype(dtype),
+                v.astype(dtype),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, T, hd)
+        )
+    attn = jnp.concatenate(head_outs, axis=-1).reshape(g * t, d)
+    out = jax.lax.dot_general(
+        attn.astype(dtype),
+        wout_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d
+    out = out.reshape(g, t, d)
+    branch = gate_msa * out
+    x = (x + (branch - x) * _RES_T) / _RES_DENOM  # mp_sum(x, gated, 0.3)
+
+    # ---- MLP branch ---- #
+    h_in = _modulate(x, shift_mlp, scale_mlp, gain_mlp)
+    h1 = jax.lax.dot_general(
+        h_in.reshape(g * t, d).astype(dtype),
+        w1_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d
+    h1 = (jax.nn.silu(h1) / _SILU_DIV).astype(dtype)
+    h2 = jax.lax.dot_general(
+        h1,
+        w2_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_h
+    branch = gate_mlp * h2.reshape(g, t, d)
+    x = (x + (branch - x) * _RES_T) / _RES_DENOM
+
+    o_ref[...] = x.astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _interpret() -> bool:
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except Exception:
+        return True
+
+
+def _reference(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
+    """Plain jnp implementation of the same math (VJP + parity oracle)."""
+    from mapdit_tpu.ops.mp import mp_silu, mp_sum, normalize
+
+    n, t, d = x.shape
+    hd = d // heads
+    mods = a @ w_mod.T / math.sqrt(d)
+    sm, scm, gm, sl, scl, gl = [
+        mods[:, i * d : (i + 1) * d] for i in range(6)
+    ]
+    gain_msa, gain_mlp = gains[0], gains[1]
+
+    def modu(z, shift, scale, gain):
+        zs = z * scale[:, None, :]
+        denom = jax.lax.stop_gradient(jnp.sqrt((1.0 - gain) ** 2 + gain**2))
+        return (zs + (shift[:, None, :] - zs) * gain) / denom
+
+    h = modu(x, sm, scm, gain_msa)
+    qkv = h @ w_qkv.T / math.sqrt(d)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def to_heads(z):
+        return z.reshape(n, t, heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = to_heads(q), to_heads(k), to_heads(v)
+    q, k = normalize(q), normalize(k)
+    logits = jnp.einsum("nhqd,nhkd->nhqk", q, k) / math.sqrt(hd)
+    attn = jnp.einsum("nhqk,nhkd->nhqd", jax.nn.softmax(logits, axis=-1), v)
+    attn = attn.transpose(0, 2, 1, 3).reshape(n, t, d)
+    out = attn @ w_out.T / math.sqrt(d)
+    x = mp_sum(x, gm[:, None, :] * out, t=_RES_T)
+
+    h = modu(x, sl, scl, gain_mlp)
+    y = mp_silu(h @ w1.T / math.sqrt(d)) @ w2.T / math.sqrt(w1.shape[0])
+    return mp_sum(x, gl[:, None, :] * y, t=_RES_T)
+
+
+def _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
+    n, t, d = x.shape
+    h_mlp = w1.shape[0]
+    g = 1
+    for cand in (8, 4, 2):
+        if n % cand == 0 and cand * t >= 256:
+            g = cand
+            break
+
+    return pl.pallas_call(
+        functools.partial(
+            _kernel,
+            heads=heads,
+            inv_d=1.0 / math.sqrt(d),
+            inv_h=1.0 / math.sqrt(h_mlp),
+        ),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6 * d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_mlp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h_mlp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            # modulation head is per-sample (no t factor); qkv/out/fc1/fc2
+            # are per-token; attention is 2 batched T x T x hd matmuls
+            flops=2 * n * d * 6 * d
+            + 2 * n * t * d * (3 * d + d + 2 * h_mlp)
+            + 4 * n * heads * t * t * (d // heads),
+            bytes_accessed=(2 * n * t * d + (6 + 3 + 1) * d * d + 2 * d * h_mlp) * 2,
+            transcendentals=n * t * h_mlp + n * heads * t * t,
+        ),
+        interpret=_interpret(),
+    )(gains.reshape(1, 2).astype(jnp.float32), x, a, w_mod, w_qkv, w_out, w1, w2)
+
+
+@functools.lru_cache(maxsize=None)
+def _make(heads: int):
+    @jax.custom_vjp
+    def f(x, a, gains, w_mod, w_qkv, w_out, w1, w2):
+        return _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads)
+
+    def fwd(x, a, gains, w_mod, w_qkv, w_out, w1, w2):
+        return (
+            _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads),
+            (x, a, gains, w_mod, w_qkv, w_out, w1, w2),
+        )
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda *args: _reference(*args, heads), *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_dit_block(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads: int):
+    """One whole DiT block in a single Pallas kernel.
+
+    x (N,T,D) residual stream; a (N,D) = mp_silu(c); gains (2,) =
+    [gain_msa, gain_mlp]; weights pre-normalized: w_mod (6D,D), w_qkv
+    (3D,D), w_out (D,D), w1 (H,D), w2 (D,H). Returns the updated stream.
+    Training-safe: the VJP recomputes through the jnp reference path.
+    """
+    return _make(heads)(x, a, gains, w_mod, w_qkv, w_out, w1, w2)

@@ -30,11 +30,47 @@ except Exception:
     pass
 
 import pathlib
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+REPO = str(pathlib.Path(__file__).parent.parent)
+
+
+@pytest.fixture(scope="session")
+def trained_run(tmp_path_factory):
+    """ONE tiny trained experiment shared by every CLI-driving test module
+    (test_cli, test_serve, test_parallel) — training it once per session
+    instead of per module saves ~1 min of 1-CPU suite wall time per extra
+    consumer. DiT-XS/8, 10 classes, 12 steps, checkpoint at 12, EMA
+    snapshots at 4/8/12 — keep assertions in sync when changing."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+    ).strip()
+    results = str(tmp_path_factory.mktemp("results"))
+    proc = subprocess.run(
+        [sys.executable, str(pathlib.Path(REPO) / "train.py"),
+         "--data-path", "synthetic:64",
+         "--results-dir", results,
+         "--model", "DiT-XS/8",
+         "--num-classes", "10",
+         "--num-steps", "12",
+         "--batch-size", "8",
+         "--log-every", "4",
+         "--ckpt-every", "12",
+         "--ema-snapshot-every", "4",
+         "--num-lin-warmup", "2",
+         "--start-decay", "8"],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, f"train: {proc.stdout}\n{proc.stderr}"
+    return os.path.join(results, os.listdir(results)[0])
 
 
 @pytest.fixture(scope="session")

@@ -159,3 +159,112 @@ class TestFusedMLPBlock:
             ga,
             gb,
         )
+
+
+class TestDiTBlockMegakernel:
+    """Whole-block Pallas megakernel (`ops/pallas/dit_block.py`,
+    block_kernel="mega"): one VMEM residency for modulation + cosine
+    attention + MLP + both MP residuals (VERDICT r02 item #1)."""
+
+    def test_kernel_vs_reference_math(self):
+        from mapdit_tpu.ops.pallas.dit_block import _reference, fused_dit_block
+
+        rng = np.random.default_rng(0)
+        n, t, d, heads, h = 4, 16, 64, 2, 256
+        f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+        x, a = f(n, t, d), f(n, d)
+        gains = jnp.asarray([0.3, 0.7], jnp.float32)
+        args = (x, a, gains, f(6 * d, d), f(3 * d, d), f(d, d), f(h, d), f(d, h))
+        got = fused_dit_block(*args, heads)
+        ref = _reference(*args, heads)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_full_model_parity_golden(self, golden):
+        """DiT-XS/2 forward with block_kernel=mega (interpret on CPU) must
+        match the reference golden like the unfused path does."""
+        from mapdit_tpu.models import DiT, build_config
+        from mapdit_tpu.utils.torch_import import variables_from_torch_state_dict
+
+        g = golden("dit_xs2")
+        sd = {k[len("sd.") :]: v for k, v in g.items() if k.startswith("sd.")}
+        variables = variables_from_torch_state_dict(sd)
+        cfg = build_config(
+            "DiT-XS/2", in_channels=4, input_size=16, num_classes=10,
+            block_kernel="mega",
+        )
+        out = DiT(cfg).apply(
+            variables, jnp.asarray(g["x"]), jnp.asarray(g["t"]), jnp.asarray(g["y"])
+        )
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=2e-4, atol=2e-4)
+
+    def test_mega_vs_unfused_model_and_folded(self):
+        from mapdit_tpu.models import DiT, build_config, init_model
+
+        base = build_config("DiT-XS/2", in_channels=4, input_size=16, num_classes=10,
+                            block_kernel="off")
+        _, variables = init_model(base, seed=3)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.full((2,), 321.0)
+        y = jnp.ones((2,), jnp.int32)
+        a = DiT(base).apply(variables, x, t, y)
+        b = DiT(base.replace(block_kernel="mega")).apply(variables, x, t, y)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+        # the sampling configuration: folded weights skip in-kernel renorm
+        from mapdit_tpu.runtime import fold_weights_for_inference
+
+        fcfg = base.replace(block_kernel="mega", fold_weights=True)
+        fv = dict(variables, params=fold_weights_for_inference(variables["params"], fcfg))
+        c = DiT(fcfg).apply(fv, x, t, y)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-3, atol=1e-3)
+
+    def test_mega_gradients_match(self):
+        from mapdit_tpu.models import DiT, build_config, init_model
+
+        base = build_config("DiT-XS/2", in_channels=4, input_size=16, num_classes=10,
+                            block_kernel="off")
+        _, variables = init_model(base, seed=3)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.full((2,), 100.0)
+        y = jnp.ones((2,), jnp.int32)
+
+        def loss(cfg):
+            def f(params):
+                out = DiT(cfg).apply(
+                    {"params": params, "constants": variables["constants"]}, x, t, y
+                )
+                return jnp.sum(out**2)
+
+            return jax.grad(f)(variables["params"])
+
+        ga = loss(base)
+        gb = loss(base.replace(block_kernel="mega"))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            ),
+            ga,
+            gb,
+        )
+
+    def test_mega_gate_requires_mp_adaln_family(self):
+        """Vanilla / rotation configs must not dispatch to the megakernel."""
+        from mapdit_tpu.models import DiT, build_config, init_model
+
+        for override in (
+            {"modulation": "rotation"},
+            {"use_no_layernorm": False},
+            {"use_cosine_attention": False},
+        ):
+            cfg = build_config(
+                "DiT-XS/2", in_channels=4, input_size=16, num_classes=10,
+                block_kernel="mega", **override,
+            )
+            _, variables = init_model(cfg, seed=1)
+            x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+            out = DiT(cfg).apply(
+                variables, x, jnp.full((2,), 5.0), jnp.ones((2,), jnp.int32)
+            )
+            assert np.isfinite(np.asarray(out)).all()

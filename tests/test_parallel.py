@@ -278,9 +278,10 @@ class TestFsdpCli:
 
 
 class TestShardedFid:
-    def test_sample_fid_cli_sharded(self, tmp_path):
+    def test_sample_fid_cli_sharded(self, trained_run):
         """sample_fid.py over the 8-device virtual mesh (in-process would
-        recompile; run the real script with 8 virtual devices)."""
+        recompile; run the real script with 8 virtual devices) against the
+        session-shared trained experiment."""
         import subprocess
         import sys
         import os
@@ -290,25 +291,15 @@ class TestShardedFid:
         env["JAX_PLATFORMS"] = "cpu"
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
-        # train a tiny run first
-        results = str(tmp_path)
-        for cmd in (
-            ["train.py", "--data-path", "synthetic:32", "--results-dir", results,
-             "--model", "DiT-XS/8", "--num-classes", "10", "--num-steps", "4",
-             "--batch-size", "8", "--log-every", "2", "--ckpt-every", "4",
-             "--ema-snapshot-every", "0"],
-            ["sample_fid.py", "--result-dir", None, "--use-vae", "false",
+        exp = trained_run
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "sample_fid.py"),
+             "--result-dir", exp, "--use-vae", "false",
              "--num-samples", "8", "--batch-size", "8", "--num-classes", "10",
              "--num-sampling-steps", "2", "--cfg-scale", "1.5",
-             "--ckpt", "0000004"],
-        ):
-            if cmd[0] == "sample_fid.py":
-                cmd[2] = os.path.join(results, os.listdir(results)[0])
-            proc = subprocess.run(
-                [sys.executable, os.path.join(repo, cmd[0])] + cmd[1:],
-                capture_output=True, text=True, timeout=900, cwd=repo, env=env,
-            )
-            assert proc.returncode == 0, f"{cmd[0]}:\n{proc.stdout}\n{proc.stderr}"
-        exp = os.path.join(results, os.listdir(results)[0])
+             "--ckpt", "0000012"],
+            capture_output=True, text=True, timeout=900, cwd=repo, env=env,
+        )
+        assert proc.returncode == 0, f"sample_fid:\n{proc.stdout}\n{proc.stderr}"
         with np.load(os.path.join(exp, "fid_samples", "samples.npz")) as f:
             assert f["arr_0"].shape == (8, 16, 16, 4)

@@ -30,19 +30,8 @@ def _cpu_env():
 
 
 @pytest.fixture(scope="module")
-def trained_exp(tmp_path_factory):
-    results = str(tmp_path_factory.mktemp("results"))
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "train.py"),
-         "--data-path", "synthetic:32", "--results-dir", results,
-         "--model", "DiT-XS/8", "--num-classes", "10", "--num-steps", "6",
-         "--batch-size", "8", "--log-every", "3", "--ckpt-every", "6",
-         "--ema-snapshot-every", "3", "--num-lin-warmup", "2",
-         "--start-decay", "4"],
-        capture_output=True, text=True, timeout=900, cwd=REPO, env=_cpu_env(),
-    )
-    assert proc.returncode == 0, f"train: {proc.stdout}\n{proc.stderr}"
-    return os.path.join(results, os.listdir(results)[0])
+def trained_exp(trained_run):
+    return trained_run  # the session-scoped shared experiment (conftest.py)
 
 
 def _start_server(exp_dir, extra_args=()):
@@ -168,22 +157,14 @@ class TestServe:
             info = json.loads(resp.read())
         assert info["coalesced_batches"] >= 1, info
 
-    def test_sharded_serving_virtual_mesh(self, tmp_path):
+    def test_sharded_serving_virtual_mesh(self, trained_exp):
         """--shard over the 8-device virtual mesh: divisible buckets run
-        data-parallel (GSPMD splits the chain batch)."""
+        data-parallel (GSPMD splits the chain batch). Serves the shared
+        1-device-trained experiment — device count is a serving-time
+        property, not a checkpoint property."""
         env = _cpu_env()
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
-        results = str(tmp_path)
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "train.py"),
-             "--data-path", "synthetic:32", "--results-dir", results,
-             "--model", "DiT-XS/8", "--num-classes", "10", "--num-steps", "4",
-             "--batch-size", "8", "--log-every", "2", "--ckpt-every", "4",
-             "--ema-snapshot-every", "2"],
-            capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
-        )
-        assert proc.returncode == 0, f"{proc.stdout}\n{proc.stderr}"
-        exp_dir = os.path.join(results, os.listdir(results)[0])
+        exp_dir = trained_exp
         srv = subprocess.Popen(
             [sys.executable, os.path.join(REPO, "serve.py"),
              "--result-dir", exp_dir, "--port", "0", "--warmup", "false",

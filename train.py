@@ -438,8 +438,11 @@ if __name__ == "__main__":
     parser.add_argument("--attention-impl",
                         choices=["auto", "xla", "pallas", "pallas_v2", "pallas_v3"],
                         default="auto")
-    parser.add_argument("--block-kernel", choices=["auto", "pallas", "off"], default="auto",
-                        help="fused MP-MLP half-block Pallas kernel dispatch")
+    parser.add_argument("--block-kernel", choices=["auto", "pallas", "mega", "off"],
+                        default="auto",
+                        help="block-fusion Pallas kernels: mega = whole-DiT-block "
+                             "megakernel (one VMEM residency; MP+adaln family), "
+                             "pallas = MP-MLP half-block only, auto/off = XLA")
     parser.add_argument("--checkpointer", choices=["msgpack", "orbax"], default="msgpack",
                         help="checkpoint backend (orbax = async-capable production path)")
     parser.add_argument("--resume", type=str, default=None,
