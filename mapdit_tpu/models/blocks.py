@@ -61,6 +61,20 @@ def _mega_auto_ok() -> bool:
     return probe()
 
 
+def _use_attn_halfkernel(cfg: DiTConfig, seq_len: int) -> bool:
+    """Attention half-block kernel (`fused_attn_branch`): modulate + qkv +
+    cosine attention + out-proj + MP residual in one VMEM residency, with
+    the modulation head and MLP on XLA. The B-scale variant — its 4D^2
+    weights fit VMEM where the whole block's 18D^2 do not. Explicit opt-in
+    (``block_kernel="mega_attn"``) until chip A/B data justifies auto."""
+    return (
+        _mp_adaln_family(cfg)
+        and cfg.use_cosine_attention
+        and cfg.hidden_size % cfg.num_heads == 0
+        and cfg.block_kernel == "mega_attn"
+    )
+
+
 def _use_megakernel(cfg: DiTConfig, seq_len: int) -> bool:
     """Dispatch policy for the whole-block Pallas megakernel
     (`ops/pallas/dit_block.py`): one VMEM residency per block. Requires the
@@ -199,6 +213,27 @@ class DiTBlock(nn.Module):
         n = len(dims)
         msa_mods, gate_msa = mods[: n - 1], mods[n - 1]
         mlp_mods, gate_mlp = mods[n : 2 * n - 1], mods[2 * n - 1]
+
+        if _use_attn_halfkernel(cfg, x.shape[1]):
+            # B-scale variant: attention half-block in one VMEM residency
+            # (4D^2 weights); modulation head + MLP stay on XLA
+            from mapdit_tpu.ops.pallas.dit_block import fused_attn_branch
+
+            attn_m = Attention(cfg, cfg.hidden_size, name="attn")
+            mlp_m = MLP(cfg, cfg.hidden_size, cfg.hidden_size,
+                        mlp_ratio=cfg.mlp_ratio, name="mlp")
+            shift_msa, scale_msa = msa_mods
+            x = fused_attn_branch(
+                x.astype(cfg.dtype),
+                shift_msa.astype(cfg.dtype), scale_msa.astype(cfg.dtype),
+                gate_msa.astype(cfg.dtype), gain_msa,
+                attn_m.qkv_proj.effective_weight().astype(cfg.dtype),
+                attn_m.out_proj.effective_weight().astype(cfg.dtype),
+                cfg.num_heads,
+            )
+            h = apply_modulation(x, mlp_mods, gain_mlp, cfg)
+            x = mp_sum(x, gate_mlp[:, None, :] * mlp_m(h), t=0.3)
+            return (x, None) if self.scan_mode else x
 
         def maybe_norm(z):
             if cfg.use_no_layernorm:

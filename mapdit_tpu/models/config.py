@@ -64,6 +64,9 @@ class DiTConfig:
     #              normalize passes; this kernel eliminates both (A/B'd on
     #              chip, docs/BENCH_NOTES.md). MP+adaln family only;
     #              interpret mode off-TPU.
+    #   "mega_attn" — attention half-block only (modulate+qkv+cosine attn+
+    #              out-proj+residual in VMEM; modulation head and MLP on
+    #              XLA) — the B-scale variant whose 4D^2 weights still fit.
     #   "pallas" — fused MP-MLP half-block only (ops/pallas/mlp_block.py);
     #              measured ~2% BEHIND XLA at S/2 — kept as A/B infra.
     #   "auto"/"off" — XLA fusion pipeline.
@@ -91,7 +94,7 @@ class DiTConfig:
         assert self.modulation in MODULATION_KINDS, self.modulation
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.attention_impl in ("auto", "xla", "pallas", "pallas_v2", "pallas_v3")
-        assert self.block_kernel in ("auto", "pallas", "mega", "off")
+        assert self.block_kernel in ("auto", "pallas", "mega", "mega_attn", "off")
 
     @property
     def dtype(self):

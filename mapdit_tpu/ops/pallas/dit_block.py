@@ -243,6 +243,153 @@ def _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
     )(gains.reshape(1, 2).astype(jnp.float32), x, a, w_mod, w_qkv, w_out, w1, w2)
 
 
+def _attn_kernel(
+    gain_ref,   # SMEM (1, 1): gain_msa
+    x_ref,      # (G, T, D)
+    shift_ref,  # (G, D)
+    scale_ref,  # (G, D)
+    gate_ref,   # (G, D)
+    wqkv_ref,   # (3D, D)
+    wout_ref,   # (D, D)
+    o_ref,      # (G, T, D)
+    *,
+    heads: int,
+    inv_d: float,
+):
+    """Attention half-block: modulate + qkv + cosine attention + out-proj +
+    gated MP residual in one VMEM residency. The B-scale variant of the
+    whole-block kernel — its weights are 4D^2 (4.7 MB bf16 at D=768) where
+    the full block's 10D^2 + 8D^2 would blow VMEM; the modulation head and
+    the MLP stay on the XLA pipeline."""
+    g, t, d = x_ref.shape
+    hd = d // heads
+    dtype = wqkv_ref.dtype
+
+    x = x_ref[...].astype(jnp.float32)
+    shift = shift_ref[...].reshape(g, 1, d).astype(jnp.float32)
+    scale = scale_ref[...].reshape(g, 1, d).astype(jnp.float32)
+    gate = gate_ref[...].reshape(g, 1, d).astype(jnp.float32)
+    gain = gain_ref[0, 0]
+
+    h_in = _modulate(x, shift, scale, gain)
+    qkv = jax.lax.dot_general(
+        h_in.reshape(g * t, d).astype(dtype),
+        wqkv_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d
+
+    head_outs = []
+    for hi in range(heads):
+        q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd].reshape(g, t, hd)
+        k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd].reshape(g, t, hd)
+        v = qkv[:, 2 * d + hi * hd : 2 * d + (hi + 1) * hd].reshape(g, t, hd)
+        q = _row_normalize(q, hd)
+        k = _row_normalize(k, hd)
+        logits = jax.lax.dot_general(
+            q.astype(dtype), k.astype(dtype),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / math.sqrt(hd))
+        probs = jax.nn.softmax(logits, axis=-1)
+        head_outs.append(
+            jax.lax.dot_general(
+                probs.astype(dtype), v.astype(dtype),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    attn = jnp.concatenate(head_outs, axis=-1).reshape(g * t, d)
+    out = jax.lax.dot_general(
+        attn.astype(dtype), wout_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d
+    branch = gate * out.reshape(g, t, d)
+    o_ref[...] = ((x + (branch - x) * _RES_T) / _RES_DENOM).astype(o_ref.dtype)
+
+
+def _attn_reference(x, shift, scale, gate, gain, w_qkv, w_out, heads):
+    from mapdit_tpu.ops.mp import mp_sum, normalize
+
+    n, t, d = x.shape
+    hd = d // heads
+
+    zs = x * scale[:, None, :]
+    denom = jax.lax.stop_gradient(jnp.sqrt((1.0 - gain) ** 2 + gain**2))
+    h = (zs + (shift[:, None, :] - zs) * gain) / denom
+    qkv = h @ w_qkv.T / math.sqrt(d)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    th = lambda z: z.reshape(n, t, heads, hd).transpose(0, 2, 1, 3)
+    q, k, v = th(q), th(k), th(v)
+    q, k = normalize(q), normalize(k)
+    logits = jnp.einsum("nhqd,nhkd->nhqk", q, k) / math.sqrt(hd)
+    attn = jnp.einsum("nhqk,nhkd->nhqd", jax.nn.softmax(logits, axis=-1), v)
+    attn = attn.transpose(0, 2, 1, 3).reshape(n, t, d)
+    out = attn @ w_out.T / math.sqrt(d)
+    return mp_sum(x, gate[:, None, :] * out, t=_RES_T)
+
+
+def _attn_fwd_impl(x, shift, scale, gate, gain, w_qkv, w_out, heads):
+    n, t, d = x.shape
+    g = 1
+    for cand in (8, 4, 2):
+        if n % cand == 0 and cand * t >= 256:
+            g = cand
+            break
+
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, heads=heads, inv_d=1.0 / math.sqrt(d)),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * t * d * (3 * d + d)
+            + 4 * n * heads * t * t * (d // heads),
+            bytes_accessed=(2 * n * t * d + 4 * d * d) * 2,
+            transcendentals=n * heads * t * t,
+        ),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(gain, jnp.float32).reshape(1, 1),
+        x, shift, scale, gate, w_qkv, w_out,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_attn(heads: int):
+    @jax.custom_vjp
+    def f(x, shift, scale, gate, gain, w_qkv, w_out):
+        return _attn_fwd_impl(x, shift, scale, gate, gain, w_qkv, w_out, heads)
+
+    def fwd(x, shift, scale, gate, gain, w_qkv, w_out):
+        return (
+            _attn_fwd_impl(x, shift, scale, gate, gain, w_qkv, w_out, heads),
+            (x, shift, scale, gate, gain, w_qkv, w_out),
+        )
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda *args: _attn_reference(*args, heads), *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_attn_branch(x, shift, scale, gate, gain, w_qkv, w_out, heads: int):
+    """Attention half-block in one Pallas kernel (see _attn_kernel)."""
+    return _make_attn(heads)(x, shift, scale, gate, gain, w_qkv, w_out)
+
+
 @functools.lru_cache(maxsize=None)
 def _make(heads: int):
     @jax.custom_vjp

@@ -249,6 +249,38 @@ class TestDiTBlockMegakernel:
             gb,
         )
 
+    def test_attn_halfkernel_vs_reference_math(self):
+        from mapdit_tpu.ops.pallas.dit_block import (
+            _attn_reference,
+            fused_attn_branch,
+        )
+
+        rng = np.random.default_rng(1)
+        n, t, d, heads = 4, 16, 64, 2
+        f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+        args = (f(n, t, d), f(n, d), f(n, d), f(n, d),
+                jnp.asarray(0.4, jnp.float32), f(3 * d, d), f(d, d))
+        got = fused_attn_branch(*args, heads)
+        ref = _attn_reference(*args, heads)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_attn_halfkernel_model_parity(self):
+        """block_kernel=mega_attn (B-scale variant): full-model output
+        matches the unfused path."""
+        from mapdit_tpu.models import DiT, build_config, init_model
+
+        base = build_config("DiT-XS/2", in_channels=4, input_size=16, num_classes=10,
+                            block_kernel="off")
+        _, variables = init_model(base, seed=3)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.full((2,), 321.0)
+        y = jnp.ones((2,), jnp.int32)
+        a = DiT(base).apply(variables, x, t, y)
+        b = DiT(base.replace(block_kernel="mega_attn")).apply(variables, x, t, y)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
     def test_mega_gate_requires_mp_adaln_family(self):
         """Vanilla / rotation configs must not dispatch to the megakernel."""
         from mapdit_tpu.models import DiT, build_config, init_model

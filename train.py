@@ -438,7 +438,7 @@ if __name__ == "__main__":
     parser.add_argument("--attention-impl",
                         choices=["auto", "xla", "pallas", "pallas_v2", "pallas_v3"],
                         default="auto")
-    parser.add_argument("--block-kernel", choices=["auto", "pallas", "mega", "off"],
+    parser.add_argument("--block-kernel", choices=["auto", "pallas", "mega", "mega_attn", "off"],
                         default="auto",
                         help="block-fusion Pallas kernels: mega = whole-DiT-block "
                              "megakernel (one VMEM residency; MP+adaln family), "
