@@ -8,10 +8,17 @@ relies on the external OpenAI evaluator. This tool closes the loop in-repo:
   python tools/fid.py --make-stats A.npz --out stats.npz
 
 Feature extraction (`--features`):
-  * ``inception``   — torchvision InceptionV3 pool features (2048-d), the
-                      real FID protocol; needs the weights in the local
-                      torch hub cache (zero-egress environments must
-                      provide them).
+  * ``inception``   — torchvision InceptionV3 pool features (2048-d);
+                      needs the weights in the local torch hub cache
+                      (zero-egress environments must provide them).
+                      HONESTY NOTE: this is the torchvision (pytorch-fid
+                      style) extractor, NOT the TF1 "pool_3" graph of the
+                      ADM/OpenAI evaluator the reference's npz format
+                      targets (`sample_fid.py:97`) — FIDs are internally
+                      consistent across runs of this tool but are known to
+                      differ slightly from published ADM-protocol numbers;
+                      for paper-comparable values feed the npz files to the
+                      ADM evaluator itself.
   * ``random-proj`` — a deterministic random projection of the raw pixels
                       (64-d). NOT a perceptual metric — it exists so the
                       full sample_fid -> stats-cache -> Frechet pipeline
