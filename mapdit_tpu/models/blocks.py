@@ -61,17 +61,46 @@ def _mega_auto_ok() -> bool:
     return probe()
 
 
-def _use_attn_halfkernel(cfg: DiTConfig, seq_len: int) -> bool:
-    """Attention half-block kernel (`fused_attn_branch`): modulate + qkv +
-    cosine attention + out-proj + MP residual in one VMEM residency, with
-    the modulation head and MLP on XLA. The B-scale variant — its 4D^2
-    weights fit VMEM where the whole block's 18D^2 do not. Explicit opt-in
-    (``block_kernel="mega_attn"``) until chip A/B data justifies auto."""
+def _kernel_family_ok(cfg: DiTConfig) -> bool:
     return (
         _mp_adaln_family(cfg)
         and cfg.use_cosine_attention
         and cfg.hidden_size % cfg.num_heads == 0
-        and cfg.block_kernel == "mega_attn"
+    )
+
+
+def _whole_block_weight_bytes(cfg: DiTConfig) -> int:
+    d, h = cfg.hidden_size, int(cfg.hidden_size * cfg.mlp_ratio)
+    return (10 * d * d + 2 * d * h) * (2 if cfg.dtype == jnp.bfloat16 else 4)
+
+
+def _attn_weight_bytes(cfg: DiTConfig) -> int:
+    d = cfg.hidden_size
+    return 4 * d * d * (2 if cfg.dtype == jnp.bfloat16 else 4)
+
+
+_VMEM_WEIGHT_BUDGET = 7 * 2**20  # leave room for double-buffered activations
+
+
+def _use_attn_halfkernel(cfg: DiTConfig, seq_len: int) -> bool:
+    """Attention half-block kernel (`fused_attn_branch`): modulate + qkv +
+    cosine attention + out-proj + MP residual in one VMEM residency, with
+    the modulation head and MLP on XLA. The B-scale variant — its 4D^2
+    weights (4.7 MB bf16 at D=768) fit VMEM where the whole block's 18D^2
+    do not. ``auto`` dispatches it at T<=64 folded-inference shapes when
+    the whole-block kernel does not fit but this one does: measured +30%
+    at DiT-B/2 (194 vs 150 steps/s, 70% MFU — BENCH_NOTES r03)."""
+    if not _kernel_family_ok(cfg):
+        return False
+    if cfg.block_kernel == "mega_attn":
+        return True
+    return (
+        cfg.block_kernel == "auto"
+        and cfg.fold_weights
+        and seq_len <= 64
+        and _whole_block_weight_bytes(cfg) > _VMEM_WEIGHT_BUDGET
+        and _attn_weight_bytes(cfg) <= _VMEM_WEIGHT_BUDGET
+        and _mega_auto_ok()
     )
 
 
@@ -88,19 +117,19 @@ def _use_megakernel(cfg: DiTConfig, seq_len: int) -> bool:
     eliminates the HBM head-relayout copies (30% of the chain) and the
     separate q/k normalize passes (17%) the r03 trace attributed.
     """
-    if not (
-        _mp_adaln_family(cfg)
-        and cfg.use_cosine_attention
-        and cfg.hidden_size % cfg.num_heads == 0
-    ):
+    if not _kernel_family_ok(cfg):
         return False
     if cfg.block_kernel == "mega":
         return True
     if cfg.block_kernel != "auto" or not cfg.fold_weights:
         return False
-    d, h = cfg.hidden_size, int(cfg.hidden_size * cfg.mlp_ratio)
-    weight_bytes = (10 * d * d + 2 * d * h) * (2 if cfg.dtype == jnp.bfloat16 else 4)
-    return weight_bytes <= 7 * 2**20 and _mega_auto_ok()
+    # T<=64 covers every registry model on the shipped 16x16-latent dataset
+    # (p=2); larger-T VMEM budgets are unmeasured — explicit flags override
+    return (
+        seq_len <= 64
+        and _whole_block_weight_bytes(cfg) <= _VMEM_WEIGHT_BUDGET
+        and _mega_auto_ok()
+    )
 
 
 def modulation_dims(cfg: DiTConfig, with_gate: bool) -> Tuple[int, ...]:

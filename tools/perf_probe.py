@@ -42,7 +42,10 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--attention-impl", default="xla")
+    p.add_argument("--attention-impl", default="auto")
+    p.add_argument("--block-kernel", default="auto",
+                   help="auto = production dispatch (megakernel on TPU for "
+                        "folded inference); off = pure XLA pipeline")
     args = p.parse_args()
 
     # 1. roofline
@@ -55,6 +58,7 @@ def main():
     cfg = build_config(
         "DiT-S/2", in_channels=4, input_size=16, num_classes=1000,
         compute_dtype=args.dtype, attention_impl=args.attention_impl,
+        block_kernel=args.block_kernel,
     )
     model, variables = init_model(cfg, seed=0)
     n = args.batch
