@@ -332,9 +332,14 @@ def _attn_reference(x, shift, scale, gate, gain, w_qkv, w_out, heads):
 
 def _attn_fwd_impl(x, shift, scale, gate, gain, w_qkv, w_out, heads):
     n, t, d = x.shape
+    # VMEM-aware group size: weights (4D^2) + ~24*d bytes per activation row
+    # (qkv f32 + x in/out + attn) must stay under ~15 MB; prefer >=256 rows
+    # for MXU fill, shrink when big-D weights crowd the budget (XL: g=2).
+    weight_bytes = 4 * d * d * x.dtype.itemsize
+    budget_rows = max(t, (15 * 2**20 - weight_bytes) // (24 * d))
     g = 1
     for cand in (8, 4, 2):
-        if n % cand == 0 and cand * t >= 256:
+        if n % cand == 0 and cand * t <= budget_rows:
             g = cand
             break
 
