@@ -281,6 +281,27 @@ class TestDiTBlockMegakernel:
         b = DiT(base.replace(block_kernel="mega_attn")).apply(variables, x, t, y)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
+    def test_auto_dispatch_budgets(self):
+        """The auto policy's VMEM arithmetic: whole-block kernel fits S and
+        below, only the attention half fits B, XL fits neither — per the
+        chip A/B data in BENCH_NOTES r03."""
+        from mapdit_tpu.models import build_config
+        from mapdit_tpu.models.blocks import (
+            _VMEM_WEIGHT_BUDGET,
+            _attn_weight_bytes,
+            _whole_block_weight_bytes,
+        )
+
+        mk = lambda name: build_config(
+            name, in_channels=4, input_size=16, num_classes=1000,
+            compute_dtype="bfloat16",
+        )
+        s, b, xl = mk("DiT-S/2"), mk("DiT-B/2"), mk("DiT-XL/2")
+        assert _whole_block_weight_bytes(s) <= _VMEM_WEIGHT_BUDGET
+        assert _whole_block_weight_bytes(b) > _VMEM_WEIGHT_BUDGET
+        assert _attn_weight_bytes(b) <= _VMEM_WEIGHT_BUDGET
+        assert _attn_weight_bytes(xl) > _VMEM_WEIGHT_BUDGET
+
     def test_mega_gate_requires_mp_adaln_family(self):
         """Vanilla / rotation configs must not dispatch to the megakernel."""
         from mapdit_tpu.models import DiT, build_config, init_model
