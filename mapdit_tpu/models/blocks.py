@@ -80,6 +80,10 @@ def _attn_weight_bytes(cfg: DiTConfig) -> int:
 
 
 _VMEM_WEIGHT_BUDGET = 7 * 2**20  # leave room for double-buffered activations
+# the attention half-kernel shrinks its sample group under VMEM pressure
+# (VMEM-aware g in _attn_fwd_impl) — XL's 10.6 MB weights run at g=2 with
+# 70% MFU (BENCH_NOTES r03), so its budget is higher
+_ATTN_WEIGHT_BUDGET = 11 * 2**20
 
 
 def _use_attn_halfkernel(cfg: DiTConfig, seq_len: int) -> bool:
@@ -89,7 +93,8 @@ def _use_attn_halfkernel(cfg: DiTConfig, seq_len: int) -> bool:
     weights (4.7 MB bf16 at D=768) fit VMEM where the whole block's 18D^2
     do not. ``auto`` dispatches it at T<=64 folded-inference shapes when
     the whole-block kernel does not fit but this one does: measured +30%
-    at DiT-B/2 (194 vs 150 steps/s, 70% MFU — BENCH_NOTES r03)."""
+    at DiT-B/2 (194 vs 150 steps/s, 70% MFU) and +22% at DiT-XL/2
+    (74.3 vs 61.0, 70% MFU, g=2) — BENCH_NOTES r03."""
     if not _kernel_family_ok(cfg):
         return False
     if cfg.block_kernel == "mega_attn":
@@ -99,7 +104,7 @@ def _use_attn_halfkernel(cfg: DiTConfig, seq_len: int) -> bool:
         and cfg.fold_weights
         and seq_len <= 64
         and _whole_block_weight_bytes(cfg) > _VMEM_WEIGHT_BUDGET
-        and _attn_weight_bytes(cfg) <= _VMEM_WEIGHT_BUDGET
+        and _attn_weight_bytes(cfg) <= _ATTN_WEIGHT_BUDGET
         and _mega_auto_ok()
     )
 

@@ -51,10 +51,28 @@ def _row_normalize(z, dim):
     return z * math.sqrt(dim) / (norm + _NORM_EPS)
 
 
+
+def _row_select(ref, row0, g, dtype):
+    """Rows [row0, row0+g) of a (N, D) VMEM ref via a one-hot matmul —
+    Mosaic cannot statically prove alignment of a dynamic sublane slice at
+    small G (serving bucket-1 shapes, XL's G=2), but a (G, N) x (N, D)
+    contraction is always legal and costs nothing at these sizes."""
+    n = ref.shape[0]
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (g, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, n), 1)
+    onehot = (rows == cols).astype(dtype)
+    return jax.lax.dot_general(
+        onehot, ref[...].astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
 def _kernel(
     gains_ref,  # SMEM (1, 2): gain_msa, gain_mlp
     x_ref,      # (G, T, D)
-    a_ref,      # (G, D)  mp_silu(c), shared modulation-head input
+    a_ref,      # (N, D) full array, program_id-sliced — a (G, D) block
+    #             violates Mosaic's 8-row divisibility when G < 8 (small
+    #             serving buckets, XL VMEM pressure)
     wmod_ref,   # (6D, D)
     wqkv_ref,   # (3D, D)
     wout_ref,   # (D, D)
@@ -62,6 +80,7 @@ def _kernel(
     w2_ref,     # (D, H)
     o_ref,      # (G, T, D)
     *,
+    group: int,
     heads: int,
     inv_d: float,
     inv_h: float,
@@ -69,12 +88,14 @@ def _kernel(
     g, t, d = x_ref.shape
     hd = d // heads
     dtype = wqkv_ref.dtype
+    row0 = pl.program_id(0) * group
 
     x = x_ref[...].astype(jnp.float32)  # (G, T, D)
 
     # ---- modulation head: (G, D) @ (6D, D)^T / sqrt(D) -> 6 chunks ---- #
+    a_g = _row_select(a_ref, row0, group, dtype)  # (G, D)
     mods = jax.lax.dot_general(
-        a_ref[...].astype(dtype),
+        a_g.astype(dtype),
         wmod_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -213,6 +234,7 @@ def _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
     return pl.pallas_call(
         functools.partial(
             _kernel,
+            group=g,
             heads=heads,
             inv_d=1.0 / math.sqrt(d),
             inv_h=1.0 / math.sqrt(h_mlp),
@@ -221,7 +243,8 @@ def _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # full (N, D), program_id-sliced in-kernel (see kernel doc)
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((6 * d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -246,13 +269,14 @@ def _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
 def _attn_kernel(
     gain_ref,   # SMEM (1, 1): gain_msa
     x_ref,      # (G, T, D)
-    shift_ref,  # (G, D)
-    scale_ref,  # (G, D)
-    gate_ref,   # (G, D)
+    shift_ref,  # (N, D) full array — sliced by program_id (a (G, D) block
+    scale_ref,  # (N, D)   would violate Mosaic's 8-row divisibility when
+    gate_ref,   # (N, D)   VMEM pressure forces G < 8, e.g. XL's G=2)
     wqkv_ref,   # (3D, D)
     wout_ref,   # (D, D)
     o_ref,      # (G, T, D)
     *,
+    group: int,
     heads: int,
     inv_d: float,
 ):
@@ -264,11 +288,12 @@ def _attn_kernel(
     g, t, d = x_ref.shape
     hd = d // heads
     dtype = wqkv_ref.dtype
+    row0 = pl.program_id(0) * group
 
     x = x_ref[...].astype(jnp.float32)
-    shift = shift_ref[...].reshape(g, 1, d).astype(jnp.float32)
-    scale = scale_ref[...].reshape(g, 1, d).astype(jnp.float32)
-    gate = gate_ref[...].reshape(g, 1, d).astype(jnp.float32)
+    shift = _row_select(shift_ref, row0, group, dtype).reshape(g, 1, d)
+    scale = _row_select(scale_ref, row0, group, dtype).reshape(g, 1, d)
+    gate = _row_select(gate_ref, row0, group, dtype).reshape(g, 1, d)
     gain = gain_ref[0, 0]
 
     h_in = _modulate(x, shift, scale, gain)
@@ -344,14 +369,17 @@ def _attn_fwd_impl(x, shift, scale, gate, gain, w_qkv, w_out, heads):
             break
 
     return pl.pallas_call(
-        functools.partial(_attn_kernel, heads=heads, inv_d=1.0 / math.sqrt(d)),
+        functools.partial(
+            _attn_kernel, group=g, heads=heads, inv_d=1.0 / math.sqrt(d)
+        ),
         grid=(n // g,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # full (N, D) arrays, program_id-sliced in-kernel (see kernel doc)
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],

@@ -283,10 +283,11 @@ class TestDiTBlockMegakernel:
 
     def test_auto_dispatch_budgets(self):
         """The auto policy's VMEM arithmetic: whole-block kernel fits S and
-        below, only the attention half fits B, XL fits neither — per the
-        chip A/B data in BENCH_NOTES r03."""
+        below; the attention half fits B outright and XL under its
+        group-shrinking budget — per the chip A/B data in BENCH_NOTES r03."""
         from mapdit_tpu.models import build_config
         from mapdit_tpu.models.blocks import (
+            _ATTN_WEIGHT_BUDGET,
             _VMEM_WEIGHT_BUDGET,
             _attn_weight_bytes,
             _whole_block_weight_bytes,
@@ -299,8 +300,9 @@ class TestDiTBlockMegakernel:
         s, b, xl = mk("DiT-S/2"), mk("DiT-B/2"), mk("DiT-XL/2")
         assert _whole_block_weight_bytes(s) <= _VMEM_WEIGHT_BUDGET
         assert _whole_block_weight_bytes(b) > _VMEM_WEIGHT_BUDGET
-        assert _attn_weight_bytes(b) <= _VMEM_WEIGHT_BUDGET
-        assert _attn_weight_bytes(xl) > _VMEM_WEIGHT_BUDGET
+        assert _attn_weight_bytes(b) <= _ATTN_WEIGHT_BUDGET
+        assert _attn_weight_bytes(xl) <= _ATTN_WEIGHT_BUDGET
+        assert _whole_block_weight_bytes(xl) > _VMEM_WEIGHT_BUDGET
 
     def test_mega_gate_requires_mp_adaln_family(self):
         """Vanilla / rotation configs must not dispatch to the megakernel."""
