@@ -113,6 +113,25 @@ def bench_train(args, cfg):
     state, m = step_fn(state, next(batches))  # compile
     jax.block_until_ready(m["loss"])
 
+    if args.profile_dir:
+        # On-chip trace of a few train steps (before the timed run so the
+        # trace overhead never pollutes the number); analyze with
+        # tools/trace_breakdown.py — same artifact layout as sample mode.
+        import sys
+
+        jax.profiler.start_trace(args.profile_dir, create_perfetto_trace=True)
+        for _ in range(5):
+            state, m = step_fn(state, next(batches))
+        jax.block_until_ready(m["loss"])
+        jax.profiler.stop_trace()
+        try:
+            hlo = step_fn.lower(state, next(batches)).compile().as_text()
+            with open(os.path.join(args.profile_dir, "train_step_hlo.txt"), "w") as f:
+                f.write(hlo)
+        except Exception as e:  # trace remains useful without it
+            print(f"hlo dump failed: {e!r}", file=sys.stderr)
+        print(f"trace written to {args.profile_dir}", file=sys.stderr)
+
     n_steps = max(args.steps, 10)
     start = time.perf_counter()
     for _ in range(n_steps):

@@ -334,6 +334,279 @@ def _attn_kernel(
     o_ref[...] = ((x + (branch - x) * _RES_T) / _RES_DENOM).astype(o_ref.dtype)
 
 
+def _attn_bwd_kernel(
+    gain_ref,   # SMEM (1, 1): gain_msa
+    dy_ref,     # (G, T, D) upstream cotangent
+    x_ref,      # (G, T, D)
+    shift_ref,  # (N, D) full, program_id-sliced (see _attn_kernel doc)
+    scale_ref,  # (N, D)
+    gate_ref,   # (N, D)
+    wqkv_ref,   # (3D, D)
+    wout_ref,   # (D, D)
+    dx_ref,     # (G, T, D) out
+    dshift_ref, # (N, D) f32 out, accumulated across the sequential grid
+    dscale_ref, # (N, D) f32 out, accumulated
+    dgate_ref,  # (N, D) f32 out, accumulated
+    dgain_ref,  # SMEM (1, 1) f32 out, accumulated
+    h_ref,      # (G, T, D) out: modulated input (operand of the dW_qkv GEMM)
+    dqkv_ref,   # (G, T, 3D) out (operand of the dW_qkv GEMM)
+    attn_ref,   # (G, T, D) out (operand of the dW_out GEMM)
+    dout_ref,   # (G, T, D) out (operand of the dW_out GEMM)
+    *,
+    group: int,
+    heads: int,
+    inv_d: float,
+):
+    """Backward of the attention half-block in one VMEM residency.
+
+    Recomputes the forward from the raw inputs (flash-attention-style — no
+    saved intermediates ever touch HBM), then runs the hand-derived VJP:
+    residual -> out-proj -> per-head softmax / cosine-normalize -> qkv GEMM
+    -> modulate. Per-head work stays on contiguous lane slices, so the
+    training step never materializes the (N, H, T, hd) relayout that costs
+    the XLA path ~28% of its time (r03 train trace, docs/BENCH_NOTES.md).
+
+    Gradient semantics match the reference exactly: the modulate denominator
+    is constant w.r.t. gain (`src/utils.py:15-16` coerces the tensor to a
+    float), while `normalize` (`src/utils.py:19-23`) gets the FULL quotient
+    VJP — its denominator is a live autograd edge in the reference.
+
+    Weight gradients are NOT formed here: the kernel streams the four flat
+    GEMM operands (h, dqkv, attn, dout) and the caller contracts them as two
+    plain (X^T @ Y) matmuls — natural (rows, features) layout, no relayout,
+    full MXU fill — which XLA already does at peak.
+    """
+    g, t, d = x_ref.shape
+    hd = d // heads
+    dtype = wqkv_ref.dtype
+    pid = pl.program_id(0)
+    row0 = pid * group
+    sqrt_hd = math.sqrt(hd)
+
+    x = x_ref[...].astype(jnp.float32)
+    dy = dy_ref[...].astype(jnp.float32)
+    shift = _row_select(shift_ref, row0, group, dtype).reshape(g, 1, d)
+    scale = _row_select(scale_ref, row0, group, dtype).reshape(g, 1, d)
+    gate = _row_select(gate_ref, row0, group, dtype).reshape(g, 1, d)
+    gain = gain_ref[0, 0]
+    denom_mod = jnp.sqrt((1.0 - gain) ** 2 + gain**2)
+
+    # ---- forward recompute (identical math to _attn_kernel) ---- #
+    u = x * scale
+    h = (u + (shift - u) * gain) / denom_mod  # (G, T, D)
+    qkv = jax.lax.dot_general(
+        h.reshape(g * t, d).astype(dtype),
+        wqkv_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d  # (G*T, 3D)
+
+    heads_fwd = []  # per head: (q, k, v, rq, rk, qn, kn, p)
+    head_outs = []
+    for hi in range(heads):
+        q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd].reshape(g, t, hd)
+        k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd].reshape(g, t, hd)
+        v = qkv[:, 2 * d + hi * hd : 2 * d + (hi + 1) * hd].reshape(g, t, hd)
+        rq = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+        rk = jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True))
+        qn = q * sqrt_hd / (rq + _NORM_EPS)
+        kn = k * sqrt_hd / (rk + _NORM_EPS)
+        logits = jax.lax.dot_general(
+            qn.astype(dtype), kn.astype(dtype),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / sqrt_hd)
+        p = jax.nn.softmax(logits, axis=-1)
+        heads_fwd.append((q, k, v, rq, rk, qn, kn, p))
+        head_outs.append(
+            jax.lax.dot_general(
+                p.astype(dtype), v.astype(dtype),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    attn = jnp.concatenate(head_outs, axis=-1).reshape(g * t, d)
+    out = jax.lax.dot_general(
+        attn.astype(dtype), wout_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(g, t, d) * inv_d
+
+    # ---- backward ---- #
+    # residual y = (x + (gate*out - x)*tres)/rd; tres, rd compile-time consts
+    dx = dy * ((1.0 - _RES_T) / _RES_DENOM)
+    db = dy * (_RES_T / _RES_DENOM)          # d(gate*out)
+    dgate_rows = jnp.sum(db * out, axis=1)   # (G, D)
+    dout = db * gate                         # (G, T, D)
+
+    # out-proj: out = attn @ Wout^T * inv_d  =>  dattn = dout @ Wout * inv_d
+    dattn = jax.lax.dot_general(
+        dout.reshape(g * t, d).astype(dtype),
+        wout_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d  # (G*T, D)
+
+    dq_cols, dk_cols, dv_cols = [], [], []
+    for hi, (q, k, v, rq, rk, qn, kn, p) in enumerate(heads_fwd):
+        do_h = dattn[:, hi * hd : (hi + 1) * hd].reshape(g, t, hd)
+        # o = p @ v
+        dp = jax.lax.dot_general(
+            do_h.astype(dtype), v.astype(dtype),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, T, T)
+        dv = jax.lax.dot_general(
+            p.astype(dtype), do_h.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, T, hd)
+        # softmax
+        dlog = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dlog = dlog * (1.0 / sqrt_hd)
+        dqn = jax.lax.dot_general(
+            dlog.astype(dtype), kn.astype(dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dkn = jax.lax.dot_general(
+            dlog.astype(dtype), qn.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # normalize: zn = z*sqrt(hd)/(r+eps) — FULL quotient VJP (the
+        # denominator is a live edge in the reference, unlike modulate's)
+        def dnorm(z, r, dzn):
+            c = sqrt_hd / (r + _NORM_EPS)
+            zdot = jnp.sum(z * dzn, axis=-1, keepdims=True)
+            return c * dzn - z * (zdot * sqrt_hd / (r * (r + _NORM_EPS) ** 2))
+
+        dq_cols.append(dnorm(q, rq, dqn).reshape(g * t, hd))
+        dk_cols.append(dnorm(k, rk, dkn).reshape(g * t, hd))
+        dv_cols.append(dv.reshape(g * t, hd))
+    dqkv = jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1)  # (G*T, 3D)
+
+    # qkv = h @ Wqkv^T * inv_d  =>  dh = dqkv @ Wqkv * inv_d
+    dh = jax.lax.dot_general(
+        dqkv.astype(dtype),
+        wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(g, t, d) * inv_d
+
+    # modulate h = (u*(1-gain) + shift*gain)/denom_mod, u = x*scale;
+    # denom_mod is stop-gradient (reference coerces gain to float there)
+    du = dh * ((1.0 - gain) / denom_mod)
+    dshift_rows = jnp.sum(dh, axis=1) * (gain / denom_mod)       # (G, D)
+    dgain_contrib = jnp.sum(dh * (shift - u)) / denom_mod
+    dx = dx + du * scale
+    dscale_rows = jnp.sum(du * x, axis=1)                        # (G, D)
+
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    h_ref[...] = h.astype(h_ref.dtype)
+    dqkv_ref[...] = dqkv.reshape(g, t, 3 * d).astype(dqkv_ref.dtype)
+    attn_ref[...] = attn.reshape(g, t, d).astype(attn_ref.dtype)
+    dout_ref[...] = dout.astype(dout_ref.dtype)
+
+    # per-sample modulation grads: scatter this group's rows into the full
+    # (N, D) accumulators (one-hot contraction — legal at any G, see
+    # _row_select) and accumulate across the sequential grid
+    n = dshift_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, g), 0)
+    cols = row0 + jax.lax.broadcasted_iota(jnp.int32, (n, g), 1)
+    onehot_t = (rows == cols).astype(jnp.float32)
+
+    def scatter(rows_g):
+        return jax.lax.dot_general(
+            onehot_t, rows_g,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(pid == 0)
+    def _():
+        dshift_ref[...] = scatter(dshift_rows)
+        dscale_ref[...] = scatter(dscale_rows)
+        dgate_ref[...] = scatter(dgate_rows)
+        dgain_ref[0, 0] = dgain_contrib
+
+    @pl.when(pid > 0)
+    def _():
+        dshift_ref[...] += scatter(dshift_rows)
+        dscale_ref[...] += scatter(dscale_rows)
+        dgate_ref[...] += scatter(dgate_rows)
+        dgain_ref[0, 0] += dgain_contrib
+
+
+def _attn_bwd_impl(dy, x, shift, scale, gate, gain, w_qkv, w_out, heads):
+    n, t, d = x.shape
+    # VMEM-aware group: ~13 f32 row-width activations (x, dy, dx, h, u,
+    # qkv+dqkv as 3-wide each, dh, attn, dout) + per-head (T, T) logits
+    # tiles + the bf16 weights must fit next to double-buffering headroom.
+    weight_bytes = 4 * d * d * x.dtype.itemsize
+    budget_rows = max(t, (13 * 2**20 - weight_bytes) // (80 * d))
+    g = 1
+    for cand in (8, 4, 2):
+        if n % cand == 0 and cand * t <= budget_rows:
+            g = cand
+            break
+
+    out_dtype = w_qkv.dtype
+    kernel = functools.partial(
+        _attn_bwd_kernel, group=g, heads=heads, inv_d=1.0 / math.sqrt(d)
+    )
+    blocked = lambda width=1: pl.BlockSpec(
+        (g, t, width * d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    full_nd = pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            blocked(),  # dy
+            blocked(),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # shift (N, D) full
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gate
+            pl.BlockSpec((3 * d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            blocked(),                  # dx
+            full_nd,                    # dshift (accumulated)
+            full_nd,                    # dscale
+            full_nd,                    # dgate
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            blocked(),                  # h
+            blocked(3),                 # dqkv
+            blocked(),                  # attn
+            blocked(),                  # dout
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, t, d), x.dtype),
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, t, d), out_dtype),
+            jax.ShapeDtypeStruct((n, t, 3 * d), out_dtype),
+            jax.ShapeDtypeStruct((n, t, d), out_dtype),
+            jax.ShapeDtypeStruct((n, t, d), out_dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            # forward recompute + activation backward: ~3x the forward GEMMs
+            flops=3 * (2 * n * t * d * 4 * d + 4 * n * heads * t * t * (d // heads)),
+            bytes_accessed=(8 * n * t * d + 4 * d * d) * 4,
+            transcendentals=2 * n * heads * t * t,
+        ),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(gain, jnp.float32).reshape(1, 1),
+        dy, x, shift, scale, gate, w_qkv, w_out,
+    )
+
+
 def _attn_reference(x, shift, scale, gate, gain, w_qkv, w_out, heads):
     from mapdit_tpu.ops.mp import mp_sum, normalize
 
@@ -399,7 +672,7 @@ def _attn_fwd_impl(x, shift, scale, gate, gain, w_qkv, w_out, heads):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_attn(heads: int):
+def _make_attn(heads: int, bwd_impl: str = "pallas"):
     @jax.custom_vjp
     def f(x, shift, scale, gate, gain, w_qkv, w_out):
         return _attn_fwd_impl(x, shift, scale, gate, gain, w_qkv, w_out, heads)
@@ -410,17 +683,56 @@ def _make_attn(heads: int):
             (x, shift, scale, gate, gain, w_qkv, w_out),
         )
 
-    def bwd(res, g):
+    def bwd_reference(res, g):
+        # recompute through the plain jnp path — XLA differentiates it
+        # (adds a full forward recompute on top of training's own forward)
         _, vjp = jax.vjp(lambda *args: _attn_reference(*args, heads), *res)
         return vjp(g)
 
-    f.defvjp(fwd, bwd)
+    def bwd_pallas(res, dy):
+        # hand-written fused backward (see _attn_bwd_kernel): one kernel for
+        # every activation/modulation grad + two flat XLA GEMMs for dW
+        x, shift, scale, gate, gain, w_qkv, w_out = res
+        n, t, d = x.shape
+        inv_d = 1.0 / math.sqrt(d)
+        (dx, dshift, dscale, dgate, dgain, h, dqkv, attn, dout) = _attn_bwd_impl(
+            dy, x, shift, scale, gate, gain, w_qkv, w_out, heads
+        )
+        dw_qkv = jax.lax.dot_general(
+            dqkv.reshape(n * t, 3 * d), h.reshape(n * t, d),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_d
+        dw_out = jax.lax.dot_general(
+            dout.reshape(n * t, d), attn.reshape(n * t, d),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_d
+        gain_dtype = jnp.result_type(gain)
+        return (
+            dx.astype(x.dtype),
+            dshift.astype(shift.dtype),
+            dscale.astype(scale.dtype),
+            dgate.astype(gate.dtype),
+            dgain.reshape(jnp.shape(gain)).astype(gain_dtype),
+            dw_qkv.astype(w_qkv.dtype),
+            dw_out.astype(w_out.dtype),
+        )
+
+    f.defvjp(fwd, bwd_pallas if bwd_impl == "pallas" else bwd_reference)
     return f
 
 
-def fused_attn_branch(x, shift, scale, gate, gain, w_qkv, w_out, heads: int):
-    """Attention half-block in one Pallas kernel (see _attn_kernel)."""
-    return _make_attn(heads)(x, shift, scale, gate, gain, w_qkv, w_out)
+def fused_attn_branch(
+    x, shift, scale, gate, gain, w_qkv, w_out, heads: int, bwd: str = "pallas"
+):
+    """Attention half-block in one Pallas kernel (see _attn_kernel).
+
+    ``bwd`` picks the VJP: "pallas" (default) runs the fused backward kernel
+    — the training fast path; "reference" recomputes through the plain jnp
+    ops (the r02 inference-only behavior, kept for A/B and as an escape
+    hatch)."""
+    return _make_attn(heads, bwd)(x, shift, scale, gate, gain, w_qkv, w_out)
 
 
 @functools.lru_cache(maxsize=None)
