@@ -225,11 +225,23 @@ def _reference(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
 def _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
     n, t, d = x.shape
     h_mlp = w1.shape[0]
+    # Group sizing: prefer >= 256 rows for MXU fill, but cap by a VMEM
+    # budget so T=256 shapes (input-size 32) don't blow the ~16 MB scoped
+    # limit: all weights stay resident + ~24*D bytes per activation row +
+    # 8*T per row of live logits/probs tiles. Calibrated to keep the
+    # measured S/T=64 g=8 configuration (516 steps/s, BENCH_NOTES r03).
+    weight_bytes = ((6 + 3 + 1) * d * d + 2 * d * h_mlp) * x.dtype.itemsize
+    budget_rows = max(t, (13 * 2**20 - weight_bytes) // (24 * d + 8 * t))
     g = 1
-    for cand in (8, 4, 2):
-        if n % cand == 0 and cand * t >= 256:
-            g = cand
-            break
+    for want_fill in (True, False):
+        for cand in (8, 4, 2):
+            if (n % cand == 0 and cand * t <= budget_rows
+                    and (cand * t >= 256 or not want_fill)):
+                g = cand
+                break
+        else:
+            continue
+        break
 
     return pl.pallas_call(
         functools.partial(
@@ -334,61 +346,31 @@ def _attn_kernel(
     o_ref[...] = ((x + (branch - x) * _RES_T) / _RES_DENOM).astype(o_ref.dtype)
 
 
-def _attn_bwd_kernel(
-    gain_ref,   # SMEM (1, 1): gain_msa
-    dy_ref,     # (G, T, D) upstream cotangent
-    x_ref,      # (G, T, D)
-    shift_ref,  # (N, D) full, program_id-sliced (see _attn_kernel doc)
-    scale_ref,  # (N, D)
-    gate_ref,   # (N, D)
-    wqkv_ref,   # (3D, D)
-    wout_ref,   # (D, D)
-    dx_ref,     # (G, T, D) out
-    dshift_ref, # (N, D) f32 out, accumulated across the sequential grid
-    dscale_ref, # (N, D) f32 out, accumulated
-    dgate_ref,  # (N, D) f32 out, accumulated
-    dgain_ref,  # SMEM (1, 1) f32 out, accumulated
-    h_ref,      # (G, T, D) out: modulated input (operand of the dW_qkv GEMM)
-    dqkv_ref,   # (G, T, 3D) out (operand of the dW_qkv GEMM)
-    attn_ref,   # (G, T, D) out (operand of the dW_out GEMM)
-    dout_ref,   # (G, T, D) out (operand of the dW_out GEMM)
-    *,
-    group: int,
-    heads: int,
-    inv_d: float,
-):
-    """Backward of the attention half-block in one VMEM residency.
+def _attn_bwd_math(gain, dy, x, shift, scale, gate, wqkv_ref, wout_ref,
+                   heads: int, inv_d: float):
+    """Shared math body of the attention half-block backward.
 
     Recomputes the forward from the raw inputs (flash-attention-style — no
     saved intermediates ever touch HBM), then runs the hand-derived VJP:
     residual -> out-proj -> per-head softmax / cosine-normalize -> qkv GEMM
     -> modulate. Per-head work stays on contiguous lane slices, so the
-    training step never materializes the (N, H, T, hd) relayout that costs
-    the XLA path ~28% of its time (r03 train trace, docs/BENCH_NOTES.md).
+    training step never materializes the (N, H, T, hd) relayout the XLA
+    path pays in both directions.
 
     Gradient semantics match the reference exactly: the modulate denominator
     is constant w.r.t. gain (`src/utils.py:15-16` coerces the tensor to a
     float), while `normalize` (`src/utils.py:19-23`) gets the FULL quotient
     VJP — its denominator is a live autograd edge in the reference.
 
-    Weight gradients are NOT formed here: the kernel streams the four flat
-    GEMM operands (h, dqkv, attn, dout) and the caller contracts them as two
-    plain (X^T @ Y) matmuls — natural (rows, features) layout, no relayout,
-    full MXU fill — which XLA already does at peak.
+    Returns (dx, dshift_rows, dscale_rows, dgate_rows, dgain_contrib,
+    h, dqkv, attn, dout) — the last four are the flat dW GEMM operands,
+    consumed either by the caller (streaming variant) or by the in-kernel
+    dW accumulation (`_attn_bwd_dw_kernel`).
     """
-    g, t, d = x_ref.shape
+    g, t, d = x.shape
     hd = d // heads
     dtype = wqkv_ref.dtype
-    pid = pl.program_id(0)
-    row0 = pid * group
     sqrt_hd = math.sqrt(hd)
-
-    x = x_ref[...].astype(jnp.float32)
-    dy = dy_ref[...].astype(jnp.float32)
-    shift = _row_select(shift_ref, row0, group, dtype).reshape(g, 1, d)
-    scale = _row_select(scale_ref, row0, group, dtype).reshape(g, 1, d)
-    gate = _row_select(gate_ref, row0, group, dtype).reshape(g, 1, d)
-    gain = gain_ref[0, 0]
     denom_mod = jnp.sqrt((1.0 - gain) ** 2 + gain**2)
 
     # ---- forward recompute (identical math to _attn_kernel) ---- #
@@ -502,49 +484,182 @@ def _attn_bwd_kernel(
     dx = dx + du * scale
     dscale_rows = jnp.sum(du * x, axis=1)                        # (G, D)
 
+    return (dx, dshift_rows, dscale_rows, dgate_rows, dgain_contrib,
+            h, dqkv, attn, dout)
+
+
+def _scatter_rows(rows_g, n, row0, g):
+    """(G, D) group rows -> (N, D) via a one-hot contraction (legal at any
+    G where a dynamic sublane store is not, see _row_select)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, g), 0)
+    cols = row0 + jax.lax.broadcasted_iota(jnp.int32, (n, g), 1)
+    onehot_t = (rows == cols).astype(jnp.float32)
+    return jax.lax.dot_general(
+        onehot_t, rows_g,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _attn_bwd_kernel(
+    gain_ref,   # SMEM (1, 1): gain_msa
+    dy_ref,     # (G, T, D) upstream cotangent
+    x_ref,      # (G, T, D)
+    shift_ref,  # (N, D) full, program_id-sliced (see _attn_kernel doc)
+    scale_ref,  # (N, D)
+    gate_ref,   # (N, D)
+    wqkv_ref,   # (3D, D)
+    wout_ref,   # (D, D)
+    dx_ref,     # (G, T, D) out
+    dshift_ref, # (N, D) f32 out, accumulated across the sequential grid
+    dscale_ref, # (N, D) f32 out, accumulated
+    dgate_ref,  # (N, D) f32 out, accumulated
+    dgain_ref,  # SMEM (1, 1) f32 out, accumulated
+    h_ref,      # (G, T, D) out: modulated input (operand of the dW_qkv GEMM)
+    dqkv_ref,   # (G, T, 3D) out (operand of the dW_qkv GEMM)
+    attn_ref,   # (G, T, D) out (operand of the dW_out GEMM)
+    dout_ref,   # (G, T, D) out (operand of the dW_out GEMM)
+    *,
+    group: int,
+    heads: int,
+    inv_d: float,
+):
+    """Streaming variant (the default): weight gradients are NOT formed
+    here — the four flat GEMM operands (h, dqkv, attn, dout) stream to HBM
+    and the caller contracts them as two plain (X^T @ Y) XLA matmuls.
+    Measured faster than the in-kernel-dW variant at every scale tried
+    (see _DW_IN_KERNEL_BUDGET)."""
+    g, t, d = x_ref.shape
+    pid = pl.program_id(0)
+    row0 = pid * group
+    dtype = wqkv_ref.dtype
+
+    x = x_ref[...].astype(jnp.float32)
+    dy = dy_ref[...].astype(jnp.float32)
+    shift = _row_select(shift_ref, row0, group, dtype).reshape(g, 1, d)
+    scale = _row_select(scale_ref, row0, group, dtype).reshape(g, 1, d)
+    gate = _row_select(gate_ref, row0, group, dtype).reshape(g, 1, d)
+
+    (dx, dshift_rows, dscale_rows, dgate_rows, dgain_contrib,
+     h, dqkv, attn, dout) = _attn_bwd_math(
+        gain_ref[0, 0], dy, x, shift, scale, gate, wqkv_ref, wout_ref,
+        heads, inv_d,
+    )
+
     dx_ref[...] = dx.astype(dx_ref.dtype)
     h_ref[...] = h.astype(h_ref.dtype)
     dqkv_ref[...] = dqkv.reshape(g, t, 3 * d).astype(dqkv_ref.dtype)
     attn_ref[...] = attn.reshape(g, t, d).astype(attn_ref.dtype)
     dout_ref[...] = dout.astype(dout_ref.dtype)
 
-    # per-sample modulation grads: scatter this group's rows into the full
-    # (N, D) accumulators (one-hot contraction — legal at any G, see
-    # _row_select) and accumulate across the sequential grid
     n = dshift_ref.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, g), 0)
-    cols = row0 + jax.lax.broadcasted_iota(jnp.int32, (n, g), 1)
-    onehot_t = (rows == cols).astype(jnp.float32)
-
-    def scatter(rows_g):
-        return jax.lax.dot_general(
-            onehot_t, rows_g,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
     @pl.when(pid == 0)
     def _():
-        dshift_ref[...] = scatter(dshift_rows)
-        dscale_ref[...] = scatter(dscale_rows)
-        dgate_ref[...] = scatter(dgate_rows)
+        dshift_ref[...] = _scatter_rows(dshift_rows, n, row0, g)
+        dscale_ref[...] = _scatter_rows(dscale_rows, n, row0, g)
+        dgate_ref[...] = _scatter_rows(dgate_rows, n, row0, g)
         dgain_ref[0, 0] = dgain_contrib
 
     @pl.when(pid > 0)
     def _():
-        dshift_ref[...] += scatter(dshift_rows)
-        dscale_ref[...] += scatter(dscale_rows)
-        dgate_ref[...] += scatter(dgate_rows)
+        dshift_ref[...] += _scatter_rows(dshift_rows, n, row0, g)
+        dscale_ref[...] += _scatter_rows(dscale_rows, n, row0, g)
+        dgate_ref[...] += _scatter_rows(dgate_rows, n, row0, g)
         dgain_ref[0, 0] += dgain_contrib
+
+
+def _attn_bwd_dw_kernel(
+    gain_ref, dy_ref, x_ref, shift_ref, scale_ref, gate_ref,
+    wqkv_ref, wout_ref,
+    dx_ref, dshift_ref, dscale_ref, dgate_ref, dgain_ref,
+    dwqkv_ref,  # (3D, D) f32 out, accumulated across the sequential grid
+    dwout_ref,  # (D, D) f32 out, accumulated
+    *,
+    group: int,
+    heads: int,
+    inv_d: float,
+):
+    """In-kernel-dW variant (off by default — measured slower, see
+    _DW_IN_KERNEL_BUDGET): the weight gradients accumulate in VMEM as
+    per-grid-step (K = G*T)-deep MXU contractions, so the four flat GEMM
+    operands never touch HBM. Requires 16D^2 bytes of f32 accumulator
+    VMEM. Kept (with its parity test) as the re-test escape hatch."""
+    g, t, d = x_ref.shape
+    pid = pl.program_id(0)
+    row0 = pid * group
+    dtype = wqkv_ref.dtype
+
+    x = x_ref[...].astype(jnp.float32)
+    dy = dy_ref[...].astype(jnp.float32)
+    shift = _row_select(shift_ref, row0, group, dtype).reshape(g, 1, d)
+    scale = _row_select(scale_ref, row0, group, dtype).reshape(g, 1, d)
+    gate = _row_select(gate_ref, row0, group, dtype).reshape(g, 1, d)
+
+    (dx, dshift_rows, dscale_rows, dgate_rows, dgain_contrib,
+     h, dqkv, attn, dout) = _attn_bwd_math(
+        gain_ref[0, 0], dy, x, shift, scale, gate, wqkv_ref, wout_ref,
+        heads, inv_d,
+    )
+
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    # dW_qkv += dqkv^T @ h; dW_out += dout^T @ attn (raw — the caller
+    # applies the shared inv_d scale once at the end)
+    dwqkv_step = jax.lax.dot_general(
+        dqkv.astype(dtype), h.reshape(g * t, d).astype(dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwout_step = jax.lax.dot_general(
+        dout.reshape(g * t, d).astype(dtype), attn.astype(dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    n = dshift_ref.shape[0]
+
+    @pl.when(pid == 0)
+    def _():
+        dshift_ref[...] = _scatter_rows(dshift_rows, n, row0, g)
+        dscale_ref[...] = _scatter_rows(dscale_rows, n, row0, g)
+        dgate_ref[...] = _scatter_rows(dgate_rows, n, row0, g)
+        dgain_ref[0, 0] = dgain_contrib
+        dwqkv_ref[...] = dwqkv_step
+        dwout_ref[...] = dwout_step
+
+    @pl.when(pid > 0)
+    def _():
+        dshift_ref[...] += _scatter_rows(dshift_rows, n, row0, g)
+        dscale_ref[...] += _scatter_rows(dscale_rows, n, row0, g)
+        dgate_ref[...] += _scatter_rows(dgate_rows, n, row0, g)
+        dgain_ref[0, 0] += dgain_contrib
+        dwqkv_ref[...] += dwqkv_step
+        dwout_ref[...] += dwout_step
+
+
+# f32 dW accumulators (16D^2 bytes) must fit VMEM next to the bf16 weights
+# and activation tiles for the in-kernel variant. Chip A/B (r03, S/2 b256
+# resident-data train): in-kernel dW measured 27.6 steps/s vs streaming's
+# 29.4 — the per-grid-step (K=G*T)-deep dW contractions sequentialize MXU
+# work that XLA's single K=N*T GEMM does better — so streaming is the
+# default everywhere; raise this budget to re-test the in-kernel variant.
+_DW_IN_KERNEL_BUDGET = 0
 
 
 def _attn_bwd_impl(dy, x, shift, scale, gate, gain, w_qkv, w_out, heads):
     n, t, d = x.shape
+    dw_bytes = 16 * d * d
+    dw_in_kernel = dw_bytes <= _DW_IN_KERNEL_BUDGET
     # VMEM-aware group: ~13 f32 row-width activations (x, dy, dx, h, u,
     # qkv+dqkv as 3-wide each, dh, attn, dout) + per-head (T, T) logits
-    # tiles + the bf16 weights must fit next to double-buffering headroom.
+    # tiles + the bf16 weights (+ f32 dW accumulators for the in-kernel
+    # variant) must fit next to double-buffering headroom. The 10 MB scoped
+    # budget is calibrated on chip: 13 MB put B's streaming g=2 440K over
+    # Mosaic's 16 MB scoped-VMEM limit (r03 A/B).
     weight_bytes = 4 * d * d * x.dtype.itemsize
-    budget_rows = max(t, (13 * 2**20 - weight_bytes) // (80 * d))
+    fixed_bytes = weight_bytes + (dw_bytes if dw_in_kernel else 0)
+    budget_rows = max(t, (10 * 2**20 - fixed_bytes) // (80 * d))
     g = 1
     for cand in (8, 4, 2):
         if n % cand == 0 and cand * t <= budget_rows:
@@ -552,15 +667,45 @@ def _attn_bwd_impl(dy, x, shift, scale, gate, gain, w_qkv, w_out, heads):
             break
 
     out_dtype = w_qkv.dtype
-    kernel = functools.partial(
-        _attn_bwd_kernel, group=g, heads=heads, inv_d=1.0 / math.sqrt(d)
-    )
     blocked = lambda width=1: pl.BlockSpec(
         (g, t, width * d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    full_nd = pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    common_out_specs = (
+        blocked(),                  # dx
+        full(n, d),                 # dshift (accumulated)
+        full(n, d),                 # dscale
+        full(n, d),                 # dgate
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    )
+    common_out_shape = (
+        jax.ShapeDtypeStruct((n, t, d), x.dtype),
+        jax.ShapeDtypeStruct((n, d), jnp.float32),
+        jax.ShapeDtypeStruct((n, d), jnp.float32),
+        jax.ShapeDtypeStruct((n, d), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    )
+    if dw_in_kernel:
+        kernel = _attn_bwd_dw_kernel
+        out_specs = common_out_specs + (full(3 * d, d), full(d, d))
+        out_shape = common_out_shape + (
+            jax.ShapeDtypeStruct((3 * d, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+        )
+        extra_bytes = 16 * d * d
+    else:
+        kernel = _attn_bwd_kernel
+        out_specs = common_out_specs + (blocked(), blocked(3), blocked(), blocked())
+        out_shape = common_out_shape + (
+            jax.ShapeDtypeStruct((n, t, d), out_dtype),
+            jax.ShapeDtypeStruct((n, t, 3 * d), out_dtype),
+            jax.ShapeDtypeStruct((n, t, d), out_dtype),
+            jax.ShapeDtypeStruct((n, t, d), out_dtype),
+        )
+        extra_bytes = 6 * n * t * d * 2
     return pl.pallas_call(
-        kernel,
+        functools.partial(kernel, group=g, heads=heads, inv_d=1.0 / math.sqrt(d)),
         grid=(n // g,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -572,32 +717,14 @@ def _attn_bwd_impl(dy, x, shift, scale, gate, gain, w_qkv, w_out, heads):
             pl.BlockSpec((3 * d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            blocked(),                  # dx
-            full_nd,                    # dshift (accumulated)
-            full_nd,                    # dscale
-            full_nd,                    # dgate
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            blocked(),                  # h
-            blocked(3),                 # dqkv
-            blocked(),                  # attn
-            blocked(),                  # dout
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, t, d), x.dtype),
-            jax.ShapeDtypeStruct((n, d), jnp.float32),
-            jax.ShapeDtypeStruct((n, d), jnp.float32),
-            jax.ShapeDtypeStruct((n, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, t, d), out_dtype),
-            jax.ShapeDtypeStruct((n, t, 3 * d), out_dtype),
-            jax.ShapeDtypeStruct((n, t, d), out_dtype),
-            jax.ShapeDtypeStruct((n, t, d), out_dtype),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            # forward recompute + activation backward: ~3x the forward GEMMs
-            flops=3 * (2 * n * t * d * 4 * d + 4 * n * heads * t * t * (d // heads)),
-            bytes_accessed=(8 * n * t * d + 4 * d * d) * 4,
+            # forward recompute + activation backward (+ dW contractions
+            # when in-kernel): ~3-4x the forward GEMMs
+            flops=(4 if dw_in_kernel else 3)
+            * (2 * n * t * d * 4 * d + 4 * n * heads * t * t * (d // heads)),
+            bytes_accessed=(2 + 2) * n * t * d * 4 + 4 * d * d * 4 + extra_bytes,
             transcendentals=2 * n * heads * t * t,
         ),
         interpret=_interpret(),
@@ -605,6 +732,31 @@ def _attn_bwd_impl(dy, x, shift, scale, gate, gain, w_qkv, w_out, heads):
         jnp.asarray(gain, jnp.float32).reshape(1, 1),
         dy, x, shift, scale, gate, w_qkv, w_out,
     )
+
+
+def _attn_bwd(dy, x, shift, scale, gate, gain, w_qkv, w_out, heads):
+    """Full backward: the Pallas kernel + (streaming variant only) the two
+    flat dW GEMMs. Returns the seven cotangents in input order."""
+    n, t, d = x.shape
+    inv_d = 1.0 / math.sqrt(d)
+    outs = _attn_bwd_impl(dy, x, shift, scale, gate, gain, w_qkv, w_out, heads)
+    dx, dshift, dscale, dgate, dgain = outs[:5]
+    if len(outs) == 7:  # in-kernel dW (raw accumulators, shared inv_d scale)
+        dw_qkv = outs[5] * inv_d
+        dw_out = outs[6] * inv_d
+    else:
+        h, dqkv, attn, dout = outs[5:]
+        dw_qkv = jax.lax.dot_general(
+            dqkv.reshape(n * t, 3 * d), h.reshape(n * t, d),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_d
+        dw_out = jax.lax.dot_general(
+            dout.reshape(n * t, d), attn.reshape(n * t, d),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_d
+    return dx, dshift, dscale, dgate, dgain, dw_qkv, dw_out
 
 
 def _attn_reference(x, shift, scale, gate, gain, w_qkv, w_out, heads):
@@ -690,24 +842,13 @@ def _make_attn(heads: int, bwd_impl: str = "pallas"):
         return vjp(g)
 
     def bwd_pallas(res, dy):
-        # hand-written fused backward (see _attn_bwd_kernel): one kernel for
-        # every activation/modulation grad + two flat XLA GEMMs for dW
+        # hand-written fused backward (see _attn_bwd_math): one kernel for
+        # every activation/modulation grad; dW in-kernel (S-class D) or as
+        # two flat XLA GEMMs over streamed operands (B/XL)
         x, shift, scale, gate, gain, w_qkv, w_out = res
-        n, t, d = x.shape
-        inv_d = 1.0 / math.sqrt(d)
-        (dx, dshift, dscale, dgate, dgain, h, dqkv, attn, dout) = _attn_bwd_impl(
+        dx, dshift, dscale, dgate, dgain, dw_qkv, dw_out = _attn_bwd(
             dy, x, shift, scale, gate, gain, w_qkv, w_out, heads
         )
-        dw_qkv = jax.lax.dot_general(
-            dqkv.reshape(n * t, 3 * d), h.reshape(n * t, d),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv_d
-        dw_out = jax.lax.dot_general(
-            dout.reshape(n * t, d), attn.reshape(n * t, d),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv_d
         gain_dtype = jnp.result_type(gain)
         return (
             dx.astype(x.dtype),

@@ -281,13 +281,20 @@ class TestDiTBlockMegakernel:
         b = DiT(base.replace(block_kernel="mega_attn")).apply(variables, x, t, y)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
-    def test_attn_halfkernel_pallas_bwd_matches_reference(self):
-        """The hand-written fused backward kernel (`_attn_bwd_kernel`) must
-        produce the same cotangents as differentiating the jnp reference —
-        for ALL seven inputs (x, shift, scale, gate, gain, w_qkv, w_out).
-        n=6 forces g=2 with a 3-step grid, exercising the cross-grid
-        accumulation of the modulation/gain grads."""
-        from mapdit_tpu.ops.pallas.dit_block import fused_attn_branch
+    @pytest.mark.parametrize("variant", ["dw_in_kernel", "streaming"])
+    def test_attn_halfkernel_pallas_bwd_matches_reference(self, variant, monkeypatch):
+        """The hand-written fused backward kernels (`_attn_bwd_dw_kernel`
+        for S-class D, `_attn_bwd_kernel` streaming for B/XL) must produce
+        the same cotangents as differentiating the jnp reference — for ALL
+        seven inputs (x, shift, scale, gate, gain, w_qkv, w_out). n=6
+        forces g=2 with a 3-step grid, exercising the cross-grid
+        accumulation of the modulation/gain/dW grads."""
+        from mapdit_tpu.ops.pallas import dit_block
+
+        if variant == "dw_in_kernel":
+            # off by default (measured slower on chip); force it here so the
+            # escape hatch stays gradient-correct
+            monkeypatch.setattr(dit_block, "_DW_IN_KERNEL_BUDGET", 5 * 2**20)
 
         rng = np.random.default_rng(7)
         n, t, d, heads = 6, 16, 64, 2
@@ -298,7 +305,7 @@ class TestDiTBlockMegakernel:
 
         def loss(bwd):
             return lambda *a: jnp.sum(
-                fused_attn_branch(*a, heads, bwd=bwd) * cot
+                dit_block.fused_attn_branch(*a, heads, bwd=bwd) * cot
             )
 
         argnums = tuple(range(7))
