@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from mapdit_tpu.diffusion import create_diffusion
 from mapdit_tpu.models import build_config, init_model
 from mapdit_tpu.runtime import build_sample_fn
+from mapdit_tpu.utils.compile_cache import enable_compile_cache
 
 # torch eager reference, DiT-S/2, batch 32x2 CFG, 250-respaced DDPM steps
 # (tools/measure_reference_baseline.py, this container, 2026-08-16)
@@ -56,18 +57,6 @@ def _mfu_pct(step_fn, example_args, steps: int, chain_seconds: float):
 
         print(f"mfu estimate failed: {e!r}", file=sys.stderr)
     return None
-
-
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: repeated invocations (benchmarks,
-    sampling sweeps, resumed runs) skip the multi-minute first compile."""
-    try:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compilation"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
 
 
 def bench_train(args, cfg):
@@ -209,7 +198,7 @@ def main():
                         "path at these shapes; flag kept for larger-shape "
                         "re-tests")
     args = p.parse_args()
-    _enable_compile_cache()
+    enable_compile_cache()
 
     cfg = build_config(
         args.model,

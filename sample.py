@@ -21,6 +21,7 @@ from mapdit_tpu.training.ema import calculate_posthoc_ema
 from mapdit_tpu.utils import class_name, load_config
 from mapdit_tpu.utils.experiment import config_from_args
 from mapdit_tpu.utils.image import save_image_grid
+from mapdit_tpu.utils.compile_cache import enable_compile_cache
 
 
 def _constants_from_torch(path: str, sd_key: str):
@@ -124,13 +125,7 @@ def decode_latents(
 
 
 def main(args):
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compilation")
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    enable_compile_cache()
     cfg_path = os.path.join(args.result_dir, "config.yaml")
     if not os.path.exists(cfg_path):
         raise SystemExit(

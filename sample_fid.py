@@ -26,16 +26,11 @@ from mapdit_tpu.utils.experiment import config_from_args
 from mapdit_tpu.utils.image import to_uint8
 
 from sample import decode_latents, load_variables
+from mapdit_tpu.utils.compile_cache import enable_compile_cache
 
 
 def main(args):
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compilation")
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    enable_compile_cache()
     cfg_path = os.path.join(args.result_dir, "config.yaml")
     if not os.path.exists(cfg_path):
         raise SystemExit(

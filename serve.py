@@ -546,15 +546,9 @@ def make_handler(service: SamplerService, defaults: dict):
 
 
 def main(args):
-    try:
-        import jax
+    from mapdit_tpu.utils.compile_cache import enable_compile_cache
 
-        jax.config.update(
-            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compilation")
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    enable_compile_cache()
     from http.server import ThreadingHTTPServer
 
     service = SamplerService(

@@ -15,6 +15,18 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Shared persistent compile cache with a zero min-compile threshold: the
+# ~45 subprocess CLI tests (and suite reruns) reuse each other's CPU
+# executables instead of recompiling identical XS/8 programs. The env vars
+# are inherited by every subprocess the tests spawn; the entry scripts read
+# them via mapdit_tpu.utils.compile_cache. Kept separate from the TPU cache
+# directory so benchmark entries stay tidy.
+os.environ.setdefault(
+    "MAPDIT_COMPILE_CACHE_DIR",
+    os.path.expanduser("~/.cache/jax_compilation_tests"),
+)
+os.environ.setdefault("MAPDIT_COMPILE_CACHE_MIN_SECS", "0")
+
 # The axon sitecustomize force-registers the TPU backend and sets
 # jax_platforms via jax.config (which outranks the env var). Override it
 # back to CPU and drop any initialized backends so the 8-device virtual CPU
@@ -28,6 +40,11 @@ try:
     clear_backends()
 except Exception:
     pass
+
+# In-process compiles cache too (pays off on suite reruns).
+from mapdit_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 import pathlib
 import subprocess

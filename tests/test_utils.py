@@ -72,3 +72,31 @@ class TestClassNames:
         from mapdit_tpu.utils.class_names import class_name
 
         assert class_name(1234) == "class 1234"
+
+
+class TestCompileCache:
+    """enable_compile_cache (utils/compile_cache.py) is shared by every CLI
+    entry; the env overrides let the test harness redirect the cache."""
+
+    def test_env_overrides_and_defaults(self, tmp_path, monkeypatch):
+        import jax
+
+        from mapdit_tpu.utils.compile_cache import enable_compile_cache
+
+        old_dir = jax.config.jax_compilation_cache_dir
+        old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+        try:
+            monkeypatch.setenv("MAPDIT_COMPILE_CACHE_DIR", str(tmp_path / "cc"))
+            monkeypatch.setenv("MAPDIT_COMPILE_CACHE_MIN_SECS", "1.5")
+            enable_compile_cache()
+            assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+            assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.5
+
+            monkeypatch.delenv("MAPDIT_COMPILE_CACHE_DIR")
+            monkeypatch.delenv("MAPDIT_COMPILE_CACHE_MIN_SECS")
+            enable_compile_cache()
+            assert jax.config.jax_compilation_cache_dir.endswith("jax_compilation")
+            assert jax.config.jax_persistent_cache_min_compile_time_secs == 5.0
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", old_min)

@@ -42,19 +42,8 @@ from mapdit_tpu.training.checkpoint import (
 from mapdit_tpu.training.data import LatentDataset, SyntheticLatentDataset
 from mapdit_tpu.training.lr import default_schedule_steps
 from mapdit_tpu.utils import create_logger, save_config, setup_experiment
+from mapdit_tpu.utils.compile_cache import enable_compile_cache
 from mapdit_tpu.utils.experiment import config_from_args
-
-
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: repeated invocations (benchmarks,
-    sampling sweeps, resumed runs) skip the multi-minute first compile."""
-    try:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compilation"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
 
 
 def build_dataset(data_path: str):
@@ -65,7 +54,7 @@ def build_dataset(data_path: str):
 
 
 def main(args):
-    _enable_compile_cache()
+    enable_compile_cache()
     if args.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     if args.multihost:
