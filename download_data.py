@@ -40,11 +40,19 @@ def main(args):
     try:
         from datasets import load_dataset
 
-        ds = load_dataset(args.dataset)["train"]
+        if args.dataset.startswith("imagefolder:"):
+            # offline path: a local class-per-subdirectory image tree
+            # (lets the full encode->stats->save pipeline run without egress)
+            ds = load_dataset(
+                "imagefolder", data_dir=args.dataset.split(":", 1)[1], split="train"
+            )
+        else:
+            ds = load_dataset(args.dataset)["train"]
     except Exception as e:
         raise SystemExit(
             f"could not load HF dataset {args.dataset!r} ({e}); this step "
-            "needs network access or a pre-populated HF cache"
+            "needs network access or a pre-populated HF cache (offline: "
+            "--dataset imagefolder:<dir> with class subdirectories)"
         )
 
     total = len(ds)
@@ -88,7 +96,9 @@ if __name__ == "__main__":
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--vae-path", type=str, required=True,
                         help="local SD-VAE (diffusers AutoencoderKL) weights")
-    parser.add_argument("--dataset", type=str, default="benjamin-paine/imagenet-1k-128x128")
+    parser.add_argument("--dataset", type=str, default="benjamin-paine/imagenet-1k-128x128",
+                        help="HF dataset name, or 'imagefolder:<dir>' for a "
+                             "local class-per-subdirectory image tree (offline)")
     parser.add_argument("--image-size", type=int, default=128)
     parser.add_argument("--seed", type=int, default=0)
     main(parser.parse_args())

@@ -588,6 +588,65 @@ class TestDownloadDataGating:
         assert proc.returncode != 0
         assert "SD-VAE weights not found" in (proc.stderr + proc.stdout)
 
+    def test_offline_pipeline_end_to_end(self, tmp_path):
+        """The FULL reference data stage (download_data.py:20-66) executed
+        offline: local imagefolder tree -> fabricated random-weight SD-VAE
+        checkpoint (real diffusers key layout) -> posterior means/stds +
+        MoG stats artifacts -> train.py consumes the produced dataset."""
+        from PIL import Image
+
+        # class-per-subdirectory image tree (2 classes x 4 images, 32x32)
+        rng = np.random.default_rng(0)
+        images = tmp_path / "images"
+        for cls in ("class_a", "class_b"):
+            d = images / cls
+            d.mkdir(parents=True)
+            for i in range(4):
+                arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+                Image.fromarray(arr, "RGB").save(d / f"{i}.png")
+
+        vae_path = str(tmp_path / "vae.safetensors")
+        run("tools/fake_vae.py", "--output", vae_path)
+
+        latents = str(tmp_path / "latents")
+        run(
+            "download_data.py",
+            "--output-dir", latents,
+            "--vae-path", vae_path,
+            "--dataset", f"imagefolder:{images}",
+            "--image-size", "64",
+            "--batch-size", "4",
+        )
+        means = np.load(os.path.join(latents, "posterior_means.npy"))
+        stds = np.load(os.path.join(latents, "posterior_stds.npy"))
+        labels = np.load(os.path.join(latents, "labels.npy"))
+        stats = np.load(os.path.join(latents, "stats.npz"))
+        assert means.shape == (8, 4, 8, 8) and stds.shape == (8, 4, 8, 8)
+        assert np.isfinite(means).all() and (stds > 0).all()
+        assert sorted(set(labels.tolist())) == [0, 1]
+        assert stats["mean"].shape == (4,) and (stats["std"] > 0).all()
+
+        # the produced artifact trains directly (input_size 8 = 64/8)
+        results = str(tmp_path / "results")
+        run(
+            "train.py",
+            "--data-path", latents,
+            "--results-dir", results,
+            "--model", "DiT-XS/4",
+            "--num-classes", "2",
+            "--num-steps", "4",
+            "--batch-size", "4",
+            "--log-every", "2",
+            "--ckpt-every", "4",
+            "--ema-snapshot-every", "0",
+            "--num-lin-warmup", "1",
+            "--start-decay", "3",
+        )
+        exp = os.path.join(results, os.listdir(results)[0])
+        assert os.path.exists(os.path.join(exp, "checkpoints", "0000004.msgpack"))
+        log = open(os.path.join(exp, "log.txt")).read()
+        assert "train loss:" in log
+
 
 class TestRotationFamily:
     """BASELINE configs 3-4: MP + rotation modulation through the CLI."""

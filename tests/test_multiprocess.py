@@ -65,8 +65,26 @@ def _run_two_process(results, extra_args):
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
         )
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    assert all(p.returncode == 0 for p in procs), "\n\n".join(outs)
+    # Drain both pipes CONCURRENTLY: the processes block on each other's
+    # collectives, so sequentially communicate()-ing one while the other
+    # fills its 64 KB stdout pipe can deadlock the whole cluster.
+    import threading
+
+    outs = [None, None]
+
+    def drain(i, p):
+        outs[i] = p.communicate(timeout=900)[0]
+
+    threads = [
+        threading.Thread(target=drain, args=(i, p)) for i, p in enumerate(procs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=910)
+    assert all(p.returncode == 0 for p in procs), "\n\n".join(
+        o or "" for o in outs
+    )
     return outs
 
 

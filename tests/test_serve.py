@@ -34,13 +34,29 @@ def trained_exp(trained_run):
     return trained_run  # the session-scoped shared experiment (conftest.py)
 
 
-def _start_server(exp_dir, extra_args=()):
+def _drain(pipe):
+    """Keep consuming a server's stdout so it can never fill the 64 KB pipe
+    buffer and block the process mid-write (a real deadlock we hit: the
+    dispatcher thread froze in anon_pipe_write while pytest polled the
+    socket forever)."""
+    import threading
+
+    def consume():
+        for _ in pipe:
+            pass
+
+    threading.Thread(target=consume, daemon=True).start()
+
+
+def _start_server(exp_dir, extra_args=(), extra_env=None):
+    env = _cpu_env()
+    env.update(extra_env or {})
     srv = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "serve.py"),
          "--result-dir", exp_dir, "--port", "0", "--warmup", "false",
          *extra_args],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        cwd=REPO, env=_cpu_env(),
+        cwd=REPO, env=env,
     )
     port = None
     deadline = time.time() + 120
@@ -52,6 +68,7 @@ def _start_server(exp_dir, extra_args=()):
         if srv.poll() is not None:
             raise AssertionError(f"serve.py exited early:\n{srv.stdout.read()}")
     assert port, "server did not announce its port"
+    _drain(srv.stdout)
     return srv, f"http://127.0.0.1:{port}"
 
 
@@ -183,6 +200,7 @@ class TestServe:
                 if srv.poll() is not None:
                     raise AssertionError(f"serve.py exited:\n{srv.stdout.read()}")
             assert port
+            _drain(srv.stdout)
             base = f"http://127.0.0.1:{port}"
             with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
                 info = json.loads(resp.read())
@@ -365,13 +383,18 @@ class TestBackpressure:
             srv.terminate()
             srv.wait(timeout=30)
 
-    def test_request_timeout_504_and_recovery(self, trained_exp):
+    def test_request_timeout_504_and_recovery(self, trained_exp, tmp_path):
         import threading
 
+        # A private EMPTY compile-cache dir: the test's premise is that the
+        # first request pays a multi-second XLA compile; the suite-shared
+        # warm cache (conftest MAPDIT_COMPILE_CACHE_DIR) would finish it
+        # inside the 1.5 s deadline and return 200 instead of 504.
         srv, base = _start_server(
             trained_exp,
             ["--buckets", "1", "--coalesce-ms", "0",
              "--request-timeout-s", "1.5"],
+            extra_env={"MAPDIT_COMPILE_CACHE_DIR": str(tmp_path / "cold-cache")},
         )
         try:
             codes = {}
