@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -242,6 +243,12 @@ def _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
         else:
             continue
         break
+    # experiment-only override: force a group size, bypassing the budget
+    # (A/B probes of VMEM-pressure corners; not a production knob)
+    force = os.environ.get("MAPDIT_MEGA_FORCE_GROUP")
+    if force:
+        g = int(force)
+        assert n % g == 0, (n, g)
 
     return pl.pallas_call(
         functools.partial(
