@@ -53,6 +53,72 @@ def _row_normalize(z, dim):
 
 
 
+def _pack_mode() -> bool:
+    # experiment gate for the paired-head attention core (see
+    # _attention_core); flipped to a measured default once A/B'd on chip
+    return os.environ.get("MAPDIT_MEGA_PACK", "0") == "1"
+
+
+def _attention_core(qkv, g, t, d, heads, dtype):
+    """Cosine attention over contiguous lane head-slices of a flat
+    ``qkv`` (G*T, 3D) f32 array; returns pre-out-proj ``attn`` (G*T, D).
+
+    Two shapes of the same math:
+
+    * per-head: G-batched (T, hd) x (hd, T) contractions — transpose-free,
+      but at the shipped T=64/hd=64 geometry every logits matmul is a
+      quarter-filled (64, 64) MXU tile;
+    * paired (MAPDIT_MEGA_PACK=1): two SAMPLES merged along the token
+      (sublane) axis per contraction — a pure leading-dim reshape
+      (G, T, hd) -> (G/2, 2T, hd), no data movement — producing full
+      (128, 128) logit tiles at T=64 with the cross-sample quadrants
+      masked to -inf before the softmax (block-diagonal attention). Same
+      2x-logit-FLOPs-for-4x-MXU-geometry trade as the v3 standalone
+      kernel's head packing (ops/pallas/attention.py:65), but expressible
+      inside the kernel (Mosaic cannot lower a sublane concat of two
+      different lane slices; it lowers this reshape for free).
+    """
+    hd = d // heads
+    inv_hd = 1.0 / math.sqrt(hd)
+
+    def head_slices(hi):
+        q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd].reshape(g, t, hd)
+        k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd].reshape(g, t, hd)
+        v = qkv[:, 2 * d + hi * hd : 2 * d + (hi + 1) * hd].reshape(g, t, hd)
+        return _row_normalize(q, hd), _row_normalize(k, hd), v
+
+    pack = _pack_mode() and g % 2 == 0 and t % 8 == 0 and 2 * t <= 128
+    if pack:
+        row_blk = jax.lax.broadcasted_iota(jnp.int32, (2 * t, 2 * t), 0) // t
+        col_blk = jax.lax.broadcasted_iota(jnp.int32, (2 * t, 2 * t), 1) // t
+        same_blk = (row_blk == col_blk)[None]
+
+    head_outs = []
+    for hi in range(heads):
+        q, k, v = head_slices(hi)
+        if pack:
+            q = q.reshape(g // 2, 2 * t, hd)
+            k = k.reshape(g // 2, 2 * t, hd)
+            v = v.reshape(g // 2, 2 * t, hd)
+        logits = jax.lax.dot_general(
+            q.astype(dtype),
+            k.astype(dtype),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv_hd  # (G, T, T) | packed (G/2, 2T, 2T)
+        if pack:
+            logits = jnp.where(same_blk, logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jax.lax.dot_general(
+            probs.astype(dtype),
+            v.astype(dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, T, hd) | packed (G/2, 2T, hd) — off-quadrant probs are 0
+        head_outs.append(o.reshape(g, t, hd) if pack else o)
+    return jnp.concatenate(head_outs, axis=-1).reshape(g * t, d)
+
+
 def _row_select(ref, row0, g, dtype):
     """Rows [row0, row0+g) of a (N, D) VMEM ref via a one-hot matmul —
     Mosaic cannot statically prove alignment of a dynamic sublane slice at
@@ -122,31 +188,9 @@ def _kernel(
         preferred_element_type=jnp.float32,
     ) * inv_d  # (G*T, 3D)
 
-    head_outs = []
-    for hi in range(heads):
-        q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd].reshape(g, t, hd)
-        k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd].reshape(g, t, hd)
-        v = qkv[:, 2 * d + hi * hd : 2 * d + (hi + 1) * hd].reshape(g, t, hd)
-        # cosine attention: q/k rows normalized to norm sqrt(hd); with the
-        # 1/sqrt(hd) SDPA scale the logits are sqrt(hd)-scaled cosines
-        q = _row_normalize(q, hd)
-        k = _row_normalize(k, hd)
-        logits = jax.lax.dot_general(
-            q.astype(dtype),
-            k.astype(dtype),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * (1.0 / math.sqrt(hd))  # (G, T, T)
-        probs = jax.nn.softmax(logits, axis=-1)
-        head_outs.append(
-            jax.lax.dot_general(
-                probs.astype(dtype),
-                v.astype(dtype),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (G, T, hd)
-        )
-    attn = jnp.concatenate(head_outs, axis=-1).reshape(g * t, d)
+    # cosine attention: q/k rows normalized to norm sqrt(hd); with the
+    # 1/sqrt(hd) SDPA scale the logits are sqrt(hd)-scaled cosines
+    attn = _attention_core(qkv, g, t, d, heads, dtype)
     out = jax.lax.dot_general(
         attn.astype(dtype),
         wout_ref[...],
@@ -323,27 +367,7 @@ def _attn_kernel(
         preferred_element_type=jnp.float32,
     ) * inv_d
 
-    head_outs = []
-    for hi in range(heads):
-        q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd].reshape(g, t, hd)
-        k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd].reshape(g, t, hd)
-        v = qkv[:, 2 * d + hi * hd : 2 * d + (hi + 1) * hd].reshape(g, t, hd)
-        q = _row_normalize(q, hd)
-        k = _row_normalize(k, hd)
-        logits = jax.lax.dot_general(
-            q.astype(dtype), k.astype(dtype),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * (1.0 / math.sqrt(hd))
-        probs = jax.nn.softmax(logits, axis=-1)
-        head_outs.append(
-            jax.lax.dot_general(
-                probs.astype(dtype), v.astype(dtype),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-        )
-    attn = jnp.concatenate(head_outs, axis=-1).reshape(g * t, d)
+    attn = _attention_core(qkv, g, t, d, heads, dtype)
     out = jax.lax.dot_general(
         attn.astype(dtype), wout_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),

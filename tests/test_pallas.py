@@ -249,6 +249,36 @@ class TestDiTBlockMegakernel:
             gb,
         )
 
+    def test_pack_mode_parity(self, monkeypatch):
+        """MAPDIT_MEGA_PACK=1 (paired-sample attention core: two samples
+        merged along the token axis per contraction, cross-sample quadrants
+        masked) must be numerically the same block — both kernels, and both
+        a pack-engaging shape (g even, 2T<=128) and the odd-g fallback."""
+        from mapdit_tpu.ops.pallas import dit_block as dbk
+
+        monkeypatch.setenv("MAPDIT_MEGA_PACK", "1")
+        rng = np.random.default_rng(7)
+        f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+
+        for n in (4, 3):  # n=4 -> g=4 (pack engages); n=3 -> g=1 (fallback)
+            t, d, heads, h = 16, 64, 2, 256
+            x, a = f(n, t, d), f(n, d)
+            gains = jnp.asarray([0.3, 0.7], jnp.float32)
+            args = (x, a, gains, f(6 * d, d), f(3 * d, d), f(d, d),
+                    f(h, d), f(d, h))
+            got = dbk.fused_dit_block(*args, heads)
+            ref = dbk._reference(*args, heads)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+            )
+            attn_args = (x, f(n, d), f(n, d), f(n, d),
+                         jnp.asarray(0.4, jnp.float32), f(3 * d, d), f(d, d))
+            got = dbk.fused_attn_branch(*attn_args, heads)
+            ref = dbk._attn_reference(*attn_args, heads)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+            )
+
     def test_attn_halfkernel_vs_reference_math(self):
         from mapdit_tpu.ops.pallas.dit_block import (
             _attn_reference,
