@@ -180,6 +180,12 @@ def main():
                         "exact chain). LOSSY: see BENCH_NOTES deviation numbers")
     p.add_argument("--cache-span", type=str, default=None,
                    help="lo,hi block span to cache (default middle half)")
+    p.add_argument("--cfg-interval", type=float, nargs=2, default=None,
+                   metavar=("SIGMA_LO", "SIGMA_HI"),
+                   help="sample mode: limited-interval guidance (arXiv "
+                        "2404.07724) — CFG only where sigma(t) is in [LO, HI]; "
+                        "unguided steps run cond-only at half the batch "
+                        "(ddpm/dpm++, exact-chain protocol only)")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
     p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm",
@@ -225,6 +231,9 @@ def main():
         assert args.sampler in ("ddpm", "dpm++"), (
             "--cache-interval composes with --sampler ddpm or dpm++"
         )
+        assert args.cfg_interval is None, (
+            "--cfg-interval does not compose with --cache-interval yet"
+        )
         span = (
             tuple(int(v) for v in args.cache_span.split(","))
             if args.cache_span
@@ -238,6 +247,7 @@ def main():
         sample_fn = build_sample_fn(
             cfg, variables, diffusion, cfg_scale=1.5, fold=True, sampler=args.sampler,
             scan_unroll=args.scan_unroll,
+            cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
         )
 
     n = args.batch
@@ -314,6 +324,10 @@ def main():
                     f"{args.steps} respaced steps"
                     + (f", {args.time_schedule}" if args.time_schedule != "uniform" else "")
                     + (f", cache-interval {args.cache_interval}" if args.cache_interval > 1 else "")
+                    + (
+                        f", cfg-interval {args.cfg_interval[0]:g}-{args.cfg_interval[1]:g}"
+                        if args.cfg_interval else ""
+                    )
                     + f", {args.dtype})"
                 ),
                 "vs_baseline": round(value / TORCH_EAGER_BASELINE_STEPS_PER_SEC, 2),

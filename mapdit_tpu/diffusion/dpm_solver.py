@@ -81,6 +81,9 @@ def dpm_solver_pp_loop(
     denoised_fn=None,
     model_kwargs=None,
     unroll: int = 1,
+    step_slice: Optional[tuple] = None,
+    prev_x0: Optional[Array] = None,
+    return_carry: bool = False,
 ) -> Array:
     """Run the full DPM-Solver++(2M) chain as one `lax.scan`.
 
@@ -88,11 +91,20 @@ def dpm_solver_pp_loop(
     solver grid, so `--num-sampling-steps N` means N model calls exactly as
     with the DDPM/DDIM chains. ``rng`` is accepted for sampler-API
     uniformity and ignored (the solver is deterministic).
+
+    ``step_slice=(a, b)`` runs only chain positions [a, b) (position 0 is
+    the highest t); the 2M history crossing a segment boundary enters via
+    ``prev_x0`` and exits via ``return_carry`` (returns ``(x, prev_x0)``),
+    so segments with different model_fns stitch into the exact unsegmented
+    chain — runtime.py's limited-interval CFG. The per-step coefficients
+    (including the c2 history weight) are always computed on the FULL grid
+    and then sliced, so boundary steps keep their true h_{i-1}.
     """
     del rng
     n_batch = noise.shape[0]
     n_steps = diffusion.num_timesteps
-    ts = jnp.arange(n_steps - 1, -1, -1)
+    lo, hi = step_slice if step_slice is not None else (0, n_steps)
+    ts = jnp.arange(n_steps - 1, -1, -1)[lo:hi]
 
     sigma_ratio, alpha_next, em1, c2 = dpm_solver_pp_coefficients(
         np.asarray(diffusion.alphas_cumprod)
@@ -101,10 +113,10 @@ def dpm_solver_pp_loop(
         diffusion.timestep_map[ts].astype(jnp.float32),
         diffusion.sqrt_recip_alphas_cumprod[ts],
         diffusion.sqrt_recipm1_alphas_cumprod[ts],
-        jnp.asarray(sigma_ratio),
-        jnp.asarray(alpha_next),
-        jnp.asarray(em1),
-        jnp.asarray(c2),
+        jnp.asarray(sigma_ratio[lo:hi]),
+        jnp.asarray(alpha_next[lo:hi]),
+        jnp.asarray(em1[lo:hi]),
+        jnp.asarray(c2[lo:hi]),
     )
     learned_var = diffusion.var_type in ("learned", "learned_range")
     assert diffusion.mean_type in ("epsilon", "start_x"), diffusion.mean_type
@@ -125,7 +137,6 @@ def dpm_solver_pp_loop(
         x = s_ratio * x - a_next * e * d
         return (x, x0), None
 
-    (x, _), _ = jax.lax.scan(
-        body, (noise, jnp.zeros_like(noise)), coefs, unroll=unroll
-    )
-    return x
+    init_x0 = jnp.zeros_like(noise) if prev_x0 is None else prev_x0
+    carry, _ = jax.lax.scan(body, (noise, init_x0), coefs, unroll=unroll)
+    return carry if return_carry else carry[0]

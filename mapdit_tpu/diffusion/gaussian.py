@@ -365,6 +365,8 @@ class GaussianDiffusion:
         model_kwargs=None,
         noise_fn=None,
         unroll: int = 1,
+        step_slice: Optional[Tuple[int, int]] = None,
+        return_carry: bool = False,
     ) -> Array:
         """DDPM chain specialized for the default EPSILON+LEARNED_RANGE mode.
 
@@ -374,10 +376,19 @@ class GaussianDiffusion:
         (B, 1, 1, 1) broadcasts — measured ~20% of per-step time at DiT-S/2
         shapes was this bookkeeping (docs/BENCH_NOTES.md). ``unroll`` is
         forwarded to lax.scan (per-iteration loop overhead vs program size).
+
+        ``step_slice=(a, b)`` runs only chain positions [a, b) of the
+        descending-t chain (position 0 is t = num_timesteps-1); with
+        ``return_carry`` the call returns ``(x, key)`` so a caller can
+        stitch segments with different model_fns into one exact chain
+        (runtime.py's limited-interval CFG uses this; chaining the carried
+        key reproduces the unsegmented RNG stream bit-for-bit). An empty
+        slice is a legal zero-length scan that passes the carry through.
         """
         assert self.mean_type == EPSILON and self.var_type == LEARNED_RANGE
         n = noise.shape[0]
-        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        lo, hi = step_slice if step_slice is not None else (0, self.num_timesteps)
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)[lo:hi]
         coefs = (
             ts,
             self.timestep_map[ts].astype(jnp.float32),
@@ -410,8 +421,8 @@ class GaussianDiffusion:
             x = mean + nonzero * jnp.exp(0.5 * log_variance) * step_noise
             return (x, key), None
 
-        (x, _), _ = jax.lax.scan(body, (noise, rng), coefs, unroll=unroll)
-        return x
+        carry, _ = jax.lax.scan(body, (noise, rng), coefs, unroll=unroll)
+        return carry if return_carry else carry[0]
 
     def p_sample_loop_progressive(
         self, model_fn: ModelFn, noise: Array, rng: Array, **kw

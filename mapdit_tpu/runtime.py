@@ -68,6 +68,27 @@ def build_model_fn(
     return model_fn
 
 
+def cfg_interval_segments(diffusion, sigma_lo: float, sigma_hi: float):
+    """Map a [sigma_lo, sigma_hi] noise-level interval to the contiguous
+    chain-position range [g0, g1) of guided steps.
+
+    sigma(t) = sqrt((1-acp_t)/acp_t) on the (respaced) grid, walked in chain
+    order (high t first), so sigma is monotonically decreasing and the
+    guided set is always one contiguous run. An interval covering no grid
+    point yields the empty range (0, 0): a fully unguided chain."""
+    import numpy as np
+
+    acp = np.asarray(diffusion.alphas_cumprod, dtype=np.float64)
+    sigma = np.sqrt((1.0 - acp) / acp)[::-1]  # chain order: high t -> low t
+    guided = (sigma >= float(sigma_lo)) & (sigma <= float(sigma_hi))
+    idx = np.flatnonzero(guided)
+    if idx.size == 0:
+        return (0, 0)
+    g0, g1 = int(idx[0]), int(idx[-1]) + 1
+    assert guided[g0:g1].all()  # contiguity (monotone sigma)
+    return (g0, g1)
+
+
 def build_shared_sample_fn(
     cfg: DiTConfig,
     diffusion,
@@ -77,10 +98,24 @@ def build_shared_sample_fn(
     eta: float = 0.0,
     scan_unroll: int = 1,
     clip_denoised: bool = False,
+    cfg_interval: Optional[tuple] = None,
 ):
     """Like build_sample_fn but takes variables as a call argument, so one
     compiled program serves many parameter sets (sample_ema.py's five EMA
-    stds reuse a single compile)."""
+    stds reuse a single compile).
+
+    ``cfg_interval=(sigma_lo, sigma_hi)``: limited-interval guidance
+    (Kynkaanniemi et al., arXiv 2404.07724) — CFG is applied only on chain
+    steps whose noise level sigma(t) = sqrt((1-acp_t)/acp_t) lies inside
+    the interval; outside it the chain runs the COND-ONLY model on N rows
+    instead of the 2N [cond; uncond] CFG batch. The guidance pattern is
+    static (the respaced sigma grid is known at trace time), so the chain
+    compiles as up to three fixed-shape scan segments stitched through the
+    carried (x, rng/history) state — no runtime branching, and the full
+    interval reproduces the exact CFG chain bit-for-bit (carried RNG
+    stream). The paper reports this IMPROVES FID at high guidance scales;
+    FLOPs drop by ~(unguided_steps)/(2*steps). ddpm + dpm++ only.
+    """
     from mapdit_tpu.diffusion import gd
     from mapdit_tpu.models.dit import DiT
 
@@ -91,6 +126,14 @@ def build_shared_sample_fn(
         and diffusion.mean_type == gd.EPSILON
         and diffusion.var_type == gd.LEARNED_RANGE
     )
+    if cfg_interval is not None:
+        assert cfg_scale is not None, "--cfg-interval needs CFG (cfg_scale)"
+        assert sampler == "dpm++" or use_fast, (
+            "--cfg-interval composes with --sampler ddpm or dpm++"
+        )
+        cfg_segments = cfg_interval_segments(diffusion, *cfg_interval)
+    else:
+        cfg_segments = None
     # CFG half-batch chain: the reference (and our legacy path) evolves 2N
     # latents where the second half is re-derived from the first every step
     # and discarded at the end (src/dit.py:107-118). Evolving N latents with
@@ -131,6 +174,48 @@ def build_shared_sample_fn(
                 return out[:n_half]
 
             chain_y = y[:n_half]
+
+        if cfg_segments is not None:
+            # limited-interval guidance: unguided chain positions run the
+            # plain cond-only forward on N rows (no [cond; uncond] doubling)
+            def model_fn_cond(x_half, t, y):
+                return model.apply(variables, x_half, t, y)
+
+            g0, g1 = cfg_segments
+            T = diffusion.num_timesteps
+            kw = dict(
+                clip_denoised=clip_denoised,
+                model_kwargs={"y": chain_y},
+                unroll=scan_unroll,
+            )
+            if sampler == "dpm++":
+                from mapdit_tpu.diffusion.dpm_solver import dpm_solver_pp_loop
+
+                x, x0 = dpm_solver_pp_loop(
+                    diffusion, model_fn_cond, chain_noise,
+                    step_slice=(0, g0), return_carry=True, **kw,
+                )
+                x, x0 = dpm_solver_pp_loop(
+                    diffusion, model_fn, x, prev_x0=x0,
+                    step_slice=(g0, g1), return_carry=True, **kw,
+                )
+                x = dpm_solver_pp_loop(
+                    diffusion, model_fn_cond, x, prev_x0=x0,
+                    step_slice=(g1, T), **kw,
+                )
+            else:  # use_fast ddpm (asserted at build time)
+                x, key = diffusion.p_sample_loop_fast(
+                    model_fn_cond, chain_noise, rng,
+                    step_slice=(0, g0), return_carry=True, **kw,
+                )
+                x, key = diffusion.p_sample_loop_fast(
+                    model_fn, x, key,
+                    step_slice=(g0, g1), return_carry=True, **kw,
+                )
+                x = diffusion.p_sample_loop_fast(
+                    model_fn_cond, x, key, step_slice=(g1, T), **kw,
+                )
+            return jnp.concatenate([x, x], axis=0)
 
         if sampler == "ddim":
             x = diffusion.ddim_sample_loop(
@@ -347,6 +432,7 @@ def build_sample_fn(
     eta: float = 0.0,
     scan_unroll: int = 1,
     clip_denoised: bool = False,
+    cfg_interval: Optional[tuple] = None,
 ):
     """Jitted (noise, y, rng) -> samples over the full denoising chain.
 
@@ -354,6 +440,7 @@ def build_sample_fn(
     (present-but-unwired in the reference entry points; usable here), or
     "dpm++" (DPM-Solver++(2M), beyond-reference fast ODE sampler — pass
     --num-sampling-steps 10-25).
+    ``cfg_interval``: see :func:`build_shared_sample_fn`.
     Sampling scripts pass clip_denoised=False (reference `sample.py:57`).
     Thin wrapper over :func:`build_shared_sample_fn` with variables closed
     over (prepared once).
@@ -361,6 +448,7 @@ def build_sample_fn(
     prepare, shared_fn = build_shared_sample_fn(
         cfg, diffusion, cfg_scale=cfg_scale, fold=fold, sampler=sampler, eta=eta,
         scan_unroll=scan_unroll, clip_denoised=clip_denoised,
+        cfg_interval=cfg_interval,
     )
     prepared = prepare(variables)
 

@@ -160,6 +160,9 @@ def main(args):
         assert args.sampler in ("ddpm", "dpm++"), (
             "--cache-interval composes with --sampler ddpm or dpm++"
         )
+        assert args.cfg_interval is None, (
+            "--cfg-interval does not compose with --cache-interval yet"
+        )
         from mapdit_tpu.runtime import build_cached_sample_fn
 
         sample_fn = build_cached_sample_fn(
@@ -167,7 +170,15 @@ def main(args):
             cache_interval=args.cache_interval, sampler=args.sampler,
         )
     else:
-        sample_fn = build_sample_fn(cfg, variables, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler, eta=args.eta)
+        if args.cfg_interval is not None:
+            assert args.sampler in ("ddpm", "dpm++"), (
+                "--cfg-interval composes with --sampler ddpm or dpm++"
+            )
+        sample_fn = build_sample_fn(
+            cfg, variables, diffusion, cfg_scale=args.cfg_scale,
+            sampler=args.sampler, eta=args.eta,
+            cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
+        )
     samples = sample_fn(z, y, skey)
     samples = np.asarray(samples[:n])  # drop the null-class half
 
@@ -223,6 +234,15 @@ if __name__ == "__main__":
                              "EDM rho-7 sigma spacing (better at low step counts)")
     parser.add_argument("--eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic ODE, 1 = DDPM-like)")
+    parser.add_argument("--cfg-interval", type=float, nargs=2, default=None,
+                        metavar=("SIGMA_LO", "SIGMA_HI"),
+                        help="limited-interval guidance (arXiv 2404.07724): apply "
+                             "CFG only on steps whose noise level sigma(t) lies in "
+                             "[LO, HI]; other steps run the cond-only model at half "
+                             "the batch. Improves FID at high cfg-scale and cuts "
+                             "FLOPs; ddpm/dpm++ only. Paper's ImageNet-512 EDM2 "
+                             "pick was [0.28, 2.90]; for this 1000-step linear "
+                             "schedule try [0.3, 3.0]")
     parser.add_argument("--cache-interval", type=int, default=0,
                         help="Delta-DiT block-span caching every N steps "
                              "(0 = exact chain; lossy — see BENCH_NOTES)")

@@ -46,11 +46,17 @@ def main(args):
     diffusion = create_diffusion(respacing_string(steps, args.sampler, args.time_schedule))
 
     use_cfg = args.cfg_scale > 1.0
+    if args.cfg_interval is not None:
+        assert use_cfg, "--cfg-interval needs --cfg-scale > 1"
+        assert args.sampler in ("ddpm", "dpm++"), (
+            "--cfg-interval composes with --sampler ddpm or dpm++"
+        )
     sample_fn = build_sample_fn(
         cfg, variables, diffusion,
         cfg_scale=args.cfg_scale if use_cfg else None,
         sampler=args.sampler,
         eta=args.eta,
+        cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
     )
 
     # Data-parallel sampling: shard each batch over all available chips
@@ -100,6 +106,11 @@ if __name__ == "__main__":
     parser.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm")
     parser.add_argument("--time-schedule", choices=["uniform", "karras"], default="uniform",
                         help="timestep grid: uniform sections (reference) or EDM sigma spacing")
+    parser.add_argument("--cfg-interval", type=float, nargs=2, default=None,
+                        metavar=("SIGMA_LO", "SIGMA_HI"),
+                        help="limited-interval guidance (arXiv 2404.07724): CFG "
+                             "only where sigma(t) is inside [LO, HI]; improves "
+                             "FID at high guidance and cuts FLOPs (see sample.py)")
     parser.add_argument("--eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic ODE)")
     parser.add_argument("--seed", type=int, default=42)

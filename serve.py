@@ -24,10 +24,14 @@ Endpoints:
       {"class_labels": [207, 360] | "class_label": 88, "num_samples": 4,
        "steps": 20, "sampler": "ddpm|ddim|dpm++", "cfg_scale": 4.0,
        "schedule": "uniform|karras", "cache_interval": 0, "seed": 0,
-       "format": "png|npz"}
+       "cfg_interval": [0.3, 3.0], "format": "png|npz"}
       cache_interval >= 2 enables Delta-DiT block-span caching (LOSSY —
       docs/BENCH_NOTES.md records the deviation; ddpm/dpm++ only, must
       divide steps).
+      cfg_interval = [sigma_lo, sigma_hi] enables limited-interval guidance
+      (arXiv 2404.07724): CFG only on steps with sigma(t) inside the
+      interval, cond-only half-batch calls elsewhere (cheaper AND better
+      FID at high cfg_scale per the paper; ddpm/dpm++, cfg_scale > 1).
 
 Example:
   python serve.py --result-dir results/000-DiT-S-2 --port 8000 &
@@ -158,12 +162,15 @@ class SamplerService:
 
     def _get_fn(
         self, sampler: str, steps: int, cfg_scale: float, bucket: int,
-        schedule: str = "uniform", cache_interval: int = 0,
+        schedule: str = "uniform", cache_interval: int = 0, cfg_interval=None,
     ):
         from mapdit_tpu.diffusion import create_diffusion, respacing_string
         from mapdit_tpu.runtime import build_cached_sample_fn, build_sample_fn
 
-        key = (sampler, steps, float(cfg_scale), bucket, schedule, cache_interval)
+        key = (
+            sampler, steps, float(cfg_scale), bucket, schedule, cache_interval,
+            cfg_interval,
+        )
         fn = self._fns.get(key)
         if fn is None:
             if len(self._fns) >= self.max_programs:
@@ -193,6 +200,7 @@ class SamplerService:
                     diffusion,
                     cfg_scale=cfg_scale if cfg_scale > 1.0 else None,
                     sampler=sampler,
+                    cfg_interval=cfg_interval,
                 )
             self._fns[key] = fn
         return fn
@@ -205,7 +213,7 @@ class SamplerService:
 
     def sample(
         self, class_labels, steps, sampler, cfg_scale, seed=None,
-        schedule="uniform", cache_interval=0,
+        schedule="uniform", cache_interval=0, cfg_interval=None,
     ):
         """(labels, protocol) -> float latents/images (n, C, H, W) in [-1, 1].
 
@@ -245,9 +253,27 @@ class SamplerService:
                 )
         elif cache_interval < 0:
             raise ValueError("cache_interval must be >= 0")
+        if cfg_interval is not None:
+            # limited-interval guidance (arXiv 2404.07724): validate at
+            # admission so a bad interval fails this request alone
+            try:
+                lo, hi = (float(v) for v in cfg_interval)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "cfg_interval must be [sigma_lo, sigma_hi] (two numbers)"
+                ) from None
+            if not (0.0 <= lo <= hi):
+                raise ValueError("cfg_interval needs 0 <= sigma_lo <= sigma_hi")
+            if cfg_scale <= 1.0:
+                raise ValueError("cfg_interval needs cfg_scale > 1")
+            if sampler not in ("ddpm", "dpm++"):
+                raise ValueError("cfg_interval composes with sampler ddpm or dpm++")
+            if cache_interval > 1:
+                raise ValueError("cfg_interval does not compose with cache_interval")
+            cfg_interval = (lo, hi)
 
         job = _Job(np.asarray(class_labels, np.int32), seed)
-        key = (sampler, int(steps), cfg_scale, schedule, cache_interval)
+        key = (sampler, int(steps), cfg_scale, schedule, cache_interval, cfg_interval)
         with self._cv:
             # Backpressure: bound the pending queue (503 on overflow) and
             # gate brand-new protocols on the compile budget at ADMISSION,
@@ -262,7 +288,7 @@ class SamplerService:
             # _fns keys carry an extra bucket element at index 3
             if (
                 len(self._fns) >= self.max_programs
-                and not any((k[0], k[1], k[2], k[4], k[5]) == key for k in self._fns)
+                and not any(k[:3] + k[4:] == key for k in self._fns)
             ):
                 raise ValueError(
                     f"compile budget exhausted ({self.max_programs} programs); "
@@ -335,7 +361,7 @@ class SamplerService:
         import jax
         import jax.numpy as jnp
 
-        sampler, steps, cfg_scale, schedule, cache_interval = key
+        sampler, steps, cfg_scale, schedule, cache_interval, cfg_interval = key
         n = sum(len(j.labels) for j in group)
         bucket = self._bucket(n)
         num_classes = self.cfg.num_classes
@@ -373,7 +399,9 @@ class SamplerService:
             )
         else:
             y = y_rows
-        fn = self._get_fn(sampler, steps, cfg_scale, bucket, schedule, cache_interval)
+        fn = self._get_fn(
+            sampler, steps, cfg_scale, bucket, schedule, cache_interval, cfg_interval
+        )
         n_dev = self._mesh.shape["data"] if self._mesh is not None else 1
         cfg_rows = 2 * bucket if cfg_scale > 1.0 else bucket
         if n_dev > 1 and bucket % n_dev == 0 and cfg_rows % n_dev == 0:
@@ -506,6 +534,7 @@ def make_handler(service: SamplerService, defaults: dict):
                 samples = service.sample(
                     labels, steps, sampler, cfg_scale, seed=req.get("seed"),
                     schedule=schedule, cache_interval=cache_interval,
+                    cfg_interval=req.get("cfg_interval"),
                 )
             except QueueFullError as e:
                 # standard shed-load signal

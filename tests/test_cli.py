@@ -265,6 +265,20 @@ class TestSampleCLI:
         )
         assert os.path.exists(out)
 
+    def test_sample_cfg_interval(self, trained_run, tmp_path):
+        """Limited-interval guidance (arXiv 2404.07724) from the user CLI."""
+        out = str(tmp_path / "sample_cfg_interval.png")
+        run(
+            "sample.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--output-file", out,
+            "--num-sampling-steps", "4",
+            "--sampler", "dpm++",
+            "--cfg-interval", "0.3", "3.0",
+        )
+        assert os.path.exists(out)
+
     def test_sample_fid_npz(self, trained_run):
         run(
             "sample_fid.py",

@@ -256,6 +256,42 @@ class TestServe:
                 assert e.code == 400
                 assert frag in json.loads(e.read())["error"]
 
+    def test_cfg_interval_protocol(self, server):
+        """Limited-interval guidance is a serving protocol knob: the
+        full-sigma interval reproduces the plain CFG program (exactness
+        limit), and malformed/incompatible intervals 400 at admission."""
+        base = {"class_label": 2, "num_samples": 2, "steps": 4,
+                "sampler": "dpm++", "cfg_scale": 4.0, "format": "npz",
+                "seed": 9}
+        status, ctype, body = _post(
+            server, dict(base, cfg_interval=[0.0, 1e9])
+        )
+        assert status == 200 and ctype == "application/x-npz"
+        with np.load(io.BytesIO(body)) as f:
+            seg = f["arr_0"].astype(np.int16)
+        _, _, body2 = _post(server, base)
+        with np.load(io.BytesIO(body2)) as f:
+            exact = f["arr_0"].astype(np.int16)
+        # same math, different compiled program: only fusion noise at the
+        # uint8 quantization boundary may separate them
+        assert np.abs(seg - exact).max() <= 1
+
+        for payload, frag in [
+            (dict(base, cfg_interval=[0.3]), "two numbers"),
+            (dict(base, cfg_interval=[3.0, 0.3]), "sigma_lo <= sigma_hi"),
+            (dict(base, cfg_interval=[0.3, 3.0], cfg_scale=1.0),
+             "cfg_scale > 1"),
+            (dict(base, cfg_interval=[0.3, 3.0], sampler="ddim"), "composes"),
+            (dict(base, cfg_interval=[0.3, 3.0], cache_interval=2),
+             "does not compose"),
+        ]:
+            try:
+                _post(server, payload)
+                raise AssertionError(f"expected 400 for {payload}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert frag in json.loads(e.read())["error"]
+
     def test_seed_determinism_header(self, server):
         """Responses disclose whether the seed fully determines the output
         (stochastic ddpm chains share per-step noise across the coalesced
