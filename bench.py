@@ -231,9 +231,6 @@ def main():
         assert args.sampler in ("ddpm", "dpm++"), (
             "--cache-interval composes with --sampler ddpm or dpm++"
         )
-        assert args.cfg_interval is None, (
-            "--cfg-interval does not compose with --cache-interval yet"
-        )
         span = (
             tuple(int(v) for v in args.cache_span.split(","))
             if args.cache_span
@@ -242,6 +239,7 @@ def main():
         sample_fn = build_cached_sample_fn(
             cfg, variables, diffusion, cfg_scale=1.5, fold=True,
             span=span, cache_interval=args.cache_interval, sampler=args.sampler,
+            cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
         )
     else:
         sample_fn = build_sample_fn(

@@ -257,6 +257,7 @@ def build_cached_sample_fn(
     cache_interval: int = 2,
     clip_denoised: bool = False,
     sampler: str = "ddpm",
+    cfg_interval: Optional[tuple] = None,
 ):
     """Denoising chain with Delta-DiT-style block-span caching (arXiv
     2406.01125), for the ancestral DDPM chain or the DPM-Solver++(2M) ODE
@@ -278,6 +279,16 @@ def build_cached_sample_fn(
     (tested): an empty span or ``cache_interval=1`` reproduces the exact
     chain bit-for-bit (same RNG stream as ``p_sample_loop_fast`` /
     same op order as ``dpm_solver_pp_loop``).
+
+    ``cfg_interval=(sigma_lo, sigma_hi)``: limited-interval guidance (see
+    :func:`build_shared_sample_fn`) composed with the cached chain. The
+    guided range is snapped OUTWARD to cache-group boundaries (a group's
+    steps share one cached delta, whose shape differs between the 2N CFG
+    call and the N cond-only call, so a group must be wholly one or the
+    other; outward keeps at least the requested guidance). The chain then
+    runs as three group-scans stitched through the carried state — the
+    full-sigma interval reproduces the plain cached CFG chain and the
+    empty interval the cond-only cached chain (both tested).
     """
     import numpy as np
 
@@ -288,6 +299,13 @@ def build_cached_sample_fn(
     assert diffusion.mean_type == gd.EPSILON and diffusion.var_type == gd.LEARNED_RANGE
     n_steps = diffusion.num_timesteps
     assert n_steps % cache_interval == 0, (n_steps, cache_interval)
+    if cfg_interval is not None:
+        assert cfg_scale is not None, "cfg_interval needs CFG (cfg_scale)"
+        g0, g1 = cfg_interval_segments(diffusion, *cfg_interval)
+        # snap outward to whole cache groups (see docstring)
+        group_lo, group_hi = g0 // cache_interval, -(-g1 // cache_interval)
+    else:
+        group_lo = group_hi = None
     if span is None:
         span = (cfg.depth // 4, cfg.depth - cfg.depth // 4)
 
@@ -367,54 +385,86 @@ def build_cached_sample_fn(
                     out, delta = out
                 return out[:n_half], delta
 
+            def call_cond(x_half, t_vec, delta):
+                # unguided cfg_interval segments: cond-only on N rows (the
+                # cached delta is N-shaped here — group-aligned segmentation
+                # guarantees a delta never crosses between call variants)
+                out = model.apply(
+                    variables,
+                    x_half,
+                    t_vec,
+                    y_full[:n_half],
+                    span=span,
+                    cached_delta=delta,
+                    return_delta=delta is None,
+                )
+                if delta is None:
+                    out, delta = out
+                return out, delta
+
         n = chain_noise.shape[0]
 
         if sampler == "ddpm":
 
-            def group_body(carry, gc):
-                x, key = carry
-                delta = None
-                for s in range(cache_interval):
-                    model_t, sra, srm1, pc1, pc2, min_log, max_log, nonzero = (
-                        a[s] for a in gc
-                    )
-                    key, step_key = jax.random.split(key)
-                    out, delta = call(x, jnp.full((n,), model_t), delta)
-                    eps_hat, var_values = jnp.split(out, 2, axis=1)
-                    frac = (var_values + 1.0) / 2.0
-                    log_variance = frac * max_log + (1.0 - frac) * min_log
-                    pred_xstart = sra * x - srm1 * eps_hat
-                    if clip_denoised:
-                        pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
-                    mean = pc1 * pred_xstart + pc2 * x
-                    step_noise = jax.random.normal(step_key, x.shape, x.dtype)
-                    x = mean + nonzero * jnp.exp(0.5 * log_variance) * step_noise
-                return (x, key), None
+            def make_group_body(call):
+                def group_body(carry, gc):
+                    x, key = carry
+                    delta = None
+                    for s in range(cache_interval):
+                        model_t, sra, srm1, pc1, pc2, min_log, max_log, nonzero = (
+                            a[s] for a in gc
+                        )
+                        key, step_key = jax.random.split(key)
+                        out, delta = call(x, jnp.full((n,), model_t), delta)
+                        eps_hat, var_values = jnp.split(out, 2, axis=1)
+                        frac = (var_values + 1.0) / 2.0
+                        log_variance = frac * max_log + (1.0 - frac) * min_log
+                        pred_xstart = sra * x - srm1 * eps_hat
+                        if clip_denoised:
+                            pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
+                        mean = pc1 * pred_xstart + pc2 * x
+                        step_noise = jax.random.normal(step_key, x.shape, x.dtype)
+                        x = mean + nonzero * jnp.exp(0.5 * log_variance) * step_noise
+                    return (x, key), None
+
+                return group_body
 
             init = (chain_noise, rng)
         else:
             # DPM-Solver++(2M) group step (diffusion/dpm_solver.py math with
             # the cached-span model call); deterministic — rng unused
-            def group_body(carry, gc):
-                x, prev_x0 = carry
-                delta = None
-                for s in range(cache_interval):
-                    model_t, sra, srm1, s_ratio, a_next, e, w2 = (
-                        a[s] for a in gc
-                    )
-                    out, delta = call(x, jnp.full((n,), model_t), delta)
-                    eps_hat, _ = jnp.split(out, 2, axis=1)
-                    x0 = sra * x - srm1 * eps_hat
-                    if clip_denoised:
-                        x0 = jnp.clip(x0, -1.0, 1.0)
-                    d = (1.0 + w2) * x0 - w2 * prev_x0
-                    x = s_ratio * x - a_next * e * d
-                    prev_x0 = x0
-                return (x, prev_x0), None
+            def make_group_body(call):
+                def group_body(carry, gc):
+                    x, prev_x0 = carry
+                    delta = None
+                    for s in range(cache_interval):
+                        model_t, sra, srm1, s_ratio, a_next, e, w2 = (
+                            a[s] for a in gc
+                        )
+                        out, delta = call(x, jnp.full((n,), model_t), delta)
+                        eps_hat, _ = jnp.split(out, 2, axis=1)
+                        x0 = sra * x - srm1 * eps_hat
+                        if clip_denoised:
+                            x0 = jnp.clip(x0, -1.0, 1.0)
+                        d = (1.0 + w2) * x0 - w2 * prev_x0
+                        x = s_ratio * x - a_next * e * d
+                        prev_x0 = x0
+                    return (x, prev_x0), None
+
+                return group_body
 
             init = (chain_noise, jnp.zeros_like(chain_noise))
 
-        (x, _), _ = jax.lax.scan(group_body, init, gcoefs)
+        if group_lo is None:
+            (x, _), _ = jax.lax.scan(make_group_body(call), init, gcoefs)
+        else:
+            # limited-interval guidance over whole cache groups: three
+            # group-scans stitched through the carried state
+            sl = lambda a, b: tuple(g[a:b] for g in gcoefs)
+            body, body_cond = make_group_body(call), make_group_body(call_cond)
+            carry, _ = jax.lax.scan(body_cond, init, sl(0, group_lo))
+            carry, _ = jax.lax.scan(body, carry, sl(group_lo, group_hi))
+            (x, _), _ = jax.lax.scan(body_cond, carry, sl(group_hi, n_groups))
         if cfg_scale is not None:
             x = jnp.concatenate([x, x], axis=0)
         return x

@@ -160,14 +160,12 @@ def main(args):
         assert args.sampler in ("ddpm", "dpm++"), (
             "--cache-interval composes with --sampler ddpm or dpm++"
         )
-        assert args.cfg_interval is None, (
-            "--cfg-interval does not compose with --cache-interval yet"
-        )
         from mapdit_tpu.runtime import build_cached_sample_fn
 
         sample_fn = build_cached_sample_fn(
             cfg, variables, diffusion, cfg_scale=args.cfg_scale,
             cache_interval=args.cache_interval, sampler=args.sampler,
+            cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
         )
     else:
         if args.cfg_interval is not None:

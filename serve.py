@@ -32,6 +32,8 @@ Endpoints:
       (arXiv 2404.07724): CFG only on steps with sigma(t) inside the
       interval, cond-only half-batch calls elsewhere (cheaper AND better
       FID at high cfg_scale per the paper; ddpm/dpm++, cfg_scale > 1).
+      Stacks with cache_interval (the guided range snaps outward to
+      cache-group boundaries).
 
 Example:
   python serve.py --result-dir results/000-DiT-S-2 --port 8000 &
@@ -192,6 +194,7 @@ class SamplerService:
                     cfg_scale=cfg_scale if cfg_scale > 1.0 else None,
                     cache_interval=cache_interval,
                     sampler=sampler,
+                    cfg_interval=cfg_interval,
                 )
             else:
                 fn = build_sample_fn(
@@ -268,8 +271,6 @@ class SamplerService:
                 raise ValueError("cfg_interval needs cfg_scale > 1")
             if sampler not in ("ddpm", "dpm++"):
                 raise ValueError("cfg_interval composes with sampler ddpm or dpm++")
-            if cache_interval > 1:
-                raise ValueError("cfg_interval does not compose with cache_interval")
             cfg_interval = (lo, hi)
 
         job = _Job(np.asarray(class_labels, np.int32), seed)

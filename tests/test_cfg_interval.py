@@ -162,6 +162,61 @@ class TestStepSliceStitching:
         np.testing.assert_array_equal(np.asarray(key), np.asarray(rng))
 
 
+class TestCachedChainComposition:
+    """cfg_interval composed with Delta-DiT span caching: the guided range
+    snaps OUTWARD to cache-group boundaries and the chain runs as three
+    cached group-scans; the two exactness limits must still hold."""
+
+    @pytest.mark.parametrize("sampler", ["ddpm", "dpm++"])
+    def test_full_interval_matches_cached_cfg_chain(self, setup, sampler):
+        from mapdit_tpu.runtime import build_cached_sample_fn
+
+        cfg, variables, d, z, z2, y2, rng = setup
+        kw = dict(cache_interval=2, sampler=sampler, clip_denoised=True)
+        base = build_cached_sample_fn(
+            cfg, variables, d, cfg_scale=4.0, **kw
+        )(z2, y2, rng)
+        seg = build_cached_sample_fn(
+            cfg, variables, d, cfg_scale=4.0, cfg_interval=FULL, **kw
+        )(z2, y2, rng)
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(seg), rtol=1e-5, atol=1e-5
+        )
+
+    @pytest.mark.parametrize("sampler", ["ddpm", "dpm++"])
+    def test_empty_interval_is_cond_only_cached_chain(self, setup, sampler):
+        from mapdit_tpu.runtime import build_cached_sample_fn
+
+        cfg, variables, d, z, z2, y2, rng = setup
+        kw = dict(cache_interval=2, sampler=sampler, clip_denoised=True)
+        cond = build_cached_sample_fn(
+            cfg, variables, d, cfg_scale=None, **kw
+        )(z, y2[:N], rng)
+        seg = build_cached_sample_fn(
+            cfg, variables, d, cfg_scale=4.0, cfg_interval=EMPTY, **kw
+        )(z2, y2, rng)
+        np.testing.assert_allclose(
+            np.asarray(cond), np.asarray(seg[:N]), rtol=1e-5, atol=1e-5
+        )
+
+    def test_partial_interval_runs_and_differs(self, setup):
+        from mapdit_tpu.runtime import build_cached_sample_fn
+
+        cfg, variables, d, z, z2, y2, rng = setup
+        acp = np.asarray(d.alphas_cumprod, np.float64)
+        sigma = np.sqrt((1.0 - acp) / acp)[::-1]
+        interval = (float(sigma[5]), float(sigma[2]))  # groups 1..3 guided
+        kw = dict(cache_interval=2, sampler="dpm++", clip_denoised=True)
+        mid = np.asarray(build_cached_sample_fn(
+            cfg, variables, d, cfg_scale=4.0, cfg_interval=interval, **kw
+        )(z2, y2, rng)[:N])
+        full = np.asarray(build_cached_sample_fn(
+            cfg, variables, d, cfg_scale=4.0, **kw
+        )(z2, y2, rng)[:N])
+        assert np.isfinite(mid).all()
+        assert np.abs(mid - full).max() > 1e-4
+
+
 class TestBuilderValidation:
     def test_requires_cfg_scale(self, setup):
         cfg, variables, d, *_ = setup

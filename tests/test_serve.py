@@ -276,14 +276,18 @@ class TestServe:
         # uint8 quantization boundary may separate them
         assert np.abs(seg - exact).max() <= 1
 
+        # stacks with Delta-DiT span caching (three cached group-scans)
+        status, ctype, _ = _post(
+            server, dict(base, cfg_interval=[0.3, 3.0], cache_interval=2)
+        )
+        assert status == 200 and ctype == "application/x-npz"
+
         for payload, frag in [
             (dict(base, cfg_interval=[0.3]), "two numbers"),
             (dict(base, cfg_interval=[3.0, 0.3]), "sigma_lo <= sigma_hi"),
             (dict(base, cfg_interval=[0.3, 3.0], cfg_scale=1.0),
              "cfg_scale > 1"),
             (dict(base, cfg_interval=[0.3, 3.0], sampler="ddim"), "composes"),
-            (dict(base, cfg_interval=[0.3, 3.0], cache_interval=2),
-             "does not compose"),
         ]:
             try:
                 _post(server, payload)
