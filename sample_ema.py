@@ -42,8 +42,13 @@ def main(args):
 
     n = 8
     # One compiled sampler shared across all five EMA parameter sets.
+    if args.cfg_interval is not None:
+        assert args.sampler in ("ddpm", "dpm++"), (
+            "--cfg-interval composes with --sampler ddpm or dpm++"
+        )
     prepare, sample_fn = build_shared_sample_fn(
-        cfg, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler, eta=args.eta
+        cfg, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler, eta=args.eta,
+        cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
     )
     res = []
     for std in EMA_STDS:
@@ -81,6 +86,10 @@ if __name__ == "__main__":
     parser.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm")
     parser.add_argument("--time-schedule", choices=["uniform", "karras"], default="uniform",
                         help="timestep grid: uniform sections (reference) or EDM sigma spacing")
+    parser.add_argument("--cfg-interval", type=float, nargs=2, default=None,
+                        metavar=("SIGMA_LO", "SIGMA_HI"),
+                        help="limited-interval guidance (arXiv 2404.07724; "
+                             "see sample.py --cfg-interval)")
     parser.add_argument("--eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic ODE)")
     parser.add_argument("--seed", type=int, default=42)
