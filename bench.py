@@ -180,6 +180,9 @@ def main():
                         "exact chain). LOSSY: see BENCH_NOTES deviation numbers")
     p.add_argument("--cache-span", type=str, default=None,
                    help="lo,hi block span to cache (default middle half)")
+    p.add_argument("--cache-mode", choices=["hold", "forecast"], default="hold",
+                   help="skip-step span delta: hold (Delta-DiT) or linear "
+                        "forecast (static Predict-to-Skip) — same FLOPs")
     p.add_argument("--cfg-interval", type=float, nargs=2, default=None,
                    metavar=("SIGMA_LO", "SIGMA_HI"),
                    help="sample mode: limited-interval guidance (arXiv "
@@ -240,6 +243,7 @@ def main():
             cfg, variables, diffusion, cfg_scale=1.5, fold=True,
             span=span, cache_interval=args.cache_interval, sampler=args.sampler,
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
+            cache_mode=args.cache_mode,
         )
     else:
         sample_fn = build_sample_fn(

@@ -258,6 +258,7 @@ def build_cached_sample_fn(
     clip_denoised: bool = False,
     sampler: str = "ddpm",
     cfg_interval: Optional[tuple] = None,
+    cache_mode: str = "hold",
 ):
     """Denoising chain with Delta-DiT-style block-span caching (arXiv
     2406.01125), for the ancestral DDPM chain or the DPM-Solver++(2M) ODE
@@ -280,6 +281,18 @@ def build_cached_sample_fn(
     chain bit-for-bit (same RNG stream as ``p_sample_loop_fast`` /
     same op order as ``dpm_solver_pp_loop``).
 
+    ``cache_mode="forecast"``: instead of HOLDING the span displacement
+    constant across a group's skip steps (Delta-DiT), linearly EXTRAPOLATE
+    it from the two most recent full evaluations — the static, jit-friendly
+    form of linear multistep feature forecasting (Predict-to-Skip, arXiv
+    2602.18093; their dynamic skip scheduling is trace-hostile, the
+    first-order forecast is not). Skip step s of group i uses
+    ``delta_i + (s/interval) * (delta_i - delta_{i-1})``; the previous
+    group's delta rides the scan carry, and the first group of each scan
+    segment falls back to hold (no history). Identical FLOPs and memory
+    traffic to "hold" (one extra VPU axpy per skip step); measured
+    deviation vs the exact chain is recorded in docs/BENCH_NOTES.md.
+
     ``cfg_interval=(sigma_lo, sigma_hi)``: limited-interval guidance (see
     :func:`build_shared_sample_fn`) composed with the cached chain. The
     guided range is snapped OUTWARD to cache-group boundaries (a group's
@@ -296,9 +309,11 @@ def build_cached_sample_fn(
     from mapdit_tpu.models.dit import DiT
 
     assert sampler in ("ddpm", "dpm++"), sampler
+    assert cache_mode in ("hold", "forecast"), cache_mode
     assert diffusion.mean_type == gd.EPSILON and diffusion.var_type == gd.LEARNED_RANGE
     n_steps = diffusion.num_timesteps
     assert n_steps % cache_interval == 0, (n_steps, cache_interval)
+    forecast = cache_mode == "forecast" and cache_interval > 1
     if cfg_interval is not None:
         assert cfg_scale is not None, "cfg_interval needs CFG (cfg_scale)"
         g0, g1 = cfg_interval_segments(diffusion, *cfg_interval)
@@ -404,18 +419,33 @@ def build_cached_sample_fn(
 
         n = chain_noise.shape[0]
 
+        def step_call(call, x, model_t, s, delta, prev_delta, has_prev):
+            """Group step s: full model at s=0 (records the span delta);
+            skip steps reuse the held or linearly-forecast delta."""
+            if s == 0:
+                return call(x, jnp.full((n,), model_t), None)
+            pred = delta
+            if forecast:
+                coef = (has_prev * (s / cache_interval)).astype(delta.dtype)
+                pred = delta + coef * (delta - prev_delta)
+            out, _ = call(x, jnp.full((n,), model_t), pred)
+            return out, delta
+
         if sampler == "ddpm":
 
             def make_group_body(call):
-                def group_body(carry, gc):
-                    x, key = carry
+                def group_body(carry, xs):
+                    gc, has_prev = xs
+                    (x, key), prev_delta = carry[:2], (carry[2] if forecast else None)
                     delta = None
                     for s in range(cache_interval):
                         model_t, sra, srm1, pc1, pc2, min_log, max_log, nonzero = (
                             a[s] for a in gc
                         )
                         key, step_key = jax.random.split(key)
-                        out, delta = call(x, jnp.full((n,), model_t), delta)
+                        out, delta = step_call(
+                            call, x, model_t, s, delta, prev_delta, has_prev
+                        )
                         eps_hat, var_values = jnp.split(out, 2, axis=1)
                         frac = (var_values + 1.0) / 2.0
                         log_variance = frac * max_log + (1.0 - frac) * min_log
@@ -425,7 +455,7 @@ def build_cached_sample_fn(
                         mean = pc1 * pred_xstart + pc2 * x
                         step_noise = jax.random.normal(step_key, x.shape, x.dtype)
                         x = mean + nonzero * jnp.exp(0.5 * log_variance) * step_noise
-                    return (x, key), None
+                    return ((x, key, delta) if forecast else (x, key)), None
 
                 return group_body
 
@@ -434,14 +464,17 @@ def build_cached_sample_fn(
             # DPM-Solver++(2M) group step (diffusion/dpm_solver.py math with
             # the cached-span model call); deterministic — rng unused
             def make_group_body(call):
-                def group_body(carry, gc):
-                    x, prev_x0 = carry
+                def group_body(carry, xs):
+                    gc, has_prev = xs
+                    (x, prev_x0), prev_delta = carry[:2], (carry[2] if forecast else None)
                     delta = None
                     for s in range(cache_interval):
                         model_t, sra, srm1, s_ratio, a_next, e, w2 = (
                             a[s] for a in gc
                         )
-                        out, delta = call(x, jnp.full((n,), model_t), delta)
+                        out, delta = step_call(
+                            call, x, model_t, s, delta, prev_delta, has_prev
+                        )
                         eps_hat, _ = jnp.split(out, 2, axis=1)
                         x0 = sra * x - srm1 * eps_hat
                         if clip_denoised:
@@ -449,22 +482,36 @@ def build_cached_sample_fn(
                         d = (1.0 + w2) * x0 - w2 * prev_x0
                         x = s_ratio * x - a_next * e * d
                         prev_x0 = x0
-                    return (x, prev_x0), None
+                    return ((x, prev_x0, delta) if forecast else (x, prev_x0)), None
 
                 return group_body
 
             init = (chain_noise, jnp.zeros_like(chain_noise))
 
+        def run_scan(body, base_carry, a, b, rows):
+            """One group-scan over groups [a, b); the forecast history is
+            scan-local (first group of each segment has no predecessor, so
+            it holds — has_prev=0 masks the zeros init)."""
+            gcs = tuple(g[a:b] for g in gcoefs)
+            hp = jnp.asarray((np.arange(a, b) != a).astype(np.float32))
+            carry = base_carry
+            if forecast:
+                carry = base_carry + (
+                    jnp.zeros((rows, cfg.num_patches, cfg.hidden_size), run_cfg.dtype),
+                )
+            carry, _ = jax.lax.scan(body, carry, (gcs, hp))
+            return carry[:2]
+
+        cfg_rows = n if cfg_scale is None else 2 * n
         if group_lo is None:
-            (x, _), _ = jax.lax.scan(make_group_body(call), init, gcoefs)
+            x, _ = run_scan(make_group_body(call), init, 0, n_groups, cfg_rows)
         else:
             # limited-interval guidance over whole cache groups: three
-            # group-scans stitched through the carried state
-            sl = lambda a, b: tuple(g[a:b] for g in gcoefs)
+            # group-scans stitched through the carried (x, aux) state
             body, body_cond = make_group_body(call), make_group_body(call_cond)
-            carry, _ = jax.lax.scan(body_cond, init, sl(0, group_lo))
-            carry, _ = jax.lax.scan(body, carry, sl(group_lo, group_hi))
-            (x, _), _ = jax.lax.scan(body_cond, carry, sl(group_hi, n_groups))
+            carry = run_scan(body_cond, init, 0, group_lo, n)
+            carry = run_scan(body, carry, group_lo, group_hi, 2 * n)
+            x, _ = run_scan(body_cond, carry, group_hi, n_groups, n)
         if cfg_scale is not None:
             x = jnp.concatenate([x, x], axis=0)
         return x

@@ -166,6 +166,7 @@ def main(args):
             cfg, variables, diffusion, cfg_scale=args.cfg_scale,
             cache_interval=args.cache_interval, sampler=args.sampler,
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
+            cache_mode=args.cache_mode,
         )
     else:
         if args.cfg_interval is not None:
@@ -244,6 +245,12 @@ if __name__ == "__main__":
     parser.add_argument("--cache-interval", type=int, default=0,
                         help="Delta-DiT block-span caching every N steps "
                              "(0 = exact chain; lossy — see BENCH_NOTES)")
+    parser.add_argument("--cache-mode", choices=["hold", "forecast"], default="hold",
+                        help="skip-step span delta: hold it constant (Delta-DiT) "
+                             "or linearly extrapolate from the last two full "
+                             "evaluations (static Predict-to-Skip, arXiv "
+                             "2602.18093; same FLOPs — BENCH_NOTES records "
+                             "measured deviations)")
     parser.add_argument("--save-trajectory", type=str, default=None,
                         help="also write a denoising-evolution grid (pred_xstart "
                              "at 8 chain positions) to this PNG; ddpm only. "

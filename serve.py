@@ -27,7 +27,9 @@ Endpoints:
        "cfg_interval": [0.3, 3.0], "format": "png|npz"}
       cache_interval >= 2 enables Delta-DiT block-span caching (LOSSY —
       docs/BENCH_NOTES.md records the deviation; ddpm/dpm++ only, must
-      divide steps).
+      divide steps). cache_mode = "hold" (default) keeps the cached delta
+      constant across skip steps; "forecast" linearly extrapolates it
+      (static Predict-to-Skip, arXiv 2602.18093; same FLOPs).
       cfg_interval = [sigma_lo, sigma_hi] enables limited-interval guidance
       (arXiv 2404.07724): CFG only on steps with sigma(t) inside the
       interval, cond-only half-batch calls elsewhere (cheaper AND better
@@ -165,13 +167,14 @@ class SamplerService:
     def _get_fn(
         self, sampler: str, steps: int, cfg_scale: float, bucket: int,
         schedule: str = "uniform", cache_interval: int = 0, cfg_interval=None,
+        cache_mode: str = "hold",
     ):
         from mapdit_tpu.diffusion import create_diffusion, respacing_string
         from mapdit_tpu.runtime import build_cached_sample_fn, build_sample_fn
 
         key = (
             sampler, steps, float(cfg_scale), bucket, schedule, cache_interval,
-            cfg_interval,
+            cfg_interval, cache_mode,
         )
         fn = self._fns.get(key)
         if fn is None:
@@ -195,6 +198,7 @@ class SamplerService:
                     cache_interval=cache_interval,
                     sampler=sampler,
                     cfg_interval=cfg_interval,
+                    cache_mode=cache_mode,
                 )
             else:
                 fn = build_sample_fn(
@@ -217,6 +221,7 @@ class SamplerService:
     def sample(
         self, class_labels, steps, sampler, cfg_scale, seed=None,
         schedule="uniform", cache_interval=0, cfg_interval=None,
+        cache_mode="hold",
     ):
         """(labels, protocol) -> float latents/images (n, C, H, W) in [-1, 1].
 
@@ -256,6 +261,11 @@ class SamplerService:
                 )
         elif cache_interval < 0:
             raise ValueError("cache_interval must be >= 0")
+        if cache_mode not in ("hold", "forecast"):
+            raise ValueError("cache_mode must be 'hold' or 'forecast'")
+        if cache_interval <= 1:
+            cache_mode = "hold"  # no skip steps: both modes compile the
+            # identical program — normalize so the key dedupes
         if cfg_interval is not None:
             # limited-interval guidance (arXiv 2404.07724): validate at
             # admission so a bad interval fails this request alone
@@ -274,7 +284,10 @@ class SamplerService:
             cfg_interval = (lo, hi)
 
         job = _Job(np.asarray(class_labels, np.int32), seed)
-        key = (sampler, int(steps), cfg_scale, schedule, cache_interval, cfg_interval)
+        key = (
+            sampler, int(steps), cfg_scale, schedule, cache_interval,
+            cfg_interval, cache_mode,
+        )
         with self._cv:
             # Backpressure: bound the pending queue (503 on overflow) and
             # gate brand-new protocols on the compile budget at ADMISSION,
@@ -362,7 +375,7 @@ class SamplerService:
         import jax
         import jax.numpy as jnp
 
-        sampler, steps, cfg_scale, schedule, cache_interval, cfg_interval = key
+        sampler, steps, cfg_scale, schedule, cache_interval, cfg_interval, cache_mode = key
         n = sum(len(j.labels) for j in group)
         bucket = self._bucket(n)
         num_classes = self.cfg.num_classes
@@ -401,7 +414,8 @@ class SamplerService:
         else:
             y = y_rows
         fn = self._get_fn(
-            sampler, steps, cfg_scale, bucket, schedule, cache_interval, cfg_interval
+            sampler, steps, cfg_scale, bucket, schedule, cache_interval,
+            cfg_interval, cache_mode,
         )
         n_dev = self._mesh.shape["data"] if self._mesh is not None else 1
         cfg_rows = 2 * bucket if cfg_scale > 1.0 else bucket
@@ -536,6 +550,7 @@ def make_handler(service: SamplerService, defaults: dict):
                     labels, steps, sampler, cfg_scale, seed=req.get("seed"),
                     schedule=schedule, cache_interval=cache_interval,
                     cfg_interval=req.get("cfg_interval"),
+                    cache_mode=req.get("cache_mode", "hold"),
                 )
             except QueueFullError as e:
                 # standard shed-load signal

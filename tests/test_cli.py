@@ -252,6 +252,20 @@ class TestSampleCLI:
         )
         assert os.path.exists(out)
 
+    def test_sample_cached_forecast_mode(self, trained_run, tmp_path):
+        """Static Predict-to-Skip delta forecasting from the user CLI."""
+        out = str(tmp_path / "sample_forecast.png")
+        run(
+            "sample.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--output-file", out,
+            "--num-sampling-steps", "4",
+            "--cache-interval", "2",
+            "--cache-mode", "forecast",
+        )
+        assert os.path.exists(out)
+
     def test_sample_dpm_solver(self, trained_run, tmp_path):
         out = str(tmp_path / "sample_dpm.png")
         run(

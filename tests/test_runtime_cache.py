@@ -181,3 +181,79 @@ class TestDpmppComposition:
         cfg, variables, d, *_ = setup
         with pytest.raises(AssertionError):
             build_cached_sample_fn(cfg, variables, d, sampler="ddim")
+
+
+class TestForecastMode:
+    """cache_mode="forecast": skip steps linearly extrapolate the span
+    delta from the two most recent full evaluations (the static,
+    jit-friendly form of Predict-to-Skip, arXiv 2602.18093) instead of
+    holding it. Opt-in: on the untrained golden weights the measured
+    deviation is mostly >= hold's (feature trajectories aren't smooth at
+    random init; BENCH_NOTES records the table) — the paper's claim awaits
+    trained weights."""
+
+    def test_interval_one_is_exact(self, setup):
+        cfg, variables, d, z, y, rng = setup
+        base = _exact_chain(cfg, variables, d, z, y, rng)
+        out = build_cached_sample_fn(
+            cfg, variables, d, span=(1, 5), cache_interval=1,
+            clip_denoised=True, cache_mode="forecast",
+        )(z, y, rng)
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(out), atol=1e-5, rtol=1e-5
+        )
+
+    @pytest.mark.parametrize("sampler", ["ddpm", "dpm++"])
+    def test_differs_from_hold_and_bounded(self, setup, sampler):
+        cfg, variables, d, z, y, rng = setup
+        kw = dict(cache_interval=2, clip_denoised=True, sampler=sampler)
+        hold = np.asarray(build_cached_sample_fn(
+            cfg, variables, d, cache_mode="hold", **kw
+        )(z, y, rng))
+        fc = np.asarray(build_cached_sample_fn(
+            cfg, variables, d, cache_mode="forecast", **kw
+        )(z, y, rng))
+        assert np.isfinite(fc).all()
+        assert np.abs(fc - hold).max() > 1e-5  # the forecast really applies
+        if sampler == "ddpm":
+            base = np.asarray(_exact_chain(cfg, variables, d, z, y, rng))
+        else:
+            base = np.asarray(build_cached_sample_fn(
+                cfg, variables, d, span=(0, 0), cache_interval=1,
+                clip_denoised=True, sampler="dpm++",
+            )(z, y, rng))
+        rel = np.linalg.norm(fc - base) / np.linalg.norm(base)
+        assert 0 < rel < 1.0, rel
+
+    def test_first_group_holds(self, setup):
+        """No history at group 0: a chain that is ONE group long is
+        identical in both modes (the zeros init never contributes)."""
+        from mapdit_tpu.diffusion import create_diffusion
+
+        cfg, variables, _, z, y, rng = setup
+        d2 = create_diffusion("2")  # 2 steps = exactly one interval-2 group
+        outs = [
+            np.asarray(build_cached_sample_fn(
+                cfg, variables, d2, cache_interval=2, clip_denoised=True,
+                cache_mode=m,
+            )(z, y, rng))
+            for m in ("hold", "forecast")
+        ]
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+    def test_composes_with_cfg_interval(self, setup):
+        cfg, variables, d, z, y, rng = setup
+        z2 = jnp.concatenate([z, z], axis=0)
+        y2 = jnp.concatenate([y, jnp.full((2,), cfg.num_classes, jnp.int32)])
+        out = np.asarray(build_cached_sample_fn(
+            cfg, variables, d, cfg_scale=4.0, cache_interval=2,
+            clip_denoised=True, sampler="dpm++", cache_mode="forecast",
+            cfg_interval=(0.3, 3.0),
+        )(z2, y2, rng))
+        assert out.shape == (4, 4, 16, 16)
+        assert np.isfinite(out).all()
+
+    def test_unknown_mode_rejected(self, setup):
+        cfg, variables, d, *_ = setup
+        with pytest.raises(AssertionError):
+            build_cached_sample_fn(cfg, variables, d, cache_mode="extrapolate")

@@ -242,6 +242,24 @@ class TestServe:
             exact = f["arr_0"]
         assert not np.array_equal(cached, exact)
 
+        # forecast mode: a distinct program with a distinct (finite) result
+        status, _, body3 = _post(
+            server,
+            {"class_label": 2, "steps": 4, "sampler": "dpm++",
+             "cache_interval": 2, "cfg_scale": 1.0, "format": "npz",
+             "seed": 5, "cache_mode": "forecast"},
+        )
+        assert status == 200
+        with np.load(io.BytesIO(body3)) as f:
+            forecast = f["arr_0"]
+        assert not np.array_equal(forecast, cached)
+        try:
+            _post(server, {"class_label": 1, "steps": 4,
+                           "cache_interval": 2, "cache_mode": "extrapolate"})
+            raise AssertionError("expected 400 for bad cache_mode")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "cache_mode" in json.loads(e.read())["error"]
+
         for payload, frag in [
             ({"class_label": 1, "steps": 4, "sampler": "ddim",
               "cache_interval": 2}, "composes"),
