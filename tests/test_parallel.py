@@ -249,6 +249,38 @@ class TestDataParallel:
         assert out.shape == (16, 4, 16, 16)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_cfg_interval_chain_data_parallel_exact(self, setup):
+        """The limited-interval-guidance segmented chain (batch N / 2N / N
+        scan segments) under a dp8-sharded batch ≡ single-device run —
+        GSPMD must reshard correctly across the segment boundaries."""
+        from mapdit_tpu.runtime import build_sample_fn
+
+        cfg, _, state, _ = setup
+        variables = {"params": state.params, "constants": state.constants}
+        d = create_diffusion("4")
+        sample_fn = build_sample_fn(
+            cfg, variables, d, cfg_scale=1.5, clip_denoised=True,
+            cfg_interval=(0.3, 3.0),
+        )
+        n = 8
+        z = jax.random.normal(jax.random.PRNGKey(0), (n, 4, 16, 16))
+        z2 = jnp.concatenate([z, z], axis=0)
+        y2 = jnp.concatenate(
+            [jnp.zeros((n,), jnp.int32), jnp.full((n,), cfg.num_classes, jnp.int32)]
+        )
+        key = jax.random.PRNGKey(1)
+        ref = np.asarray(sample_fn(z2, y2, key))
+
+        mesh = make_mesh(n_data=8, n_model=1)
+        zs = jax.device_put(z2, batch_sharding(mesh))
+        ys = jax.device_put(y2, batch_sharding(mesh))
+        with jax.set_mesh(mesh):
+            out = np.asarray(sample_fn(zs, ys, key))
+        # same math, different GSPMD partitioning: reduction-order fusion
+        # noise compounds through the 4-step nonlinear chain (measured
+        # 2e-5 max on 2/16384 elements)
+        np.testing.assert_allclose(ref, out, rtol=1e-4, atol=1e-4)
+
 
 class TestFsdpCli:
     def test_train_fsdp_flag(self, tmp_path):
