@@ -188,7 +188,7 @@ def main():
                    help="sample mode: limited-interval guidance (arXiv "
                         "2404.07724) — CFG only where sigma(t) is in [LO, HI]; "
                         "unguided steps run cond-only at half the batch "
-                        "(ddpm/dpm++, exact-chain protocol only)")
+                        "(ddpm/dpm++; composes with --cache-interval)")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
     p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm",
@@ -314,7 +314,21 @@ def main():
 
     var_shapes = jax.eval_shape(lambda: init_model(cfg_flat, seed=0)[1])
     t_vec = jnp.zeros((2 * n,), jnp.float32)
-    mfu = _mfu_pct(fwd, (var_shapes, z, t_vec, y), args.steps, best)
+    if args.cache_interval > 1:
+        # skip steps don't execute the cached span: the full-forward FLOPs
+        # estimate would overstate utilization — report no MFU rather than
+        # a wrong one
+        mfu = None
+    else:
+        eff_steps = args.steps
+        if args.cfg_interval:
+            # unguided steps run the cond-only model at HALF the CFG batch;
+            # all model FLOPs are batch-linear, so they count as half a step
+            from mapdit_tpu.runtime import cfg_interval_segments
+
+            g0, g1 = cfg_interval_segments(diffusion, *args.cfg_interval)
+            eff_steps = (g1 - g0) + (args.steps - (g1 - g0)) * 0.5
+        mfu = _mfu_pct(fwd, (var_shapes, z, t_vec, y), eff_steps, best)
 
     print(
         json.dumps(
@@ -326,6 +340,10 @@ def main():
                     f"{args.steps} respaced steps"
                     + (f", {args.time_schedule}" if args.time_schedule != "uniform" else "")
                     + (f", cache-interval {args.cache_interval}" if args.cache_interval > 1 else "")
+                    + (
+                        f", cache-mode {args.cache_mode}"
+                        if args.cache_interval > 1 and args.cache_mode != "hold" else ""
+                    )
                     + (
                         f", cfg-interval {args.cfg_interval[0]:g}-{args.cfg_interval[1]:g}"
                         if args.cfg_interval else ""

@@ -169,10 +169,6 @@ def main(args):
             cache_mode=args.cache_mode,
         )
     else:
-        if args.cfg_interval is not None:
-            assert args.sampler in ("ddpm", "dpm++"), (
-                "--cfg-interval composes with --sampler ddpm or dpm++"
-            )
         sample_fn = build_sample_fn(
             cfg, variables, diffusion, cfg_scale=args.cfg_scale,
             sampler=args.sampler, eta=args.eta,
@@ -191,6 +187,10 @@ def main(args):
         # neither codebase otherwise wires to a CLI): one row per sample,
         # columns = pred_xstart at ~8 evenly spaced chain positions.
         assert args.sampler == "ddpm", "--save-trajectory needs --sampler ddpm"
+        assert args.cfg_interval is None, (
+            "--save-trajectory renders the full-CFG progressive chain; it "
+            "does not depict the --cfg-interval segmented chain"
+        )
         from mapdit_tpu.runtime import build_model_fn
 
         model_fn = build_model_fn(cfg, variables, cfg_scale=args.cfg_scale)

@@ -42,10 +42,6 @@ def main(args):
 
     n = 8
     # One compiled sampler shared across all five EMA parameter sets.
-    if args.cfg_interval is not None:
-        assert args.sampler in ("ddpm", "dpm++"), (
-            "--cfg-interval composes with --sampler ddpm or dpm++"
-        )
     prepare, sample_fn = build_shared_sample_fn(
         cfg, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler, eta=args.eta,
         cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,

@@ -46,11 +46,7 @@ def main(args):
     diffusion = create_diffusion(respacing_string(steps, args.sampler, args.time_schedule))
 
     use_cfg = args.cfg_scale > 1.0
-    if args.cfg_interval is not None:
-        assert use_cfg, "--cfg-interval needs --cfg-scale > 1"
-        assert args.sampler in ("ddpm", "dpm++"), (
-            "--cfg-interval composes with --sampler ddpm or dpm++"
-        )
+    # builder enforces --cfg-interval compatibility (needs CFG; ddpm/dpm++)
     sample_fn = build_sample_fn(
         cfg, variables, diffusion,
         cfg_scale=args.cfg_scale if use_cfg else None,

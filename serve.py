@@ -142,7 +142,9 @@ class SamplerService:
         self._pending = 0  # jobs enqueued but not yet taken by the dispatcher
         self._timeouts = 0
         self._rejected = 0
-        self._fns = {}  # (sampler, steps, cfg_scale, bucket, schedule) -> fn
+        # (sampler, steps, cfg_scale, bucket, schedule, cache_interval,
+        #  cfg_interval, cache_mode) -> compiled sample fn
+        self._fns = {}
         self._base_key = jax.random.PRNGKey(seed)
         self._request_counter = 0
         self._coalesced_batches = 0
@@ -185,7 +187,8 @@ class SamplerService:
                 raise ValueError(
                     f"compile budget exhausted ({self.max_programs} programs); "
                     "reuse an already-compiled (sampler, steps, cfg_scale, "
-                    "schedule) protocol or restart with --max-programs"
+                    "schedule, cache_interval, cfg_interval, cache_mode) "
+                    "protocol or restart with --max-programs"
                 )
             diffusion = create_diffusion(respacing_string(steps, sampler, schedule))
             if cache_interval > 1:
@@ -307,8 +310,8 @@ class SamplerService:
                 raise ValueError(
                     f"compile budget exhausted ({self.max_programs} programs); "
                     "reuse an already-compiled (sampler, steps, cfg_scale, "
-                    "schedule, cache_interval) protocol or restart with "
-                    "--max-programs"
+                    "schedule, cache_interval, cfg_interval, cache_mode) "
+                    "protocol or restart with --max-programs"
                 )
             self._pending += 1
             self._queues.setdefault(key, []).append(job)
