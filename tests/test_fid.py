@@ -62,3 +62,38 @@ class TestRandomProjFeatures:
         mu2, s2 = fid.activation_stats(fid.random_projection_features(shifted))
         assert abs(fid.frechet_distance(mu, s, mu, s)) < 1e-6
         assert fid.frechet_distance(mu, s, mu2, s2) > 0.1
+
+
+class TestKid:
+    """kid_score: unbiased polynomial-kernel MMD^2 (arXiv 1801.01401)."""
+
+    def test_same_distribution_near_zero_different_positive(self):
+        rng = np.random.default_rng(4)
+        a = rng.normal(size=(400, 16))
+        b = rng.normal(size=(400, 16))           # same distribution
+        c = rng.normal(size=(400, 16)) + 0.5     # mean-shifted
+        same_mean, same_std = fid.kid_score(a, b, subset_size=200, n_subsets=20)
+        diff_mean, _ = fid.kid_score(a, c, subset_size=200, n_subsets=20)
+        # unbiased estimator: same-distribution value straddles zero within
+        # a few subset stds; a real shift separates by far more
+        assert abs(same_mean) < max(5 * same_std, 0.05), (same_mean, same_std)
+        assert diff_mean > 10 * max(same_mean, same_std), (diff_mean, same_mean)
+
+    def test_deterministic_in_seed(self):
+        rng = np.random.default_rng(5)
+        a, b = rng.normal(size=(100, 8)), rng.normal(size=(100, 8))
+        assert fid.kid_score(a, b, 50, 5, seed=1) == fid.kid_score(a, b, 50, 5, seed=1)
+        assert fid.kid_score(a, b, 50, 5, seed=1) != fid.kid_score(a, b, 50, 5, seed=2)
+
+    def test_unbiased_at_small_n_where_fid_is_not(self):
+        """The reason KID is in the toolbox: at N=50 draws from ONE
+        distribution, sampled FID is large (covariance bias) while KID
+        stays near zero."""
+        rng = np.random.default_rng(6)
+        a, b = rng.normal(size=(50, 32)), rng.normal(size=(50, 32))
+        mu1, s1 = fid.activation_stats(a)
+        mu2, s2 = fid.activation_stats(b)
+        fid_val = fid.frechet_distance(mu1, s1, mu2, s2)
+        kid_val, kid_std = fid.kid_score(a, b, subset_size=50, n_subsets=10)
+        assert fid_val > 1.0, fid_val          # heavily biased at N=50
+        assert abs(kid_val) < 0.1, kid_val     # unbiased stays near zero
