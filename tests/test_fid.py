@@ -97,3 +97,33 @@ class TestKid:
         kid_val, kid_std = fid.kid_score(a, b, subset_size=50, n_subsets=10)
         assert fid_val > 1.0, fid_val          # heavily biased at N=50
         assert abs(kid_val) < 0.1, kid_val     # unbiased stays near zero
+
+
+class TestPrecisionRecall:
+    """Improved precision/recall (arXiv 1904.06991): the fidelity vs
+    diversity split."""
+
+    def test_same_distribution_high_both(self):
+        rng = np.random.default_rng(7)
+        real = rng.normal(size=(300, 8))
+        fake = rng.normal(size=(300, 8))
+        p, r = fid.precision_recall(real, fake)
+        assert p > 0.8 and r > 0.8, (p, r)
+
+    def test_mode_collapse_high_precision_low_recall(self):
+        """Fakes concentrated in a tiny region of the real distribution:
+        every fake is near real support (precision high) but most reals
+        have no fake nearby (recall low) — the axis a scalar FID folds."""
+        rng = np.random.default_rng(8)
+        real = rng.normal(size=(300, 8))
+        fake = rng.normal(size=(300, 8)) * 0.05  # collapsed to the mode
+        p, r = fid.precision_recall(real, fake)
+        assert p > 0.9, p
+        assert r < 0.4, r
+
+    def test_off_manifold_low_precision(self):
+        rng = np.random.default_rng(9)
+        real = rng.normal(size=(300, 8))
+        fake = rng.normal(size=(300, 8)) + 10.0  # far off-support
+        p, _ = fid.precision_recall(real, fake)
+        assert p < 0.05, p

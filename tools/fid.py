@@ -1,11 +1,17 @@
-"""FID evaluation for sample_fid.py outputs.
+"""Sample-quality metrics (FID / KID / precision-recall) for sample_fid.py
+outputs.
 
 The reference emits ADM-evaluator-format npz (`sample_fid.py:86-97`) and
 relies on the external OpenAI evaluator. This tool closes the loop in-repo:
 
   python tools/fid.py --samples A.npz --ref-stats ref_stats.npz
-  python tools/fid.py --samples A.npz --ref-samples B.npz
+  python tools/fid.py --samples A.npz --ref-samples B.npz --metric all
   python tools/fid.py --make-stats A.npz --out stats.npz
+
+`--metric kid` (unbiased in N, arXiv 1801.01401) and `--metric pr`
+(improved precision/recall, arXiv 1904.06991 — fidelity vs diversity,
+the axes guidance knobs trade) are sized for the small-N single-chip
+protocol where FID's covariance estimate is badly biased.
 
 Feature extraction (`--features`):
   * ``inception``   — torchvision InceptionV3 pool features (2048-d);
@@ -101,6 +107,48 @@ def kid_score(
     return float(np.mean(vals)), float(np.std(vals))
 
 
+def precision_recall(
+    real_feats: np.ndarray,
+    fake_feats: np.ndarray,
+    nhood_size: int = 3,
+):
+    """Improved precision & recall (Kynkaanniemi et al., arXiv 1904.06991):
+    each set's manifold is the union of hyperspheres reaching its members'
+    k-th nearest in-set neighbor; precision = fraction of fakes inside the
+    real manifold, recall = fraction of reals inside the fake manifold.
+
+    The fidelity-vs-diversity diagnostic for guidance knobs (cfg_scale /
+    cfg_interval trade exactly these two axes) that a single FID/KID
+    number cannot separate. O(N^2) distances — meant for the small-N chip
+    protocol, not 50k sets.
+    """
+
+    def k_radii(feats, k):
+        d2 = (
+            (feats**2).sum(1)[:, None]
+            + (feats**2).sum(1)[None, :]
+            - 2.0 * (feats @ feats.T)
+        )
+        np.fill_diagonal(d2, np.inf)
+        return np.sqrt(np.maximum(np.partition(d2, k - 1, axis=1)[:, k - 1], 0.0))
+
+    def fraction_inside(candidates, manifold, radii):
+        d2 = (
+            (candidates**2).sum(1)[:, None]
+            + (manifold**2).sum(1)[None, :]
+            - 2.0 * (candidates @ manifold.T)
+        )
+        d = np.sqrt(np.maximum(d2, 0.0))
+        return float((d <= radii[None, :]).any(axis=1).mean())
+
+    real = real_feats.astype(np.float64)
+    fake = fake_feats.astype(np.float64)
+    assert len(real) > nhood_size and len(fake) > nhood_size
+    precision = fraction_inside(fake, real, k_radii(real, nhood_size))
+    recall = fraction_inside(real, fake, k_radii(fake, nhood_size))
+    return precision, recall
+
+
 def inception_features(images_u8: np.ndarray, batch_size: int = 64) -> np.ndarray:
     """(N, H, W, 3) uint8 -> (N, 2048) InceptionV3 pool features (torch CPU).
 
@@ -184,12 +232,16 @@ def main():
                    default="inception",
                    help="feature extractor; random-proj is the weights-free "
                         "pipeline stub (see module docstring)")
-    p.add_argument("--metric", choices=["fid", "kid", "both"], default="fid",
-                   help="kid (unbiased in N; needs --ref-samples, not "
-                        "--ref-stats) is the right call at the small sample "
-                        "counts that are cheap on one chip")
+    p.add_argument("--metric", choices=["fid", "kid", "pr", "all"], default="fid",
+                   help="kid (unbiased in N) and pr (improved precision/"
+                        "recall — the fidelity-vs-diversity split a scalar "
+                        "distance can't give) need --ref-samples, not "
+                        "--ref-stats; both are sized for the small-N chip "
+                        "protocol")
     p.add_argument("--kid-subset-size", type=int, default=1000)
     p.add_argument("--kid-subsets", type=int, default=100)
+    p.add_argument("--pr-nhood", type=int, default=3,
+                   help="k for the precision/recall manifold radii")
     args = p.parse_args()
 
     if args.make_stats:
@@ -201,10 +253,10 @@ def main():
         return
 
     assert args.samples and (args.ref_samples or args.ref_stats)
-    if args.metric in ("kid", "both") and not args.ref_samples:
+    if args.metric in ("kid", "pr", "all") and not args.ref_samples:
         raise SystemExit(
-            "error: --metric kid needs raw reference features (--ref-samples); "
-            "a (mu, sigma) stats file cannot feed the MMD estimator"
+            f"error: --metric {args.metric} needs raw reference features "
+            "(--ref-samples); a (mu, sigma) stats file cannot feed it"
         )
     # validate extractor compatibility before paying for feature extraction
     ref = _load_stats(args.ref_stats, args.features) if args.ref_stats else None
@@ -212,15 +264,19 @@ def main():
     f2 = None
     if args.ref_samples:
         f2 = extract_features(_load_samples(args.ref_samples), args.features)
-    if args.metric in ("fid", "both"):
+    if args.metric in ("fid", "all"):
         mu1, s1 = activation_stats(f1)
         mu2, s2 = ref if ref is not None else activation_stats(f2)
         print(f"FID: {frechet_distance(mu1, s1, mu2, s2):.4f}")
-    if args.metric in ("kid", "both"):
+    if args.metric in ("kid", "all"):
         mean, std = kid_score(
             f1, f2, subset_size=args.kid_subset_size, n_subsets=args.kid_subsets
         )
         print(f"KID: {mean:.6f} +/- {std:.6f}")
+    if args.metric in ("pr", "all"):
+        # convention: --ref-samples is the REAL set, --samples the generated
+        prec, rec = precision_recall(f2, f1, nhood_size=args.pr_nhood)
+        print(f"precision: {prec:.4f}  recall: {rec:.4f}")
 
 
 if __name__ == "__main__":
