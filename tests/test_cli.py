@@ -577,6 +577,22 @@ class TestBenchCLI:
         assert rec["value"] > 0 and rec["vs_baseline"] > 0
         assert "mfu_pct" in rec
 
+    def test_cfg_interval_and_cache_mode_flags(self):
+        """The accelerator flags through the bench CLI: unit-string truth
+        (cfg-interval / cache-mode tags) and the honest-MFU rules (scaled
+        for cfg-interval, null for cached chains)."""
+        proc = run("bench.py", "--model", "DiT-XS/8", "--steps", "2",
+                   "--batch", "2", "--repeats", "1",
+                   "--cfg-interval", "0.3", "3.0")
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rec["value"] > 0 and "cfg-interval 0.3-3" in rec["unit"]
+        proc = run("bench.py", "--model", "DiT-XS/8", "--steps", "4",
+                   "--batch", "2", "--repeats", "1",
+                   "--cache-interval", "2", "--cache-mode", "forecast")
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rec["value"] > 0 and "cache-mode forecast" in rec["unit"]
+        assert rec["mfu_pct"] is None  # skip steps make full-fwd FLOPs wrong
+
     def test_train_mode_and_kernel_flags(self):
         proc = run("bench.py", "--model", "DiT-XS/8", "--mode", "train",
                    "--batch", "4", "--steps", "10")
