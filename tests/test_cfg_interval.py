@@ -217,6 +217,41 @@ class TestCachedChainComposition:
         assert np.abs(mid - full).max() > 1e-4
 
 
+class TestMegakernelComposition:
+    def test_segmented_chain_through_mega_kernel_interpret(self):
+        """The chip path the queued bench rows will run: the whole-block
+        Pallas megakernel (interpret mode on CPU) inside the segmented
+        cfg-interval chain must match the unfused XLA chain. The segments
+        change batch rows N/2N/N, so the kernel's group packing sees both
+        shapes in one program."""
+        from mapdit_tpu.models import build_config, init_model
+
+        base = build_config(
+            "DiT-XS/2", in_channels=4, input_size=16, num_classes=10,
+            block_kernel="off",
+        )
+        _, variables = init_model(base, seed=3)
+        d = create_diffusion("4")
+        z = jax.random.normal(jax.random.PRNGKey(0), (N, 4, 16, 16))
+        z2 = jnp.concatenate([z, z], axis=0)
+        y2 = jnp.concatenate(
+            [jnp.array([3, 7], jnp.int32), jnp.full((N,), 10, jnp.int32)]
+        )
+        rng = jax.random.PRNGKey(1)
+        acp = np.asarray(d.alphas_cumprod, np.float64)
+        sigma = np.sqrt((1.0 - acp) / acp)[::-1]
+        interval = (float(sigma[2]), float(sigma[1]))  # positions 1..2 guided
+        outs = {}
+        for bk in ("off", "mega"):
+            cfg = base.replace(block_kernel=bk)
+            outs[bk] = np.asarray(build_sample_fn(
+                cfg, variables, d, cfg_scale=4.0, sampler="dpm++",
+                clip_denoised=True, cfg_interval=interval,
+            )(z2, y2, rng))
+        assert np.isfinite(outs["mega"]).all()
+        np.testing.assert_allclose(outs["off"], outs["mega"], rtol=2e-3, atol=2e-3)
+
+
 class TestBuilderValidation:
     def test_requires_cfg_scale(self, setup):
         cfg, variables, d, *_ = setup
