@@ -142,6 +142,11 @@ class SamplerService:
         self._pending = 0  # jobs enqueued but not yet taken by the dispatcher
         self._timeouts = 0
         self._rejected = 0
+        # end-to-end request latency (enqueue -> result), Prometheus
+        # summary-style counters
+        self._lat_sum = 0.0
+        self._lat_count = 0
+        self._lat_max = 0.0
         # (sampler, steps, cfg_scale, bucket, schedule, cache_interval,
         #  cfg_interval, cache_mode) -> compiled sample fn
         self._fns = {}
@@ -316,6 +321,7 @@ class SamplerService:
             self._pending += 1
             self._queues.setdefault(key, []).append(job)
             self._cv.notify()
+        enqueue_t = time.time()
         if not job.done.wait(timeout=self.request_timeout_s or None):
             job.abandoned = True  # dispatcher will skip it if still queued
             self._timeouts += 1
@@ -326,6 +332,11 @@ class SamplerService:
             )
         if job.error is not None:
             raise job.error
+        elapsed = time.time() - enqueue_t
+        with self._cv:
+            self._lat_sum += elapsed
+            self._lat_count += 1
+            self._lat_max = max(self._lat_max, elapsed)
         return job.result
 
     # ---------------------------------------------------------------- #
@@ -464,6 +475,9 @@ class SamplerService:
             "request_timeout_s": self.request_timeout_s,
             "timeouts": self._timeouts,
             "rejected": self._rejected,
+            "request_latency_seconds_sum": round(self._lat_sum, 4),
+            "request_latency_seconds_count": self._lat_count,
+            "request_latency_seconds_max": round(self._lat_max, 4),
             "coalesce_ms": self.coalesce_ms,
             "uptime_s": round(time.time() - self.started, 1),
             "decode": "vae" if self.use_vae else "latent",

@@ -108,6 +108,17 @@ class TestServe:
             text = resp.read().decode()
         assert "mapdit_batches_run " in text
         assert "# TYPE mapdit_compiled_programs gauge" in text
+        assert "mapdit_request_latency_seconds_sum " in text
+        assert "mapdit_request_latency_seconds_count " in text
+
+    def test_latency_counters_advance(self, server):
+        info0 = json.loads(urllib.request.urlopen(server + "/healthz", timeout=60).read())
+        _post(server, {"class_label": 1, "num_samples": 1, "steps": 2,
+                       "sampler": "dpm++", "cfg_scale": 1.0})
+        info1 = json.loads(urllib.request.urlopen(server + "/healthz", timeout=60).read())
+        assert info1["request_latency_seconds_count"] > info0["request_latency_seconds_count"]
+        assert info1["request_latency_seconds_sum"] > info0["request_latency_seconds_sum"]
+        assert info1["request_latency_seconds_max"] > 0
 
     def test_png_grid(self, server):
         status, ctype, body = _post(
