@@ -311,6 +311,35 @@ class TestSampleCLI:
         # ADM evaluator format: uint8 NHWC, exactly num_samples
         assert arr.dtype == np.uint8 and arr.shape == (6, 16, 16, 4)
 
+    def test_guidance_sweep_end_to_end(self, trained_run, tmp_path):
+        """tools/guidance_sweep.py: the weights-day (cfg_scale x
+        cfg_interval) arbitration harness, weights-free via random-proj."""
+        ref = str(tmp_path / "ref.npz")
+        rng = np.random.default_rng(1)
+        np.savez(ref, arr_0=rng.integers(0, 256, (8, 16, 16, 4), dtype=np.uint8))
+        out = str(tmp_path / "sweep.jsonl")
+        proc = run(
+            "tools/guidance_sweep.py",
+            "--result-dir", trained_run,
+            "--ref-samples", ref,
+            "--cfg-scales", "1.0,4.0",
+            "--cfg-intervals", "none,0.3:3.0",
+            "--num-samples", "8",
+            "--batch-size", "8",
+            "--steps", "2",
+            "--features", "random-proj",
+            "--work-dir", str(tmp_path),
+            "--out", out,
+        )
+        rows = [json.loads(l) for l in open(out)]
+        # cfg_scale 1.0 skips the interval point (needs CFG): 3 rows
+        assert len(rows) == 3
+        for r in rows:
+            assert set(r) >= {"cfg_scale", "cfg_interval", "fid", "kid",
+                              "precision", "recall", "sample_npz"}
+            assert np.isfinite(r["fid"]) and os.path.exists(r["sample_npz"])
+        assert "best by FID" in proc.stdout
+
     def test_fid_pipeline_end_to_end(self, trained_run, tmp_path):
         """The full FID loop, weights-free: sample_fid npz -> tools/fid.py
         stats cache -> Frechet number (random-proj extractor; the real run
