@@ -166,13 +166,14 @@ def main(args):
             cfg, variables, diffusion, cfg_scale=args.cfg_scale,
             cache_interval=args.cache_interval, sampler=args.sampler,
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
-            cache_mode=args.cache_mode,
+            cache_mode=args.cache_mode, clip_denoised=args.clip_denoised,
         )
     else:
         sample_fn = build_sample_fn(
             cfg, variables, diffusion, cfg_scale=args.cfg_scale,
             sampler=args.sampler, eta=args.eta,
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
+            clip_denoised=args.clip_denoised,
         )
     samples = sample_fn(z, y, skey)
     samples = np.asarray(samples[:n])  # drop the null-class half
@@ -202,7 +203,8 @@ def main(args):
         @jax.jit
         def traj_fn(z, y, k):
             outs = diffusion.p_sample_loop_progressive(
-                model_fn, z, k, clip_denoised=False, model_kwargs={"y": y}
+                model_fn, z, k, clip_denoised=args.clip_denoised,
+                model_kwargs={"y": y},
             )
             return outs["pred_xstart"][jnp.asarray(frames_t)][:, :n]
 
@@ -257,6 +259,12 @@ if __name__ == "__main__":
                              "Runs a second full denoising chain (~doubles "
                              "sampling time); only the kept frames leave the "
                              "device")
+    parser.add_argument("--clip-denoised", type=lambda s: s.lower() in ("1", "true", "yes"),
+                        default=False, metavar="BOOL",
+                        help="clamp pred_xstart to [-1, 1] each step (the "
+                             "reference scripts pass False, `sample.py:57`; "
+                             "True keeps few-step chains finite on untrained "
+                             "or early-training checkpoints)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--ema-std", type=float, default=0.05)
     parser.add_argument("--ckpt", type=str, default=None,

@@ -53,6 +53,7 @@ def main(args):
         sampler=args.sampler,
         eta=args.eta,
         cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
+        clip_denoised=args.clip_denoised,
     )
 
     # Data-parallel sampling: shard each batch over all available chips
@@ -109,6 +110,11 @@ if __name__ == "__main__":
                              "FID at high guidance and cuts FLOPs (see sample.py)")
     parser.add_argument("--eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic ODE)")
+    parser.add_argument("--clip-denoised", type=lambda s: s.lower() in ("1", "true", "yes"),
+                        default=False, metavar="BOOL",
+                        help="clamp pred_xstart to [-1, 1] each step (reference "
+                             "FID protocol passes False; True keeps few-step "
+                             "chains finite on untrained checkpoints)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output-file", type=str, default="samples.npz")
     parser.add_argument("--ema-std", type=float, default=0.05)

@@ -263,6 +263,7 @@ class TestSampleCLI:
             "--num-sampling-steps", "4",
             "--cache-interval", "2",
             "--cache-mode", "forecast",
+            "--clip-denoised", "true",
         )
         assert os.path.exists(out)
 
