@@ -389,6 +389,8 @@ class TestSampleCLI:
             "--output-file", out,
             "--class-label", "1",
             "--num-sampling-steps", "2",
+            "--sampler", "dpm++",
+            "--cfg-interval", "0.3", "3.0",
             timeout=1800,
         )
         assert os.path.exists(out)
