@@ -113,8 +113,10 @@ class TestServe:
 
     def test_latency_counters_advance(self, server):
         info0 = json.loads(urllib.request.urlopen(server + "/healthz", timeout=60).read())
-        _post(server, {"class_label": 1, "num_samples": 1, "steps": 2,
-                       "sampler": "dpm++", "cfg_scale": 1.0})
+        # same protocol as the png/npz tests below: test_bucket_reuse_is_visible
+        # asserts the module-wide compiled-program count stays at <= 2
+        _post(server, {"class_labels": [1, 2], "steps": 4,
+                       "sampler": "ddim", "cfg_scale": 1.0})
         info1 = json.loads(urllib.request.urlopen(server + "/healthz", timeout=60).read())
         assert info1["request_latency_seconds_count"] > info0["request_latency_seconds_count"]
         assert info1["request_latency_seconds_sum"] > info0["request_latency_seconds_sum"]
