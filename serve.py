@@ -220,9 +220,15 @@ class SamplerService:
             self._fns[key] = fn
         return fn
 
-    def warmup(self, sampler: str, steps: int, cfg_scale: float):
-        """Precompile the largest bucket so the first request is fast."""
-        self.sample([0] * self.buckets[-1], steps, sampler, cfg_scale, seed=0)
+    def warmup(self, sampler: str, steps: int, cfg_scale: float, **protocol):
+        """Precompile the largest bucket so the first request is fast.
+        Extra protocol fields (schedule / cache_interval / cfg_interval /
+        cache_mode) pass through — --warmup-protocols uses this to warm
+        every production protocol at startup instead of paying the compile
+        on its first request (the 504-timeout path)."""
+        self.sample(
+            [0] * self.buckets[-1], steps, sampler, cfg_scale, seed=0, **protocol
+        )
 
     # ------------------------------------------------------------------ #
 
@@ -636,6 +642,24 @@ def main(args):
         t0 = time.time()
         service.warmup(defaults["sampler"], defaults["steps"], defaults["cfg_scale"])
         print(f"[serve] warmup compile done in {time.time() - t0:.1f}s", flush=True)
+    if args.warmup_protocols:
+        protos = json.loads(args.warmup_protocols)
+        if not isinstance(protos, list):
+            raise SystemExit("error: --warmup-protocols must be a JSON list")
+        for proto in protos:
+            t0 = time.time()
+            p = dict(proto)
+            sampler = p.pop("sampler", defaults["sampler"])
+            steps = int(p.pop("steps", defaults["steps"]))
+            cfg_scale = float(p.pop("cfg_scale", defaults["cfg_scale"]))
+            if "cfg_interval" in p and p["cfg_interval"] is not None:
+                p["cfg_interval"] = [float(v) for v in p["cfg_interval"]]
+            service.warmup(sampler, steps, cfg_scale, **p)
+            print(
+                f"[serve] warmed {sampler}/{steps}/{cfg_scale:g} {p or ''} "
+                f"in {time.time() - t0:.1f}s",
+                flush=True,
+            )
 
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service, defaults))
     print(
@@ -704,6 +728,12 @@ if __name__ == "__main__":
                         help="how long the dispatcher waits to merge concurrent "
                              "same-protocol requests into one device batch "
                              "(0 = run each request immediately)")
+    parser.add_argument("--warmup-protocols", type=str, default=None,
+                        help='JSON list of protocol dicts to precompile at '
+                             'startup, e.g. \'[{"steps": 20, "sampler": '
+                             '"dpm++", "cfg_scale": 4.0, "cfg_interval": '
+                             '[0.3, 3.0]}]\' — production protocols then '
+                             'never pay a first-request compile (504 risk)')
     parser.add_argument("--warmup", type=lambda s: s.lower() in ("1", "true", "yes"),
                         default=True, metavar="BOOL")
     main(parser.parse_args())

@@ -412,6 +412,39 @@ class TestBackpressure:
     server sheds load with 503/504 instead of queueing without bound or
     letting compile storms wedge the dispatcher."""
 
+    def test_warmup_protocols_flag(self, trained_exp):
+        """--warmup-protocols precompiles arbitrary protocol dicts at
+        startup (incl. cfg_interval), so production protocols never pay a
+        first-request compile."""
+        srv, base = _start_server(
+            trained_exp,
+            ["--warmup-protocols",
+             '[{"steps": 2, "sampler": "dpm++", "cfg_scale": 4.0, '
+             '"cfg_interval": [0.3, 3.0]}]'],
+        )
+        try:
+            info = json.loads(
+                urllib.request.urlopen(base + "/healthz", timeout=60).read()
+            )
+            assert info["compiled_programs"] >= 1
+            status, _, _ = _post(
+                base,
+                {"class_label": 1, "num_samples": 1, "steps": 2,
+                 "sampler": "dpm++", "cfg_scale": 4.0,
+                 "cfg_interval": [0.3, 3.0], "format": "npz"},
+            )
+            assert status == 200
+            info2 = json.loads(
+                urllib.request.urlopen(base + "/healthz", timeout=60).read()
+            )
+            # the request reused the warmed program (same bucket: n=1 pads
+            # into the warmed largest bucket only if buckets match — count
+            # may grow by one bucket specialization at most)
+            assert info2["compiled_programs"] <= info["compiled_programs"] + 1
+        finally:
+            srv.terminate()
+            srv.wait(timeout=30)
+
     def test_queue_overflow_503(self, trained_exp):
         import threading
 
