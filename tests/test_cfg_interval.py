@@ -58,6 +58,31 @@ class TestSegmentMapping:
         mask = (sigma >= lo) & (sigma <= hi)
         assert mask[g0:g1].all() and not mask[:g0].any() and not mask[g1:].any()
 
+    @pytest.mark.parametrize("spec", ["8", "20", "10,10", "karras16"])
+    def test_randomized_intervals_match_bruteforce(self, spec):
+        """100 random sigma intervals (plus degenerate edges) on several
+        respaced grids: the contiguous [g0, g1) must equal the brute-force
+        membership mask exactly."""
+        from mapdit_tpu.diffusion import create_diffusion
+
+        try:
+            d = create_diffusion(spec)
+        except Exception:
+            pytest.skip(f"respacing spec {spec} unsupported")
+        acp = np.asarray(d.alphas_cumprod, np.float64)
+        sigma = np.sqrt((1.0 - acp) / acp)[::-1]
+        rng = np.random.default_rng(0)
+        cases = [(0.0, 1e9), (1e9, 2e9), (0.0, 0.0)]
+        for _ in range(100):
+            a, b = rng.uniform(0, float(sigma.max()) * 1.2, size=2)
+            cases.append((min(a, b), max(a, b)))
+        for lo, hi in cases:
+            g0, g1 = cfg_interval_segments(d, lo, hi)
+            mask = (sigma >= lo) & (sigma <= hi)
+            expect = np.zeros_like(mask)
+            expect[g0:g1] = True
+            np.testing.assert_array_equal(mask, expect, err_msg=f"{lo=} {hi=}")
+
 
 class TestExactnessLimits:
     @pytest.mark.parametrize("sampler", ["ddpm", "dpm++"])
