@@ -30,35 +30,6 @@ from mapdit_tpu.utils.compile_cache import enable_compile_cache
 TORCH_EAGER_BASELINE_STEPS_PER_SEC = 0.2042
 
 
-def _backend_watchdog(timeout_s: float = 300.0):
-    """Fail fast if backend init hangs (the axon tunnel outage mode:
-    `jax.devices()` blocks forever with no error — observed for 6+ h
-    straight). Exits 3 with a stderr message instead of hanging the
-    calling driver; NO json line is emitted so a dead tunnel can never be
-    recorded as a 0-valued measurement."""
-    import sys
-    import threading
-
-    done = threading.Event()
-
-    def arm():
-        if not done.wait(timeout_s):
-            print(
-                f"bench: TPU backend init did not complete within "
-                f"{timeout_s:.0f}s — axon tunnel down? (JAX_PLATFORMS=cpu "
-                "for a CPU run)",
-                file=sys.stderr,
-                flush=True,
-            )
-            os._exit(3)
-
-    threading.Thread(target=arm, daemon=True).start()
-    try:
-        jax.devices()
-    finally:
-        done.set()
-
-
 def _peak_flops(device_kind: str):
     """bf16 peak FLOP/s for the MFU estimate (None if unknown)."""
     kind = device_kind.lower()
@@ -237,7 +208,11 @@ def main():
                         "re-tests")
     args = p.parse_args()
     enable_compile_cache()
-    _backend_watchdog(float(os.environ.get("MAPDIT_BACKEND_TIMEOUT_S", "300")))
+    from mapdit_tpu.utils.backend_guard import fail_fast_on_dead_backend
+
+    fail_fast_on_dead_backend(
+        float(os.environ.get("MAPDIT_BACKEND_TIMEOUT_S", "300")), label="bench"
+    )
 
     cfg = build_config(
         args.model,

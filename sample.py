@@ -126,6 +126,9 @@ def decode_latents(
 
 def main(args):
     enable_compile_cache()
+    from mapdit_tpu.utils.backend_guard import fail_fast_on_dead_backend
+
+    fail_fast_on_dead_backend(label="sample")
     cfg_path = os.path.join(args.result_dir, "config.yaml")
     if not os.path.exists(cfg_path):
         raise SystemExit(

@@ -27,6 +27,9 @@ EMA_STDS = [0.0075, 0.01, 0.05, 0.1, 0.15]  # reference sample_ema.py:25
 
 def main(args):
     enable_compile_cache()
+    from mapdit_tpu.utils.backend_guard import fail_fast_on_dead_backend
+
+    fail_fast_on_dead_backend(label="sample_ema")
     cfg_path = os.path.join(args.result_dir, "config.yaml")
     if not os.path.exists(cfg_path):
         raise SystemExit(

@@ -31,6 +31,9 @@ from mapdit_tpu.utils.compile_cache import enable_compile_cache
 
 def main(args):
     enable_compile_cache()
+    from mapdit_tpu.utils.backend_guard import fail_fast_on_dead_backend
+
+    fail_fast_on_dead_backend(label="sample_fid")
     cfg_path = os.path.join(args.result_dir, "config.yaml")
     if not os.path.exists(cfg_path):
         raise SystemExit(

@@ -617,6 +617,9 @@ def main(args):
     from mapdit_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    from mapdit_tpu.utils.backend_guard import fail_fast_on_dead_backend
+
+    fail_fast_on_dead_backend(label="serve")
     from http.server import ThreadingHTTPServer
 
     service = SamplerService(

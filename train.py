@@ -55,6 +55,9 @@ def build_dataset(data_path: str):
 
 def main(args):
     enable_compile_cache()
+    from mapdit_tpu.utils.backend_guard import fail_fast_on_dead_backend
+
+    fail_fast_on_dead_backend(label="train")
     if args.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     if args.multihost:
