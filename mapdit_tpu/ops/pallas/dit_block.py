@@ -59,6 +59,21 @@ def _pack_mode() -> bool:
     return os.environ.get("MAPDIT_MEGA_PACK", "0") == "1"
 
 
+def _skips() -> frozenset:
+    """MAPDIT_MEGA_SKIP: comma-set of kernel stages to elide AT TRACE TIME —
+    a measurement-only knob for tools/kernel_ablation.py (the jax.profiler
+    trace sees the megakernel as one opaque custom-call; skip-variant
+    steps/s deltas attribute the in-kernel time per stage). Values:
+    ``norm`` (cosine q/k normalize), ``softmax`` (logit scaling instead),
+    ``attn-core`` (logits/softmax/attn-v; keeps qkv + out GEMMs),
+    ``attn`` (whole attention branch), ``mlp`` (whole MLP branch),
+    ``mod`` (modulation GEMM + modulate; gates/scales become identity).
+    NEVER set in production: outputs are numerically meaningless."""
+    return frozenset(
+        s for s in os.environ.get("MAPDIT_MEGA_SKIP", "").split(",") if s
+    )
+
+
 def _attention_core(qkv, g, t, d, heads, dtype):
     """Cosine attention over contiguous lane head-slices of a flat
     ``qkv`` (G*T, 3D) f32 array; returns pre-out-proj ``attn`` (G*T, D).
@@ -81,10 +96,14 @@ def _attention_core(qkv, g, t, d, heads, dtype):
     hd = d // heads
     inv_hd = 1.0 / math.sqrt(hd)
 
+    skips = _skips()
+
     def head_slices(hi):
         q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd].reshape(g, t, hd)
         k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd].reshape(g, t, hd)
         v = qkv[:, 2 * d + hi * hd : 2 * d + (hi + 1) * hd].reshape(g, t, hd)
+        if "norm" in skips:  # ablation probe only (see _skips)
+            return q, k, v
         return _row_normalize(q, hd), _row_normalize(k, hd), v
 
     pack = _pack_mode() and g % 2 == 0 and t % 8 == 0 and 2 * t <= 128
@@ -108,7 +127,10 @@ def _attention_core(qkv, g, t, d, heads, dtype):
         ) * inv_hd  # (G, T, T) | packed (G/2, 2T, 2T)
         if pack:
             logits = jnp.where(same_blk, logits, -1e30)
-        probs = jax.nn.softmax(logits, axis=-1)
+        if "softmax" in skips:  # ablation probe only
+            probs = logits * (1.0 / t)
+        else:
+            probs = jax.nn.softmax(logits, axis=-1)
         o = jax.lax.dot_general(
             probs.astype(dtype),
             v.astype(dtype),
@@ -157,22 +179,29 @@ def _kernel(
     dtype = wqkv_ref.dtype
     row0 = pl.program_id(0) * group
 
+    skips = _skips()
     x = x_ref[...].astype(jnp.float32)  # (G, T, D)
 
-    # ---- modulation head: (G, D) @ (6D, D)^T / sqrt(D) -> 6 chunks ---- #
-    a_g = _row_select(a_ref, row0, group, dtype)  # (G, D)
-    mods = jax.lax.dot_general(
-        a_g.astype(dtype),
-        wmod_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_d  # (G, 6D)
+    if "mod" in skips:  # ablation probe only (see _skips)
+        shift_msa = shift_mlp = jnp.zeros((g, 1, d), jnp.float32)
+        scale_msa = scale_mlp = gate_msa = gate_mlp = jnp.ones(
+            (g, 1, d), jnp.float32
+        )
+    else:
+        # ---- modulation head: (G, D) @ (6D, D)^T / sqrt(D) -> 6 chunks ---- #
+        a_g = _row_select(a_ref, row0, group, dtype)  # (G, D)
+        mods = jax.lax.dot_general(
+            a_g.astype(dtype),
+            wmod_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_d  # (G, 6D)
 
-    def chunk(i):
-        return mods[:, i * d : (i + 1) * d].reshape(g, 1, d)
+        def chunk(i):
+            return mods[:, i * d : (i + 1) * d].reshape(g, 1, d)
 
-    shift_msa, scale_msa, gate_msa = chunk(0), chunk(1), chunk(2)
-    shift_mlp, scale_mlp, gate_mlp = chunk(3), chunk(4), chunk(5)
+        shift_msa, scale_msa, gate_msa = chunk(0), chunk(1), chunk(2)
+        shift_mlp, scale_mlp, gate_mlp = chunk(3), chunk(4), chunk(5)
 
     gain_msa = gains_ref[0, 0]
     gain_mlp = gains_ref[0, 1]
@@ -180,44 +209,49 @@ def _kernel(
     # ---- attention branch (transpose-free: static head loop, per-head
     # G-batched 64x64 contractions — head slices are contiguous lane
     # ranges, so no relayout ever materializes) ---- #
-    h_in = _modulate(x, shift_msa, scale_msa, gain_msa)
-    qkv = jax.lax.dot_general(
-        h_in.reshape(g * t, d).astype(dtype),
-        wqkv_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_d  # (G*T, 3D)
+    if "attn" not in skips:
+        h_in = _modulate(x, shift_msa, scale_msa, gain_msa)
+        qkv = jax.lax.dot_general(
+            h_in.reshape(g * t, d).astype(dtype),
+            wqkv_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_d  # (G*T, 3D)
 
-    # cosine attention: q/k rows normalized to norm sqrt(hd); with the
-    # 1/sqrt(hd) SDPA scale the logits are sqrt(hd)-scaled cosines
-    attn = _attention_core(qkv, g, t, d, heads, dtype)
-    out = jax.lax.dot_general(
-        attn.astype(dtype),
-        wout_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_d
-    out = out.reshape(g, t, d)
-    branch = gate_msa * out
-    x = (x + (branch - x) * _RES_T) / _RES_DENOM  # mp_sum(x, gated, 0.3)
+        # cosine attention: q/k rows normalized to norm sqrt(hd); with the
+        # 1/sqrt(hd) SDPA scale the logits are sqrt(hd)-scaled cosines
+        if "attn-core" in skips:  # ablation probe only
+            attn = qkv[:, :d]
+        else:
+            attn = _attention_core(qkv, g, t, d, heads, dtype)
+        out = jax.lax.dot_general(
+            attn.astype(dtype),
+            wout_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_d
+        out = out.reshape(g, t, d)
+        branch = gate_msa * out
+        x = (x + (branch - x) * _RES_T) / _RES_DENOM  # mp_sum(x, gated, 0.3)
 
     # ---- MLP branch ---- #
-    h_in = _modulate(x, shift_mlp, scale_mlp, gain_mlp)
-    h1 = jax.lax.dot_general(
-        h_in.reshape(g * t, d).astype(dtype),
-        w1_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_d
-    h1 = (jax.nn.silu(h1) / _SILU_DIV).astype(dtype)
-    h2 = jax.lax.dot_general(
-        h1,
-        w2_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_h
-    branch = gate_mlp * h2.reshape(g, t, d)
-    x = (x + (branch - x) * _RES_T) / _RES_DENOM
+    if "mlp" not in skips:
+        h_in = _modulate(x, shift_mlp, scale_mlp, gain_mlp)
+        h1 = jax.lax.dot_general(
+            h_in.reshape(g * t, d).astype(dtype),
+            w1_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_d
+        h1 = (jax.nn.silu(h1) / _SILU_DIV).astype(dtype)
+        h2 = jax.lax.dot_general(
+            h1,
+            w2_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_h
+        branch = gate_mlp * h2.reshape(g, t, d)
+        x = (x + (branch - x) * _RES_T) / _RES_DENOM
 
     o_ref[...] = x.astype(o_ref.dtype)
 

@@ -279,6 +279,33 @@ class TestDiTBlockMegakernel:
                 np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
             )
 
+    @pytest.mark.parametrize(
+        "skip", ["norm", "softmax", "attn-core", "attn", "mlp", "mod"]
+    )
+    def test_mega_skip_probe_variants_run(self, skip, monkeypatch):
+        """MAPDIT_MEGA_SKIP (tools/kernel_ablation.py timing probe) traces
+        and runs for every stage variant, yields finite output, and actually
+        changes the result (proving the stage was elided); unset must stay
+        bit-identical to the default program."""
+        from mapdit_tpu.ops.pallas import dit_block as dbk
+
+        rng = np.random.default_rng(11)
+        f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+        t, d, heads, h = 16, 64, 2, 256
+        x, a = f(8, t, d), f(8, d)
+        gains = jnp.asarray([0.3, 0.7], jnp.float32)
+        args = (x, a, gains, f(6 * d, d), f(3 * d, d), f(d, d),
+                f(h, d), f(d, h))
+
+        base = np.asarray(dbk.fused_dit_block(*args, heads))
+        monkeypatch.setenv("MAPDIT_MEGA_SKIP", skip)
+        got = np.asarray(dbk.fused_dit_block(*args, heads))
+        assert np.isfinite(got).all()
+        assert not np.allclose(got, base, atol=1e-5), skip
+        monkeypatch.delenv("MAPDIT_MEGA_SKIP")
+        again = np.asarray(dbk.fused_dit_block(*args, heads))
+        np.testing.assert_array_equal(again, base)
+
     def test_attn_halfkernel_vs_reference_math(self):
         from mapdit_tpu.ops.pallas.dit_block import (
             _attn_reference,
