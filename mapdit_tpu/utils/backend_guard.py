@@ -17,24 +17,34 @@ from __future__ import annotations
 import os
 
 
-def fail_fast_on_dead_backend(timeout_s: float | None = None, label: str = ""):
-    """Block on `jax.devices()` under a watchdog; exit 3 on timeout.
+def fail_fast_on_dead_backend(
+    timeout_s: float | None = None, label: str = "", discover=None
+):
+    """Run backend discovery under a watchdog; exit 3 on timeout.
 
-    Returns the device list on success so callers can reuse it. No output
-    is written to stdout on failure — a dead backend must never be
-    mistaken for a (0-valued) measurement by log scrapers.
+    ``discover`` is the callable to guard — default ``jax.devices()``.
+    Entries that call ``jax.distributed.initialize()`` MUST pass a
+    callable doing init + discovery together: ``jax.devices()`` before
+    the distributed init poisons the backend (jax raises), and a hung
+    coordinator is a hang mode this guard should cover anyway.
+
+    Returns ``discover()``'s result on success so callers can reuse it.
+    No output is written to stdout on failure — a dead backend must never
+    be mistaken for a (0-valued) measurement by log scrapers.
     """
+    if discover is None:
+        def discover():
+            import jax
+
+            return jax.devices()
+
     if timeout_s is None:
         timeout_s = float(os.environ.get("MAPDIT_BACKEND_TIMEOUT_S", "600"))
     if timeout_s <= 0:
-        import jax
-
-        return jax.devices()
+        return discover()
 
     import sys
     import threading
-
-    import jax
 
     done = threading.Event()
 
@@ -52,6 +62,6 @@ def fail_fast_on_dead_backend(timeout_s: float | None = None, label: str = ""):
 
     threading.Thread(target=arm, daemon=True).start()
     try:
-        return jax.devices()
+        return discover()
     finally:
         done.set()

@@ -57,25 +57,31 @@ def main(args):
     enable_compile_cache()
     from mapdit_tpu.utils.backend_guard import fail_fast_on_dead_backend
 
-    fail_fast_on_dead_backend(label="train")
     if args.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
-    if args.multihost:
-        # Multi-host: one process per host, ICI within a slice. Each process
-        # feeds its disjoint slice of every global batch (shared shuffle
-        # seed, distributed-sampler partition) and only process 0 writes
-        # logs/checkpoints/snapshots. Cluster auto-detection covers TPU
-        # pods; the MAPDIT_* env vars allow explicit bring-up (used by the
-        # 2-process CPU test in tests/test_multiprocess.py).
-        init_kw = {}
-        if os.environ.get("MAPDIT_COORDINATOR"):
-            init_kw = dict(
-                coordinator_address=os.environ["MAPDIT_COORDINATOR"],
-                num_processes=int(os.environ["MAPDIT_NUM_PROCESSES"]),
-                process_id=int(os.environ["MAPDIT_PROCESS_ID"]),
-            )
-        jax.distributed.initialize(**init_kw)
-    devices = jax.devices()
+
+    def _startup():
+        # jax.devices() is only legal AFTER jax.distributed.initialize(),
+        # so both run under the one watchdog (a hung coordinator is a hang
+        # mode just like a dead tunnel).
+        if args.multihost:
+            # Multi-host: one process per host, ICI within a slice. Each
+            # process feeds its disjoint slice of every global batch (shared
+            # shuffle seed, distributed-sampler partition) and only process 0
+            # writes logs/checkpoints/snapshots. Cluster auto-detection covers
+            # TPU pods; the MAPDIT_* env vars allow explicit bring-up (used by
+            # the 2-process CPU test in tests/test_multiprocess.py).
+            init_kw = {}
+            if os.environ.get("MAPDIT_COORDINATOR"):
+                init_kw = dict(
+                    coordinator_address=os.environ["MAPDIT_COORDINATOR"],
+                    num_processes=int(os.environ["MAPDIT_NUM_PROCESSES"]),
+                    process_id=int(os.environ["MAPDIT_PROCESS_ID"]),
+                )
+            jax.distributed.initialize(**init_kw)
+        return jax.devices()
+
+    devices = fail_fast_on_dead_backend(label="train", discover=_startup)
     mesh = make_mesh(n_model=args.n_model)
     n_data = mesh.shape["data"]
 
