@@ -47,9 +47,13 @@ def _modulate(x, shift, scale, gain):
 
 
 def _row_normalize(z, dim):
-    # reference normalize(): z * sqrt(dim) / (||z|| + eps), f32 rows
+    # reference normalize(): z * sqrt(dim) / (||z|| + eps), f32 rows.
+    # The divide happens on the (…, 1) row-norms and broadcasts as a
+    # MULTIPLY over the lanes — VPU divides are multi-cycle, and the
+    # per-element form measured 0.49 ms/step of the 1.92 ms headline
+    # chain (kernel_ablation r03s4, BENCH_NOTES).
     norm = jnp.sqrt(jnp.sum(z * z, axis=-1, keepdims=True))
-    return z * math.sqrt(dim) / (norm + _NORM_EPS)
+    return z * (math.sqrt(dim) / (norm + _NORM_EPS))
 
 
 
@@ -130,7 +134,17 @@ def _attention_core(qkv, g, t, d, heads, dtype):
         if "softmax" in skips:  # ablation probe only
             probs = logits * (1.0 / t)
         else:
-            probs = jax.nn.softmax(logits, axis=-1)
+            # max-free softmax: cosine logits are PROVABLY bounded —
+            # q/k rows have norm sqrt(hd), so |q.k| <= hd and with the
+            # 1/sqrt(hd) scale |logits| <= sqrt(hd). Shifting by that
+            # constant keeps exp args in [-2*sqrt(hd), 0] (no overflow,
+            # and f32's exponent preserves relative precision), which
+            # drops jax.nn.softmax's max cross-lane reduce + broadcast
+            # subtract; the normalizing divide runs on the (…, 1) sums
+            # and broadcasts as a multiply. Packed -1e30 mask lanes
+            # underflow to exactly 0, as the mask intends.
+            ex = jnp.exp(logits - math.sqrt(hd))
+            probs = ex * (1.0 / jnp.sum(ex, axis=-1, keepdims=True))
         o = jax.lax.dot_general(
             probs.astype(dtype),
             v.astype(dtype),
