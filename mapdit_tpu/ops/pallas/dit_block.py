@@ -46,14 +46,30 @@ def _modulate(x, shift, scale, gain):
     return (xs + (shift - xs) * gain) / denom
 
 
-def _row_normalize(z, dim):
-    # reference normalize(): z * sqrt(dim) / (||z|| + eps), f32 rows.
-    # The divide happens on the (…, 1) row-norms and broadcasts as a
-    # MULTIPLY over the lanes — VPU divides are multi-cycle, and the
-    # per-element form measured 0.49 ms/step of the 1.92 ms headline
-    # chain (kernel_ablation r03s4, BENCH_NOTES).
-    norm = jnp.sqrt(jnp.sum(z * z, axis=-1, keepdims=True))
-    return z * (math.sqrt(dim) / (norm + _NORM_EPS))
+def _cosine_scales(qkv, d, heads, hd):
+    """Per-row q/k normalize scales ``sqrt(hd) / (||row|| + eps)`` for all
+    2*heads head-slices in ONE f32 MXU contraction.
+
+    Reference normalize() (`src/utils.py:19-23`) is a per-head cross-lane
+    reduce; kernel_ablation (r03s4, BENCH_NOTES) measured those reduces at
+    0.38 ms/step of the 1.80 ms headline chain. Squaring the flat q|k
+    lanes once and contracting with a (2D, 2*heads) block-indicator rides
+    the reduction on the MXU instead; the sqrt/reciprocal then run on a
+    tiny (G*T, 2*heads) array. f32 GEMM on purpose: bf16 operands would
+    cost ~0.4% norm error, past the 2e-4 parity tolerance."""
+    qk = qkv[:, : 2 * d]
+    sq = qk * qk  # (G*T, 2D), one VPU pass
+    blk = (
+        jax.lax.broadcasted_iota(jnp.int32, (2 * d, 2 * heads), 0) // hd
+        == jax.lax.broadcasted_iota(jnp.int32, (2 * d, 2 * heads), 1)
+    ).astype(jnp.float32)
+    sums = jax.lax.dot_general(
+        sq,
+        blk,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G*T, 2*heads) = per-row ||q_h||^2, ||k_h||^2
+    return math.sqrt(hd) / (jnp.sqrt(sums) + _NORM_EPS)
 
 
 
@@ -101,14 +117,17 @@ def _attention_core(qkv, g, t, d, heads, dtype):
     inv_hd = 1.0 / math.sqrt(hd)
 
     skips = _skips()
+    # ablation probe only (see _skips): None disables cosine normalization
+    scales = None if "norm" in skips else _cosine_scales(qkv, d, heads, hd)
 
     def head_slices(hi):
-        q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd].reshape(g, t, hd)
-        k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd].reshape(g, t, hd)
-        v = qkv[:, 2 * d + hi * hd : 2 * d + (hi + 1) * hd].reshape(g, t, hd)
-        if "norm" in skips:  # ablation probe only (see _skips)
-            return q, k, v
-        return _row_normalize(q, hd), _row_normalize(k, hd), v
+        q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd]
+        k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd]
+        v = qkv[:, 2 * d + hi * hd : 2 * d + (hi + 1) * hd]
+        if scales is not None:
+            q = q * scales[:, hi : hi + 1]
+            k = k * scales[:, heads + hi : heads + hi + 1]
+        return q.reshape(g, t, hd), k.reshape(g, t, hd), v.reshape(g, t, hd)
 
     pack = _pack_mode() and g % 2 == 0 and t % 8 == 0 and 2 * t <= 128
     if pack:
@@ -143,8 +162,17 @@ def _attention_core(qkv, g, t, d, heads, dtype):
             # subtract; the normalizing divide runs on the (…, 1) sums
             # and broadcasts as a multiply. Packed -1e30 mask lanes
             # underflow to exactly 0, as the mask intends.
+            # … and the normalizing row-sum reduce rides the MXU as an
+            # ones-vector contraction (same kernel_ablation rationale as
+            # _cosine_scales; the divide is a (…, 1) reciprocal-multiply).
             ex = jnp.exp(logits - math.sqrt(hd))
-            probs = ex * (1.0 / jnp.sum(ex, axis=-1, keepdims=True))
+            denom = jax.lax.dot_general(
+                ex,
+                jnp.ones((ex.shape[-1], 1), jnp.float32),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, T, 1) | packed (G/2, 2T, 1)
+            probs = ex * (1.0 / denom)
         o = jax.lax.dot_general(
             probs.astype(dtype),
             v.astype(dtype),
