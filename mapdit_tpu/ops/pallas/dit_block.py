@@ -74,9 +74,13 @@ def _cosine_scales(qkv, d, heads, hd):
 
 
 def _pack_mode() -> bool:
-    # experiment gate for the paired-head attention core (see
-    # _attention_core); flipped to a measured default once A/B'd on chip
-    return os.environ.get("MAPDIT_MEGA_PACK", "0") == "1"
+    # paired-sample attention core (see _attention_core), ON by default:
+    # neutral when first A/B'd (+0.4%, r03s4 queue), but once the VPU
+    # reduce/divide cuts exposed the quarter-filled (64, 64) logit tiles
+    # it measures +3.9% on chip (579.5 -> 602.3 steps/s headline).
+    # MAPDIT_MEGA_PACK=0 restores the unpacked core for A/B; shapes that
+    # cannot pack (odd G, 2T > 128) fall back automatically either way.
+    return os.environ.get("MAPDIT_MEGA_PACK", "1") == "1"
 
 
 def _skips() -> frozenset:

@@ -249,14 +249,16 @@ class TestDiTBlockMegakernel:
             gb,
         )
 
-    def test_pack_mode_parity(self, monkeypatch):
-        """MAPDIT_MEGA_PACK=1 (paired-sample attention core: two samples
-        merged along the token axis per contraction, cross-sample quadrants
-        masked) must be numerically the same block — both kernels, and both
-        a pack-engaging shape (g even, 2T<=128) and the odd-g fallback."""
+    @pytest.mark.parametrize("pack", ["1", "0"])
+    def test_pack_mode_parity(self, pack, monkeypatch):
+        """The paired-sample attention core (two samples merged along the
+        token axis per contraction, cross-sample quadrants masked; ON by
+        default since r03s4) and the MAPDIT_MEGA_PACK=0 unpacked core must
+        be numerically the same block — both kernels, and both a
+        pack-engaging shape (g even, 2T<=128) and the odd-g fallback."""
         from mapdit_tpu.ops.pallas import dit_block as dbk
 
-        monkeypatch.setenv("MAPDIT_MEGA_PACK", "1")
+        monkeypatch.setenv("MAPDIT_MEGA_PACK", pack)
         rng = np.random.default_rng(7)
         f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
 
