@@ -72,6 +72,16 @@ def _cosine_scales(qkv, d, heads, hd):
     return math.sqrt(hd) / (jnp.sqrt(sums) + _NORM_EPS)
 
 
+def _gemm_reduce_pays(rows, d):
+    """Geometry gate for riding cross-lane reductions on the MXU: the
+    block-indicator/ones contractions have M = G*T rows and K = 2D depth —
+    one M-tile with many serial K-tiles is latency-bound and LOSES (XL's
+    G=2: 128 x 4608-deep, measured 74.3 -> 66.9 steps/s before this gate)
+    while sublane-filled M wins (S 512x768 and B 512x1536 geometries,
+    +3.6% headline). Require 8*M >= 2D."""
+    return 8 * rows >= 2 * d
+
+
 
 def _pack_mode() -> bool:
     # paired-sample attention core (see _attention_core), ON by default:
@@ -121,8 +131,13 @@ def _attention_core(qkv, g, t, d, heads, dtype):
     inv_hd = 1.0 / math.sqrt(hd)
 
     skips = _skips()
-    # ablation probe only (see _skips): None disables cosine normalization
-    scales = None if "norm" in skips else _cosine_scales(qkv, d, heads, hd)
+    gemm_reduce = _gemm_reduce_pays(g * t, d)
+    # "norm" in skips: ablation probe only (see _skips) — no normalization
+    scales = (
+        _cosine_scales(qkv, d, heads, hd)
+        if gemm_reduce and "norm" not in skips
+        else None
+    )
 
     def head_slices(hi):
         q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd]
@@ -131,7 +146,13 @@ def _attention_core(qkv, g, t, d, heads, dtype):
         if scales is not None:
             q = q * scales[:, hi : hi + 1]
             k = k * scales[:, heads + hi : heads + hi + 1]
-        return q.reshape(g, t, hd), k.reshape(g, t, hd), v.reshape(g, t, hd)
+        q = q.reshape(g, t, hd)
+        k = k.reshape(g, t, hd)
+        if scales is None and "norm" not in skips:
+            # per-head VPU cross-lane reduce — the small-M fallback
+            q = q * (math.sqrt(hd) / (jnp.sqrt(jnp.sum(q * q, -1, keepdims=True)) + _NORM_EPS))
+            k = k * (math.sqrt(hd) / (jnp.sqrt(jnp.sum(k * k, -1, keepdims=True)) + _NORM_EPS))
+        return q, k, v.reshape(g, t, hd)
 
     pack = _pack_mode() and g % 2 == 0 and t % 8 == 0 and 2 * t <= 128
     if pack:
@@ -167,15 +188,19 @@ def _attention_core(qkv, g, t, d, heads, dtype):
             # and broadcasts as a multiply. Packed -1e30 mask lanes
             # underflow to exactly 0, as the mask intends.
             # … and the normalizing row-sum reduce rides the MXU as an
-            # ones-vector contraction (same kernel_ablation rationale as
-            # _cosine_scales; the divide is a (…, 1) reciprocal-multiply).
+            # ones-vector contraction when the geometry pays (same
+            # kernel_ablation rationale and gate as _cosine_scales); the
+            # divide is a (…, 1) reciprocal-multiply either way.
             ex = jnp.exp(logits - math.sqrt(hd))
-            denom = jax.lax.dot_general(
-                ex,
-                jnp.ones((ex.shape[-1], 1), jnp.float32),
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (G, T, 1) | packed (G/2, 2T, 1)
+            if gemm_reduce:
+                denom = jax.lax.dot_general(
+                    ex,
+                    jnp.ones((ex.shape[-1], 1), jnp.float32),
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (G, T, 1) | packed (G/2, 2T, 1)
+            else:
+                denom = jnp.sum(ex, axis=-1, keepdims=True)
             probs = ex * (1.0 / denom)
         o = jax.lax.dot_general(
             probs.astype(dtype),
