@@ -163,7 +163,9 @@ def main():
     p.add_argument("--attention-impl",
                    choices=["auto", "xla", "pallas", "pallas_v2", "pallas_v3"],
                    default="auto")
-    p.add_argument("--block-kernel", choices=["auto", "pallas", "mega", "mega_attn", "off"],
+    p.add_argument("--block-kernel",
+                   choices=["auto", "pallas", "mega", "mega_attn",
+                            "mega_stack", "off"],
                    default="auto")
     p.add_argument("--scan-blocks", action="store_true",
                    help="lax.scan over depth-stacked block params (XL compile time)")

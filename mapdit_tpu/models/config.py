@@ -67,6 +67,12 @@ class DiTConfig:
     #   "mega_attn" — attention half-block only (modulate+qkv+cosine attn+
     #              out-proj+residual in VMEM; modulation head and MLP on
     #              XLA) — the B-scale variant whose 4D^2 weights still fit.
+    #   "mega_stack" — ALL depth blocks in ONE pallas_call (runtime-only:
+    #              build_shared_sample_fn stacks the folded weights at
+    #              prepare() time and passes them via DiT(block_stack=...));
+    #              residual stream stays VMEM-resident across the stack,
+    #              per-block weights stream behind compute. Outside the
+    #              sampling runtime this value runs the XLA pipeline.
     #   "pallas" — fused MP-MLP half-block only (ops/pallas/mlp_block.py);
     #              measured ~2% BEHIND XLA at S/2 — kept as A/B infra.
     #   "auto"/"off" — XLA fusion pipeline.
@@ -94,7 +100,9 @@ class DiTConfig:
         assert self.modulation in MODULATION_KINDS, self.modulation
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.attention_impl in ("auto", "xla", "pallas", "pallas_v2", "pallas_v3")
-        assert self.block_kernel in ("auto", "pallas", "mega", "mega_attn", "off")
+        assert self.block_kernel in (
+            "auto", "pallas", "mega", "mega_attn", "mega_stack", "off"
+        )
 
     @property
     def dtype(self):

@@ -55,6 +55,7 @@ class DiT(nn.Module):
         span: Optional[tuple] = None,
         cached_delta: Optional[Array] = None,
         return_delta: bool = False,
+        block_stack: Optional[dict] = None,
     ) -> Array:
         """Standard forward, plus the opt-in block-span cache protocol for
         Delta-DiT-style sampling acceleration (arXiv 2406.01125; see
@@ -100,6 +101,42 @@ class DiT(nn.Module):
         t_emb = TimestepEmbedder(cfg, name="t_embedder")(t)
         y_emb = LabelEmbedder(cfg, name="y_embedder")(y, train, force_drop_ids)
         c = mp_sum(t_emb, y_emb, t=0.5) if cfg.mp_style else t_emb + y_emb
+
+        if block_stack is not None:
+            # Whole-stack Pallas megakernel (block_kernel="mega_stack"):
+            # all depth blocks in ONE pallas_call, residual stream resident
+            # in VMEM scratch across the stack, per-block weights streamed
+            # behind compute. The caller (runtime.build_shared_sample_fn's
+            # prepare()) stacks the FOLDED effective weights once outside
+            # the sampling scan; the blocks_* params are untouched here.
+            assert span is None, "block-span caching composes with the per-block kernels only"
+            from mapdit_tpu.models.layers import activation
+            from mapdit_tpu.ops.pallas.dit_block import fused_dit_stack
+
+            x = fused_dit_stack(
+                x.astype(cfg.dtype),
+                activation(c, cfg).astype(cfg.dtype),
+                block_stack["gains"],
+                block_stack["w_mod"],
+                block_stack["w_qkv"],
+                block_stack["w_out"],
+                block_stack["w1"],
+                block_stack["w2"],
+                cfg.num_heads,
+            )
+            out = FinalLayer(cfg, name="final_layer")(x, c)
+            if cfg.learn_sigma:
+                mean, sigma = out
+                return jnp.concatenate(
+                    [
+                        unpatchify(mean, cfg.input_size, cfg.patch_size),
+                        unpatchify(sigma, cfg.input_size, cfg.patch_size),
+                    ],
+                    axis=1,
+                ).astype(jnp.float32)
+            return unpatchify(out, cfg.input_size, cfg.patch_size).astype(
+                jnp.float32
+            )
 
         block_cls = nn.remat(DiTBlock) if cfg.remat else DiTBlock
         if span is not None:
@@ -173,6 +210,7 @@ class DiT(nn.Module):
         span: Optional[tuple] = None,
         cached_delta: Optional[Array] = None,
         return_delta: bool = False,
+        block_stack: Optional[dict] = None,
     ) -> Array:
         """Batched classifier-free guidance (reference `src/dit.py:107-118`).
 
@@ -187,6 +225,7 @@ class DiT(nn.Module):
         model_out = self(
             combined, t, y,
             span=span, cached_delta=cached_delta, return_delta=return_delta,
+            block_stack=block_stack,
         )
         delta = None
         if return_delta:

@@ -93,6 +93,24 @@ def _pack_mode() -> bool:
     return os.environ.get("MAPDIT_MEGA_PACK", "1") == "1"
 
 
+def _vmem_mb() -> int:
+    """MAPDIT_MEGA_VMEM_MB: Mosaic scoped-VMEM limit for the forward
+    kernels, in MB (default 16 = Mosaic's own default). v5e has 128 MB of
+    physical VMEM per core; raising the scope lets bigger weight sets
+    (whole-block at B-scale: 21 MB) or bigger sample groups stay resident —
+    at the cost of the headroom Mosaic uses for double-buffering. Group
+    budgets below scale with it; 16 reproduces the calibrated r03 defaults
+    exactly."""
+    return int(os.environ.get("MAPDIT_MEGA_VMEM_MB", "16"))
+
+
+def _compiler_params():
+    mb = _vmem_mb()
+    if mb == 16:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 2**20)
+
+
 def _skips() -> frozenset:
     """MAPDIT_MEGA_SKIP: comma-set of kernel stages to elide AT TRACE TIME —
     a measurement-only knob for tools/kernel_ablation.py (the jax.profiler
@@ -176,7 +194,7 @@ def _attention_core(qkv, g, t, d, heads, dtype):
         if pack:
             logits = jnp.where(same_blk, logits, -1e30)
         if "softmax" in skips:  # ablation probe only
-            probs = logits * (1.0 / t)
+            probs, ex, denom = logits * (1.0 / t), None, None
         else:
             # max-free softmax: cosine logits are PROVABLY bounded —
             # q/k rows have norm sqrt(hd), so |q.k| <= hd and with the
@@ -184,13 +202,11 @@ def _attention_core(qkv, g, t, d, heads, dtype):
             # constant keeps exp args in [-2*sqrt(hd), 0] (no overflow,
             # and f32's exponent preserves relative precision), which
             # drops jax.nn.softmax's max cross-lane reduce + broadcast
-            # subtract; the normalizing divide runs on the (…, 1) sums
-            # and broadcasts as a multiply. Packed -1e30 mask lanes
-            # underflow to exactly 0, as the mask intends.
+            # subtract. Packed -1e30 mask lanes underflow to exactly 0,
+            # as the mask intends.
             # … and the normalizing row-sum reduce rides the MXU as an
             # ones-vector contraction when the geometry pays (same
-            # kernel_ablation rationale and gate as _cosine_scales); the
-            # divide is a (…, 1) reciprocal-multiply either way.
+            # kernel_ablation rationale and gate as _cosine_scales).
             ex = jnp.exp(logits - math.sqrt(hd))
             if gemm_reduce:
                 denom = jax.lax.dot_general(
@@ -201,13 +217,23 @@ def _attention_core(qkv, g, t, d, heads, dtype):
                 )  # (G, T, 1) | packed (G/2, 2T, 1)
             else:
                 denom = jnp.sum(ex, axis=-1, keepdims=True)
-            probs = ex * (1.0 / denom)
+            # normalize AFTER the attn-v GEMM (softmax(l) @ v ==
+            # (exp(l) @ v) / rowsum): the (…, 1) reciprocal then
+            # broadcasts over hd output lanes instead of the T (packed
+            # 2T) logit lanes — half the normalize-multiply domain at
+            # the shipped T=64/hd=64 pack geometry. This is the safe
+            # form of the recorded "ones-column" open edge (BENCH_NOTES
+            # r03s4): same fusion payoff, no lane-concat relayout.
+            probs = None
+        mat = ex if probs is None else probs
         o = jax.lax.dot_general(
-            probs.astype(dtype),
+            mat.astype(dtype),
             v.astype(dtype),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (G, T, hd) | packed (G/2, 2T, hd) — off-quadrant probs are 0
+        )  # (G, T, hd) | packed (G/2, 2T, hd) — off-quadrant weights are 0
+        if probs is None:
+            o = o * (1.0 / denom)
         head_outs.append(o.reshape(g, t, hd) if pack else o)
     return jnp.concatenate(head_outs, axis=-1).reshape(g * t, d)
 
@@ -226,6 +252,93 @@ def _row_select(ref, row0, g, dtype):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+def _block_body(
+    x,        # (G, T, D) f32 residual stream
+    a_g,      # (G, D) f32 activated conditioning rows for this group
+    gain_msa, gain_mlp,  # traced scalars
+    w_mod, w_qkv, w_out, w1, w2,  # materialized weight arrays (dtype)
+    *,
+    heads: int,
+    inv_d: float,
+    inv_h: float,
+):
+    """One whole DiT block on a VMEM-resident sample group — the shared
+    compute body of `_kernel` (single block per pallas_call) and
+    `_stack_kernel` (all ``depth`` blocks in one pallas_call)."""
+    g, t, d = x.shape
+    dtype = w_qkv.dtype
+    skips = _skips()
+
+    if "mod" in skips:  # ablation probe only (see _skips)
+        shift_msa = shift_mlp = jnp.zeros((g, 1, d), jnp.float32)
+        scale_msa = scale_mlp = gate_msa = gate_mlp = jnp.ones(
+            (g, 1, d), jnp.float32
+        )
+    else:
+        # ---- modulation head: (G, D) @ (6D, D)^T / sqrt(D) -> 6 chunks ---- #
+        mods = jax.lax.dot_general(
+            a_g.astype(dtype),
+            w_mod,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_d  # (G, 6D)
+
+        def chunk(i):
+            return mods[:, i * d : (i + 1) * d].reshape(g, 1, d)
+
+        shift_msa, scale_msa, gate_msa = chunk(0), chunk(1), chunk(2)
+        shift_mlp, scale_mlp, gate_mlp = chunk(3), chunk(4), chunk(5)
+
+    # ---- attention branch (transpose-free: static head loop, per-head
+    # G-batched 64x64 contractions — head slices are contiguous lane
+    # ranges, so no relayout ever materializes) ---- #
+    if "attn" not in skips:
+        h_in = _modulate(x, shift_msa, scale_msa, gain_msa)
+        qkv = jax.lax.dot_general(
+            h_in.reshape(g * t, d).astype(dtype),
+            w_qkv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_d  # (G*T, 3D)
+
+        # cosine attention: q/k rows normalized to norm sqrt(hd); with the
+        # 1/sqrt(hd) SDPA scale the logits are sqrt(hd)-scaled cosines
+        if "attn-core" in skips:  # ablation probe only
+            attn = qkv[:, :d]
+        else:
+            attn = _attention_core(qkv, g, t, d, heads, dtype)
+        out = jax.lax.dot_general(
+            attn.astype(dtype),
+            w_out,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_d
+        out = out.reshape(g, t, d)
+        branch = gate_msa * out
+        x = (x + (branch - x) * _RES_T) / _RES_DENOM  # mp_sum(x, gated, 0.3)
+
+    # ---- MLP branch ---- #
+    if "mlp" not in skips:
+        h_in = _modulate(x, shift_mlp, scale_mlp, gain_mlp)
+        h1 = jax.lax.dot_general(
+            h_in.reshape(g * t, d).astype(dtype),
+            w1,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_d
+        h1 = (jax.nn.silu(h1) / _SILU_DIV).astype(dtype)
+        h2 = jax.lax.dot_general(
+            h1,
+            w2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_h
+        branch = gate_mlp * h2.reshape(g, t, d)
+        x = (x + (branch - x) * _RES_T) / _RES_DENOM
+
+    return x
+
 
 def _kernel(
     gains_ref,  # SMEM (1, 2): gain_msa, gain_mlp
@@ -246,84 +359,16 @@ def _kernel(
     inv_h: float,
 ):
     g, t, d = x_ref.shape
-    hd = d // heads
     dtype = wqkv_ref.dtype
     row0 = pl.program_id(0) * group
 
-    skips = _skips()
     x = x_ref[...].astype(jnp.float32)  # (G, T, D)
-
-    if "mod" in skips:  # ablation probe only (see _skips)
-        shift_msa = shift_mlp = jnp.zeros((g, 1, d), jnp.float32)
-        scale_msa = scale_mlp = gate_msa = gate_mlp = jnp.ones(
-            (g, 1, d), jnp.float32
-        )
-    else:
-        # ---- modulation head: (G, D) @ (6D, D)^T / sqrt(D) -> 6 chunks ---- #
-        a_g = _row_select(a_ref, row0, group, dtype)  # (G, D)
-        mods = jax.lax.dot_general(
-            a_g.astype(dtype),
-            wmod_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv_d  # (G, 6D)
-
-        def chunk(i):
-            return mods[:, i * d : (i + 1) * d].reshape(g, 1, d)
-
-        shift_msa, scale_msa, gate_msa = chunk(0), chunk(1), chunk(2)
-        shift_mlp, scale_mlp, gate_mlp = chunk(3), chunk(4), chunk(5)
-
-    gain_msa = gains_ref[0, 0]
-    gain_mlp = gains_ref[0, 1]
-
-    # ---- attention branch (transpose-free: static head loop, per-head
-    # G-batched 64x64 contractions — head slices are contiguous lane
-    # ranges, so no relayout ever materializes) ---- #
-    if "attn" not in skips:
-        h_in = _modulate(x, shift_msa, scale_msa, gain_msa)
-        qkv = jax.lax.dot_general(
-            h_in.reshape(g * t, d).astype(dtype),
-            wqkv_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv_d  # (G*T, 3D)
-
-        # cosine attention: q/k rows normalized to norm sqrt(hd); with the
-        # 1/sqrt(hd) SDPA scale the logits are sqrt(hd)-scaled cosines
-        if "attn-core" in skips:  # ablation probe only
-            attn = qkv[:, :d]
-        else:
-            attn = _attention_core(qkv, g, t, d, heads, dtype)
-        out = jax.lax.dot_general(
-            attn.astype(dtype),
-            wout_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv_d
-        out = out.reshape(g, t, d)
-        branch = gate_msa * out
-        x = (x + (branch - x) * _RES_T) / _RES_DENOM  # mp_sum(x, gated, 0.3)
-
-    # ---- MLP branch ---- #
-    if "mlp" not in skips:
-        h_in = _modulate(x, shift_mlp, scale_mlp, gain_mlp)
-        h1 = jax.lax.dot_general(
-            h_in.reshape(g * t, d).astype(dtype),
-            w1_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv_d
-        h1 = (jax.nn.silu(h1) / _SILU_DIV).astype(dtype)
-        h2 = jax.lax.dot_general(
-            h1,
-            w2_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv_h
-        branch = gate_mlp * h2.reshape(g, t, d)
-        x = (x + (branch - x) * _RES_T) / _RES_DENOM
-
+    a_g = _row_select(a_ref, row0, group, dtype)  # (G, D)
+    x = _block_body(
+        x, a_g, gains_ref[0, 0], gains_ref[0, 1],
+        wmod_ref[...], wqkv_ref[...], wout_ref[...], w1_ref[...], w2_ref[...],
+        heads=heads, inv_d=inv_d, inv_h=inv_h,
+    )
     o_ref[...] = x.astype(o_ref.dtype)
 
 
@@ -381,7 +426,7 @@ def _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
     # 8*T per row of live logits/probs tiles. Calibrated to keep the
     # measured S/T=64 g=8 configuration (516 steps/s, BENCH_NOTES r03).
     weight_bytes = ((6 + 3 + 1) * d * d + 2 * d * h_mlp) * x.dtype.itemsize
-    budget_rows = max(t, (13 * 2**20 - weight_bytes) // (24 * d + 8 * t))
+    budget_rows = max(t, ((_vmem_mb() - 3) * 2**20 - weight_bytes) // (24 * d + 8 * t))
     g = 1
     for want_fill in (True, False):
         for cand in (8, 4, 2):
@@ -430,6 +475,7 @@ def _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
             bytes_accessed=(2 * n * t * d + (6 + 3 + 1) * d * d + 2 * d * h_mlp) * 2,
             transcendentals=n * t * h_mlp + n * heads * t * t,
         ),
+        compiler_params=None if _interpret() else _compiler_params(),
         interpret=_interpret(),
     )(gains.reshape(1, 2).astype(jnp.float32), x, a, w_mod, w_qkv, w_out, w1, w2)
 
@@ -922,7 +968,7 @@ def _attn_fwd_impl(x, shift, scale, gate, gain, w_qkv, w_out, heads):
     # (qkv f32 + x in/out + attn) must stay under ~15 MB; prefer >=256 rows
     # for MXU fill, shrink when big-D weights crowd the budget (XL: g=2).
     weight_bytes = 4 * d * d * x.dtype.itemsize
-    budget_rows = max(t, (15 * 2**20 - weight_bytes) // (24 * d))
+    budget_rows = max(t, ((_vmem_mb() - 1) * 2**20 - weight_bytes) // (24 * d))
     g = 1
     for cand in (8, 4, 2):
         if n % cand == 0 and cand * t <= budget_rows:
@@ -952,6 +998,7 @@ def _attn_fwd_impl(x, shift, scale, gate, gain, w_qkv, w_out, heads):
             bytes_accessed=(2 * n * t * d + 4 * d * d) * 2,
             transcendentals=n * heads * t * t,
         ),
+        compiler_params=None if _interpret() else _compiler_params(),
         interpret=_interpret(),
     )(
         jnp.asarray(gain, jnp.float32).reshape(1, 1),
@@ -1041,3 +1088,194 @@ def fused_dit_block(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads: int):
     Training-safe: the VJP recomputes through the jnp reference path.
     """
     return _make(heads)(x, a, gains, w_mod, w_qkv, w_out, w1, w2)
+
+
+# ---------------------------------------------------------------------------
+# Whole-STACK megakernel: all ``depth`` blocks in ONE pallas_call.
+#
+# The single-block kernel still pays, per model call, 12 kernel launches and
+# 12 HBM round-trips of the (N, T, D) residual stream (~75 MB/step at the
+# S/2 headline protocol). Here the grid is (depth, N/G): the residual stream
+# lives in a persistent VMEM scratch across the whole stack (read from HBM
+# once at block 0, written once at block depth-1), and each block's weights
+# stream in per outer grid step via block-indexed BlockSpecs — Mosaic
+# double-buffers them, so the per-block weight DMA hides behind the previous
+# block's compute (which a sequence of separate pallas_calls cannot do).
+# ---------------------------------------------------------------------------
+
+
+def _stack_kernel(
+    gains_ref,  # SMEM (depth, 2): per-block [gain_msa, gain_mlp]
+    x_ref,      # (G, T, D) block i of the input stream (consumed at b == 0)
+    a_ref,      # (N, D) full array (shared by all blocks)
+    wmod_ref,   # (1, 6D, D) block b
+    wqkv_ref,   # (1, 3D, D)
+    wout_ref,   # (1, D, D)
+    w1_ref,     # (1, H, D)
+    w2_ref,     # (1, D, H)
+    o_ref,      # (G, T, D) block i of the output stream
+    xs_ref,     # VMEM scratch (N, T, D) x.dtype — persists across the grid
+    *,
+    group: int,
+    heads: int,
+    inv_d: float,
+    inv_h: float,
+):
+    g, t, d = x_ref.shape
+    dtype = wqkv_ref.dtype
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    row0 = i * group
+
+    @pl.when(b == 0)
+    def _():
+        # the first block seeds the resident stream from the HBM input
+        # (later blocks read the previous block's in-scratch result;
+        # leading-dim dynamic indexing is plain address arithmetic — the
+        # (T, D) tile layout is untouched)
+        xs_ref[pl.ds(row0, g)] = x_ref[...]
+
+    x = xs_ref[pl.ds(row0, g)].astype(jnp.float32)
+    a_g = _row_select(a_ref, row0, group, dtype)
+    x = _block_body(
+        x, a_g, gains_ref[b, 0], gains_ref[b, 1],
+        wmod_ref[0], wqkv_ref[0], wout_ref[0], w1_ref[0], w2_ref[0],
+        heads=heads, inv_d=inv_d, inv_h=inv_h,
+    )
+    res = x.astype(xs_ref.dtype)
+    xs_ref[pl.ds(row0, g)] = res
+    # every (b, i) writes its block; the sequential grid makes block
+    # depth-1's write land last, so HBM holds the final stream
+    o_ref[...] = res
+
+
+def _stack_reference(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
+    """Depth-loop of the single-block reference (VJP + parity oracle).
+    gains (depth, 2); weights (depth, ...)."""
+    for b in range(w_mod.shape[0]):
+        x = _reference(
+            x, a, gains[b], w_mod[b], w_qkv[b], w_out[b], w1[b], w2[b], heads
+        )
+    return x
+
+
+def _stack_fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
+    depth = w_mod.shape[0]
+    n, t, d = x.shape
+    h_mlp = w1.shape[1]
+    # Group sizing: like _fwd_impl, but the budget must also hold TWO
+    # weight sets (Mosaic double-buffers the block-indexed weight specs)
+    # and the (N, T, D) resident-stream scratch.
+    weight_bytes = ((6 + 3 + 1) * d * d + 2 * d * h_mlp) * x.dtype.itemsize
+    scratch_bytes = n * t * d * x.dtype.itemsize
+    budget_rows = max(
+        t,
+        ((_vmem_mb() - 3) * 2**20 - 2 * weight_bytes - scratch_bytes)
+        // (24 * d + 8 * t),
+    )
+    g = 1
+    for want_fill in (True, False):
+        for cand in (8, 4, 2):
+            if (n % cand == 0 and cand * t <= budget_rows
+                    and (cand * t >= 256 or not want_fill)):
+                g = cand
+                break
+        else:
+            continue
+        break
+    force = os.environ.get("MAPDIT_MEGA_FORCE_GROUP")
+    if force:
+        g = int(force)
+        assert n % g == 0, (n, g)
+
+    return pl.pallas_call(
+        functools.partial(
+            _stack_kernel,
+            group=g,
+            heads=heads,
+            inv_d=1.0 / math.sqrt(d),
+            inv_h=1.0 / math.sqrt(h_mlp),
+        ),
+        grid=(depth, n // g),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gains (depth, 2) full
+            # x is only CONSUMED at b == 0 (later blocks read the resident
+            # scratch); pinning the index to block 0 for b > 0 makes the
+            # block index constant across those steps, so the Pallas
+            # pipeline elides the (depth-1) * N*T*D re-fetch DMAs the
+            # naive (i, 0, 0) map would issue. (depth - b) // depth = 1
+            # at b == 0, else 0 — index-map-legal integer arithmetic.
+            pl.BlockSpec(
+                (g, t, d),
+                lambda b, i: (i * ((depth - b) // depth), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a (N, D) full
+            pl.BlockSpec((1, 6 * d, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_mlp, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, h_mlp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        # only block depth-1's results are the real output; parking every
+        # earlier write on block 0 keeps the out index constant there, so
+        # the pipeline flushes HBM only around the final block's sweep
+        # (the b < depth-1 writes land garbage in block 0, which
+        # (depth-1, 0) then overwrites — the sequential grid orders it).
+        # b // (depth - 1) = 1 only at b == depth-1 (depth >= 2).
+        out_specs=pl.BlockSpec(
+            (g, t, d),
+            (lambda b, i: (i, 0, 0)) if depth == 1
+            else (lambda b, i: (i * (b // (depth - 1)), 0, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, t, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((n, t, d), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=depth
+            * (
+                2 * n * d * 6 * d
+                + 2 * n * t * d * (3 * d + d + 2 * h_mlp)
+                + 4 * n * heads * t * t * (d // heads)
+            ),
+            bytes_accessed=(
+                2 * n * t * d
+                + depth * ((6 + 3 + 1) * d * d + 2 * d * h_mlp)
+            ) * 2,
+            transcendentals=depth * (n * t * h_mlp + n * heads * t * t),
+        ),
+        compiler_params=None if _interpret() else _compiler_params(),
+        interpret=_interpret(),
+    )(gains.astype(jnp.float32), x, a, w_mod, w_qkv, w_out, w1, w2)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_stack(heads: int):
+    @jax.custom_vjp
+    def f(x, a, gains, w_mod, w_qkv, w_out, w1, w2):
+        return _stack_fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads)
+
+    def fwd(x, a, gains, w_mod, w_qkv, w_out, w1, w2):
+        return (
+            _stack_fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads),
+            (x, a, gains, w_mod, w_qkv, w_out, w1, w2),
+        )
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda *args: _stack_reference(*args, heads), *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_dit_stack(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads: int):
+    """The ENTIRE DiT block stack in a single Pallas kernel.
+
+    x (N,T,D) residual stream; a (N,D) = mp_silu(c) shared by all blocks;
+    gains (depth, 2); weights depth-stacked and pre-normalized: w_mod
+    (depth,6D,D), w_qkv (depth,3D,D), w_out (depth,D,D), w1 (depth,H,D),
+    w2 (depth,D,H). Returns the updated stream. The VJP recomputes through
+    the jnp reference path (inference is the target; training keeps XLA).
+    """
+    return _make_stack(heads)(x, a, gains, w_mod, w_qkv, w_out, w1, w2)

@@ -35,6 +35,46 @@ def fold_weights_for_inference(params, cfg: DiTConfig):
     return jax.tree_util.tree_map_with_path(proj, params)
 
 
+def build_block_stack(params, cfg: DiTConfig):
+    """Depth-stack the per-block effective weights + gains for the
+    whole-stack Pallas megakernel (``block_kernel="mega_stack"``).
+
+    Runs once at prepare() time — OUTSIDE the jitted sampling scan — so the
+    (depth, ...) stacks are plain device buffers the kernel block-streams;
+    no per-step restacking ever happens. Requires folded weights
+    (fold_weights=True): stored weight == effective weight."""
+    assert cfg.fold_weights, "mega_stack needs folded (pre-normalized) weights"
+
+    def stack(*path):
+        leaves = []
+        for i in range(cfg.depth):
+            leaf = params[f"blocks_{i}"]
+            for p in path:
+                leaf = leaf[p]
+            leaves.append(leaf)
+        return jnp.stack(leaves).astype(cfg.dtype)
+
+    gains = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    params[f"blocks_{i}"]["gain_msa"],
+                    params[f"blocks_{i}"]["gain_mlp"],
+                ]
+            )
+            for i in range(cfg.depth)
+        ]
+    ).astype(jnp.float32)
+    return {
+        "gains": gains,
+        "w_mod": stack("modulation", "linear", "weight"),
+        "w_qkv": stack("attn", "qkv_proj", "weight"),
+        "w_out": stack("attn", "out_proj", "weight"),
+        "w1": stack("mlp", "fc1", "weight"),
+        "w2": stack("mlp", "fc2", "weight"),
+    }
+
+
 def build_model_fn(
     cfg: DiTConfig,
     variables: Dict,
@@ -121,6 +161,15 @@ def build_shared_sample_fn(
 
     run_cfg = cfg.replace(fold_weights=True) if (fold and cfg.use_weight_normalization) else cfg
     model = DiT(run_cfg)
+    use_stack = run_cfg.block_kernel == "mega_stack"
+    if use_stack:
+        from mapdit_tpu.models.blocks import _kernel_family_ok
+
+        assert _kernel_family_ok(run_cfg), (
+            "mega_stack hard-codes the MP + adaln + cosine-attention family"
+        )
+        assert run_cfg.fold_weights, "mega_stack needs fold=True (folded weights)"
+        assert not run_cfg.scan_blocks, "mega_stack replaces scan_blocks"
     use_fast = (
         sampler == "ddpm"
         and diffusion.mean_type == gd.EPSILON
@@ -145,15 +194,24 @@ def build_shared_sample_fn(
 
     def prepare(variables: Dict) -> Dict:
         if fold and cfg.use_weight_normalization:
-            return dict(
+            variables = dict(
                 variables, params=fold_weights_for_inference(variables["params"], run_cfg)
+            )
+        if use_stack:
+            variables = dict(
+                variables,
+                block_stack=build_block_stack(variables["params"], run_cfg),
             )
         return variables
 
     @jax.jit
     def sample_fn(variables: Dict, noise: Array, y: Array, rng: Array) -> Array:
+        variables = dict(variables)
+        stack = variables.pop("block_stack", None)
         if cfg_scale is None:
-            model_fn = lambda x, t, y: model.apply(variables, x, t, y)
+            model_fn = lambda x, t, y: model.apply(
+                variables, x, t, y, block_stack=stack
+            )
             chain_noise, chain_y = noise, y
         else:
             n_half = noise.shape[0] // 2
@@ -169,6 +227,7 @@ def build_shared_sample_fn(
                     t2,
                     y_full,
                     cfg_scale,
+                    block_stack=stack,
                     method=DiT.forward_with_cfg,
                 )
                 return out[:n_half]
@@ -179,7 +238,7 @@ def build_shared_sample_fn(
             # limited-interval guidance: unguided chain positions run the
             # plain cond-only forward on N rows (no [cond; uncond] doubling)
             def model_fn_cond(x_half, t, y):
-                return model.apply(variables, x_half, t, y)
+                return model.apply(variables, x_half, t, y, block_stack=stack)
 
             g0, g1 = cfg_segments
             T = diffusion.num_timesteps
@@ -310,6 +369,11 @@ def build_cached_sample_fn(
 
     assert sampler in ("ddpm", "dpm++"), sampler
     assert cache_mode in ("hold", "forecast"), cache_mode
+    assert cfg.block_kernel != "mega_stack", (
+        "block-span caching skips a block subrange, which the whole-stack "
+        "kernel cannot express — use --block-kernel mega (or auto) with "
+        "--cache-interval"
+    )
     assert diffusion.mean_type == gd.EPSILON and diffusion.var_type == gd.LEARNED_RANGE
     n_steps = diffusion.num_timesteps
     assert n_steps % cache_interval == 0, (n_steps, cache_interval)

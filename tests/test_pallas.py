@@ -452,3 +452,141 @@ class TestDiTBlockMegakernel:
                 variables, x, jnp.full((2,), 5.0), jnp.ones((2,), jnp.int32)
             )
             assert np.isfinite(np.asarray(out)).all()
+
+
+class TestDiTStackMegakernel:
+    """Whole-STACK Pallas megakernel (`fused_dit_stack`,
+    block_kernel="mega_stack"): all depth blocks in ONE pallas_call —
+    residual stream resident in VMEM scratch across the stack, per-block
+    weights streamed via block-indexed BlockSpecs."""
+
+    def _stack_args(self, n, depth=3, t=16, d=64, heads=2, h=256, seed=0):
+        rng = np.random.default_rng(seed)
+        f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+        gains = jnp.asarray(rng.normal(size=(depth, 2)) * 0.3, jnp.float32)
+        return (
+            f(n, t, d), f(n, d), gains,
+            f(depth, 6 * d, d), f(depth, 3 * d, d), f(depth, d, d),
+            f(depth, h, d), f(depth, d, h),
+        ), heads
+
+    @pytest.mark.parametrize("n", [4, 3])  # g=4 grid + the odd-n g=1 fallback
+    def test_stack_kernel_vs_reference_math(self, n):
+        from mapdit_tpu.ops.pallas.dit_block import (
+            _stack_reference,
+            fused_dit_stack,
+        )
+
+        args, heads = self._stack_args(n)
+        got = fused_dit_stack(*args, heads)
+        ref = _stack_reference(*args, heads)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_stack_equals_per_block_kernel(self):
+        """The stack kernel must be the same math as depth sequential
+        single-block megakernel calls."""
+        from mapdit_tpu.ops.pallas.dit_block import (
+            fused_dit_block,
+            fused_dit_stack,
+        )
+
+        args, heads = self._stack_args(4, seed=5)
+        x, a, gains = args[:3]
+        stacked = args[3:]
+        got = fused_dit_stack(*args, heads)
+        step = x
+        for b in range(gains.shape[0]):
+            step = fused_dit_block(
+                step, a, gains[b], *[w[b] for w in stacked], heads
+            )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(step), rtol=2e-4, atol=2e-4
+        )
+
+    def test_model_apply_with_block_stack_matches(self):
+        """DiT.apply(block_stack=...) (what the sampling runtime passes)
+        must match the plain per-block forward on folded weights."""
+        from mapdit_tpu.models import DiT, build_config, init_model
+        from mapdit_tpu.runtime import (
+            build_block_stack,
+            fold_weights_for_inference,
+        )
+
+        base = build_config(
+            "DiT-XS/2", in_channels=4, input_size=16, num_classes=10
+        )
+        _, variables = init_model(base, seed=3)
+        fcfg = base.replace(fold_weights=True, block_kernel="mega_stack")
+        fv = dict(
+            variables,
+            params=fold_weights_for_inference(variables["params"], fcfg),
+        )
+        stack = build_block_stack(fv["params"], fcfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 16, 16))
+        t = jnp.full((4,), 321.0)
+        y = jnp.ones((4,), jnp.int32)
+        a = DiT(fcfg).apply(fv, x, t, y)
+        b = DiT(fcfg).apply(fv, x, t, y, block_stack=stack)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+    def test_runtime_chain_parity(self):
+        """build_sample_fn(block_kernel="mega_stack") reproduces the plain
+        chain across the CFG, cond-only, cfg-interval and dpm++ paths."""
+        from mapdit_tpu.diffusion import create_diffusion, respacing_string
+        from mapdit_tpu.models import build_config, init_model
+        from mapdit_tpu.runtime import build_sample_fn
+
+        base = build_config(
+            "DiT-XS/2", in_channels=4, input_size=16, num_classes=10
+        )
+        _, variables = init_model(base, seed=3)
+        stack_cfg = base.replace(block_kernel="mega_stack")
+        d8 = create_diffusion("8")
+        noise = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 16, 16))
+        y = jnp.concatenate(
+            [jnp.array([1, 2]), jnp.full((2,), 10)]
+        ).astype(jnp.int32)
+        rng = jax.random.PRNGKey(7)
+
+        cases = [
+            (d8, dict(cfg_scale=4.0), y),
+            (d8, dict(), (y % 10)),
+            (d8, dict(cfg_scale=4.0, cfg_interval=(0.3, 3.0)), y),
+            (
+                create_diffusion(respacing_string(8, "dpm++", "karras")),
+                dict(cfg_scale=4.0, sampler="dpm++"),
+                y,
+            ),
+        ]
+        for diff, kw, yy in cases:
+            a = np.asarray(
+                build_sample_fn(
+                    base, variables, diff, clip_denoised=True, **kw
+                )(noise, yy, rng)
+            )
+            b = np.asarray(
+                build_sample_fn(
+                    stack_cfg, variables, diff, clip_denoised=True, **kw
+                )(noise, yy, rng)
+            )
+            assert np.isfinite(a).all() and np.isfinite(b).all(), kw
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+    def test_stack_rejects_span_cache(self):
+        from mapdit_tpu.diffusion import create_diffusion
+        from mapdit_tpu.models import build_config, init_model
+        from mapdit_tpu.runtime import build_cached_sample_fn
+
+        cfg = build_config(
+            "DiT-XS/2", in_channels=4, input_size=16, num_classes=10,
+            block_kernel="mega_stack",
+        )
+        _, variables = init_model(cfg, seed=0)
+        with pytest.raises(AssertionError, match="mega"):
+            build_cached_sample_fn(
+                cfg, variables, create_diffusion("8"), cache_interval=2
+            )
