@@ -440,9 +440,10 @@ def _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
     # experiment-only override: force a group size, bypassing the budget
     # (A/B probes of VMEM-pressure corners; not a production knob)
     force = os.environ.get("MAPDIT_MEGA_FORCE_GROUP")
-    if force:
+    if force and n % int(force) == 0:
+        # only shapes the forced group divides (model init traces at n=1;
+        # the probe targets the real batch)
         g = int(force)
-        assert n % g == 0, (n, g)
 
     return pl.pallas_call(
         functools.partial(
@@ -1168,9 +1169,35 @@ def _stack_fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
     # and the (N, T, D) resident-stream scratch.
     weight_bytes = ((6 + 3 + 1) * d * d + 2 * d * h_mlp) * x.dtype.itemsize
     scratch_bytes = n * t * d * x.dtype.itemsize
+    # Self-sizing VMEM scope: Mosaic's default 16 MB cannot hold the
+    # double-buffered weights + scratch at any useful group (S collapses
+    # to g=1, measured 372.9 steps/s vs 625.8 at 32 MB — BENCH_NOTES
+    # r03s5), so this kernel raises its own scope: at least the measured
+    # 32 MB, or what the working set needs, capped at 96 of the 128 MB
+    # physical. MAPDIT_MEGA_VMEM_MB still overrides for A/B probes.
+    if os.environ.get("MAPDIT_MEGA_VMEM_MB"):
+        scope_mb = _vmem_mb()
+    else:
+        need_mb = -(
+            -(3 * 2**20 + 2 * weight_bytes + scratch_bytes + 5 * 2**20)
+            // 2**20
+        )
+        scope_mb = max(32, min(96, need_mb))
+    if not _interpret() and (
+        2 * weight_bytes + scratch_bytes > (scope_mb - 8) * 2**20
+    ):
+        # XL-class stacks (45.6 MB bf16 weights, double-buffered) cannot
+        # fit the 96 MB scope cap next to the resident stream — fail with
+        # a diagnosis instead of Mosaic's VMEM-OOM compile error
+        raise ValueError(
+            f"mega_stack working set (2x{weight_bytes/2**20:.1f} MB weights "
+            f"+ {scratch_bytes/2**20:.1f} MB resident stream) exceeds the "
+            f"{scope_mb} MB VMEM scope at D={d}, N={n}, T={t} — use "
+            "block_kernel='mega_attn' (or 'auto') at this scale"
+        )
     budget_rows = max(
         t,
-        ((_vmem_mb() - 3) * 2**20 - 2 * weight_bytes - scratch_bytes)
+        ((scope_mb - 3) * 2**20 - 2 * weight_bytes - scratch_bytes)
         // (24 * d + 8 * t),
     )
     g = 1
@@ -1184,9 +1211,10 @@ def _stack_fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
             continue
         break
     force = os.environ.get("MAPDIT_MEGA_FORCE_GROUP")
-    if force:
+    if force and n % int(force) == 0:
+        # only shapes the forced group divides (model init traces at n=1;
+        # the probe targets the real batch)
         g = int(force)
-        assert n % g == 0, (n, g)
 
     return pl.pallas_call(
         functools.partial(
@@ -1244,7 +1272,9 @@ def _stack_fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
             ) * 2,
             transcendentals=depth * (n * t * h_mlp + n * heads * t * t),
         ),
-        compiler_params=None if _interpret() else _compiler_params(),
+        compiler_params=None
+        if _interpret()
+        else pltpu.CompilerParams(vmem_limit_bytes=scope_mb * 2**20),
         interpret=_interpret(),
     )(gains.astype(jnp.float32), x, a, w_mod, w_qkv, w_out, w1, w2)
 

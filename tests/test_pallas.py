@@ -576,6 +576,32 @@ class TestDiTStackMegakernel:
             assert np.isfinite(a).all() and np.isfinite(b).all(), kw
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
 
+    def test_stack_rejects_oversize_working_set(self, monkeypatch):
+        """XL-class weight stacks (45.6 MB bf16, double-buffered) cannot fit
+        the 96 MB VMEM scope cap — the impl must fail with a diagnosis, not
+        Mosaic's VMEM-OOM compile error. (_interpret is patched False so the
+        compile-path guard runs; the raise fires before pallas_call.)"""
+        from mapdit_tpu.ops.pallas import dit_block
+
+        monkeypatch.setattr(dit_block, "_interpret", lambda: False)
+        d, h, depth, heads = 1152, 4608, 2, 16
+        args, _ = self._stack_args(8, depth=depth, t=64, d=d, h=h)
+        with pytest.raises(ValueError, match="mega_attn"):
+            jax.eval_shape(
+                lambda *a: dit_block.fused_dit_stack(*a, heads), *args
+            )
+
+    def test_stack_scope_self_sizes(self, monkeypatch):
+        """The scope arithmetic: S-class needs the 32 MB floor, B-class
+        sizes to its working set, and the 8 MB headroom in `need_mb`
+        guarantees the feasibility guard passes whenever the cap isn't hit."""
+        for d, h, n, t in [(384, 1536, 64, 64), (768, 3072, 128, 64)]:
+            wb = (10 * d * d + 2 * d * h) * 2
+            scratch = n * t * d * 2
+            need = -(-(3 * 2**20 + 2 * wb + scratch + 5 * 2**20) // 2**20)
+            scope = max(32, min(96, need))
+            assert 2 * wb + scratch <= (scope - 8) * 2**20, (d, scope)
+
     def test_stack_rejects_span_cache(self):
         from mapdit_tpu.diffusion import create_diffusion
         from mapdit_tpu.models import build_config, init_model
