@@ -137,6 +137,36 @@ def _use_megakernel(cfg: DiTConfig, seq_len: int) -> bool:
     )
 
 
+def resolve_block_kernel_shard_local(cfg: DiTConfig, folded: bool) -> str:
+    """Resolve ``block_kernel="auto"`` for a shard_map context.
+
+    Inside :func:`mapdit_tpu.runtime.build_dp_sharded_sample_fn` every shard
+    executes a single-device program, so the global ``device_count == 1``
+    gate in :func:`_mega_auto_ok` (which exists because GSPMD has no
+    partitioning rule for the kernel custom-calls) does not apply — the
+    same VMEM-budget policy as the single-chip ``auto`` gate picks the
+    kernel, minus the count check:
+
+      * whole-block weights fit the 7 MB budget (S and below) -> ``mega``
+      * attention half fits its 11 MB budget at T<=64 (B, XL) -> ``mega_attn``
+      * otherwise (or off-TPU, where interpret mode is debug-speed) -> ``off``
+    """
+    if cfg.block_kernel != "auto":
+        return cfg.block_kernel
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if not (on_tpu and folded and _kernel_family_ok(cfg)
+            and cfg.num_patches <= 64):
+        return "off"
+    if _whole_block_weight_bytes(cfg) <= _VMEM_WEIGHT_BUDGET:
+        return "mega"
+    if _attn_weight_bytes(cfg) <= _ATTN_WEIGHT_BUDGET:
+        return "mega_attn"
+    return "off"
+
+
 def modulation_dims(cfg: DiTConfig, with_gate: bool) -> Tuple[int, ...]:
     """Output chunk sizes of one branch's modulation head.
 

@@ -196,6 +196,7 @@ class SamplerService:
                     "protocol or restart with --max-programs"
                 )
             diffusion = create_diffusion(respacing_string(steps, sampler, schedule))
+            n_dev = self._mesh.shape["data"] if self._mesh is not None else 1
             if cache_interval > 1:
                 # Delta-DiT block-span caching (LOSSY; docs/BENCH_NOTES.md)
                 fn = build_cached_sample_fn(
@@ -208,6 +209,24 @@ class SamplerService:
                     cfg_interval=cfg_interval,
                     cache_mode=cache_mode,
                 )
+            elif n_dev > 1 and bucket % n_dev == 0:
+                # Multi-chip: per-shard single-chip chains (shard_map) keep
+                # the Pallas megakernels live — GSPMD cannot partition their
+                # custom-calls, so the plain path loses them on a mesh
+                # (docs/BENCH_NOTES r03s5). Un-doubled interface: the CFG
+                # doubling happens per shard inside the wrapper.
+                from mapdit_tpu.runtime import build_dp_sharded_sample_fn
+
+                fn = build_dp_sharded_sample_fn(
+                    self.cfg,
+                    self.variables,
+                    diffusion,
+                    self._mesh,
+                    cfg_scale=cfg_scale if cfg_scale > 1.0 else None,
+                    sampler=sampler,
+                    cfg_interval=cfg_interval,
+                )
+                fn = (fn, "shard_map")
             else:
                 fn = build_sample_fn(
                     self.cfg,
@@ -217,6 +236,8 @@ class SamplerService:
                     sampler=sampler,
                     cfg_interval=cfg_interval,
                 )
+            if not isinstance(fn, tuple):
+                fn = (fn, "plain")
             self._fns[key] = fn
         return fn
 
@@ -425,27 +446,35 @@ class SamplerService:
         self._request_counter += 1
         skey = jax.random.fold_in(self._base_key, self._request_counter)
 
-        if cfg_scale > 1.0:
-            # reference CFG batch contract: [z; z], [labels; null]
-            z = jnp.concatenate([z, z], axis=0)
-            y = jnp.concatenate(
-                [y_rows, jnp.full((bucket,), num_classes, jnp.int32)]
-            )
-        else:
-            y = y_rows
-        fn = self._get_fn(
+        fn, layout = self._get_fn(
             sampler, steps, cfg_scale, bucket, schedule, cache_interval,
             cfg_interval, cache_mode,
         )
-        n_dev = self._mesh.shape["data"] if self._mesh is not None else 1
-        cfg_rows = 2 * bucket if cfg_scale > 1.0 else bucket
-        if n_dev > 1 and bucket % n_dev == 0 and cfg_rows % n_dev == 0:
+        if layout == "shard_map":
+            # un-doubled interface: per-shard CFG doubling inside the
+            # wrapper (pairs never straddle shards, megakernels stay live)
             z = jax.device_put(z, self._b_shard)
-            y = jax.device_put(y, self._b_shard)
+            y = jax.device_put(y_rows, self._b_shard)
             with jax.set_mesh(self._mesh):
                 out = np.asarray(fn(z, y, skey))[:n]
         else:
-            out = np.asarray(fn(z, y, skey))[:n]
+            if cfg_scale > 1.0:
+                # reference CFG batch contract: [z; z], [labels; null]
+                z = jnp.concatenate([z, z], axis=0)
+                y = jnp.concatenate(
+                    [y_rows, jnp.full((bucket,), num_classes, jnp.int32)]
+                )
+            else:
+                y = y_rows
+            n_dev = self._mesh.shape["data"] if self._mesh is not None else 1
+            cfg_rows = 2 * bucket if cfg_scale > 1.0 else bucket
+            if n_dev > 1 and bucket % n_dev == 0 and cfg_rows % n_dev == 0:
+                z = jax.device_put(z, self._b_shard)
+                y = jax.device_put(y, self._b_shard)
+                with jax.set_mesh(self._mesh):
+                    out = np.asarray(fn(z, y, skey))[:n]
+            else:
+                out = np.asarray(fn(z, y, skey))[:n]
         # decode on this thread too — the dispatcher owns all device work
         from sample import decode_latents
 

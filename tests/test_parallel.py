@@ -282,6 +282,108 @@ class TestDataParallel:
         np.testing.assert_allclose(ref, out, rtol=1e-4, atol=1e-4)
 
 
+class TestShardMapKernelSampling:
+    """build_dp_sharded_sample_fn: the whole single-chip chain inside
+    jax.shard_map per data shard — the layout that keeps the Pallas
+    megakernels live on multi-device meshes (GSPMD has no partitioning
+    rule for their custom-calls, so the `auto` gate disables them there)."""
+
+    def _variables(self, cfg):
+        from mapdit_tpu.models import init_model
+
+        _, variables = init_model(cfg, seed=0)
+        return variables
+
+    def test_dp8_matches_single_device_deterministic_chain(self, setup):
+        """ddim eta=0 consumes no chain noise, so the per-shard fold_in
+        cannot matter: shard_map dp8 must reproduce the plain single-device
+        chain (up to GSPMD fusion reordering) for the same inputs."""
+        from mapdit_tpu.runtime import build_dp_sharded_sample_fn, build_sample_fn
+
+        cfg = setup[0]
+        variables = self._variables(cfg)
+        d = create_diffusion("4")
+        n = 8
+        z = jax.random.normal(jax.random.PRNGKey(0), (n, 4, 16, 16))
+        y = jnp.arange(n, dtype=jnp.int32) % cfg.num_classes
+        key = jax.random.PRNGKey(1)
+
+        plain = build_sample_fn(
+            cfg, variables, d, cfg_scale=1.5, sampler="ddim",
+            clip_denoised=True,
+        )
+        z2 = jnp.concatenate([z, z], axis=0)
+        y2 = jnp.concatenate([y, jnp.full((n,), cfg.num_classes, jnp.int32)])
+        ref = np.asarray(plain(z2, y2, key))[:n]
+
+        mesh = make_mesh(n_data=8, n_model=1)
+        sharded = build_dp_sharded_sample_fn(
+            cfg, variables, d, mesh, cfg_scale=1.5, sampler="ddim",
+            clip_denoised=True,
+        )
+        out = np.asarray(sharded(z, y, key))
+        np.testing.assert_allclose(ref, out, rtol=1e-4, atol=1e-4)
+
+    def test_chain_noise_decorrelated_across_shards(self, setup):
+        """ddpm chain noise: identical per-shard inputs must still produce
+        distinct outputs (fold_in(key, axis_index) — without it every shard
+        would draw the SAME noise and the FID batch would be 8 correlated
+        copies)."""
+        from mapdit_tpu.runtime import build_dp_sharded_sample_fn
+
+        cfg = setup[0]
+        variables = self._variables(cfg)
+        d = create_diffusion("4")
+        mesh = make_mesh(n_data=8, n_model=1)
+        sharded = build_dp_sharded_sample_fn(
+            cfg, variables, d, mesh, cfg_scale=1.5, sampler="ddpm",
+            clip_denoised=True,
+        )
+        z = jnp.tile(jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16)), (8, 1, 1, 1))
+        y = jnp.zeros((8,), jnp.int32)
+        out = np.asarray(sharded(z, y, jax.random.PRNGKey(1)))
+        assert np.isfinite(out).all()
+        per_shard = out.reshape(8, -1)
+        for i in range(1, 8):
+            assert not np.allclose(per_shard[0], per_shard[i]), i
+
+    def test_megakernel_executes_inside_shard_map(self, setup):
+        """Explicit block_kernel='mega' under shard_map (interpret mode on
+        CPU): the kernel must lower and match the XLA pipeline per shard —
+        the correctness half of the multi-chip kernel story that real
+        multi-chip hardware would complete."""
+        from mapdit_tpu.runtime import build_dp_sharded_sample_fn
+
+        cfg = setup[0]
+        variables = self._variables(cfg)
+        d = create_diffusion("2")
+        mesh = make_mesh(n_data=8, n_model=1)
+        n = 8
+        z = jax.random.normal(jax.random.PRNGKey(0), (n, 4, 16, 16))
+        y = jnp.arange(n, dtype=jnp.int32) % cfg.num_classes
+        key = jax.random.PRNGKey(1)
+        outs = {}
+        for kernel in ("off", "mega"):
+            fn = build_dp_sharded_sample_fn(
+                cfg.replace(block_kernel=kernel), variables, d, mesh,
+                cfg_scale=1.5, sampler="ddim", clip_denoised=True,
+            )
+            outs[kernel] = np.asarray(fn(z, y, key))
+        np.testing.assert_allclose(
+            outs["off"], outs["mega"], rtol=5e-4, atol=5e-4
+        )
+
+    def test_rejects_model_parallel_mesh(self, setup):
+        from mapdit_tpu.runtime import build_dp_sharded_sample_fn
+
+        cfg = setup[0]
+        mesh = make_mesh(n_data=4, n_model=2)
+        with pytest.raises(AssertionError, match="data-parallel only"):
+            build_dp_sharded_sample_fn(
+                cfg, self._variables(cfg), create_diffusion("4"), mesh
+            )
+
+
 class TestFsdpCli:
     def test_train_fsdp_flag(self, tmp_path):
         """train.py --fsdp true over the 8-device virtual mesh (subprocess:
@@ -310,10 +412,13 @@ class TestFsdpCli:
 
 
 class TestShardedFid:
-    def test_sample_fid_cli_sharded(self, trained_run):
+    @pytest.mark.parametrize("layout", ["gspmd", "auto"])  # auto = shard_map at 8 devices
+    def test_sample_fid_cli_sharded(self, trained_run, layout):
         """sample_fid.py over the 8-device virtual mesh (in-process would
         recompile; run the real script with 8 virtual devices) against the
-        session-shared trained experiment."""
+        session-shared trained experiment — both multi-chip layouts: the
+        GSPMD batch-sharded program and the shard_map per-shard-chain
+        default."""
         import subprocess
         import sys
         import os
@@ -324,14 +429,16 @@ class TestShardedFid:
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
         exp = trained_run
+        out_name = f"samples_{layout}.npz"
         proc = subprocess.run(
             [sys.executable, os.path.join(repo, "sample_fid.py"),
              "--result-dir", exp, "--use-vae", "false",
              "--num-samples", "8", "--batch-size", "8", "--num-classes", "10",
              "--num-sampling-steps", "2", "--cfg-scale", "1.5",
+             "--kernel-sharding", layout, "--output-file", out_name,
              "--ckpt", "0000012"],
             capture_output=True, text=True, timeout=900, cwd=repo, env=env,
         )
         assert proc.returncode == 0, f"sample_fid:\n{proc.stdout}\n{proc.stderr}"
-        with np.load(os.path.join(exp, "fid_samples", "samples.npz")) as f:
+        with np.load(os.path.join(exp, "fid_samples", out_name)) as f:
             assert f["arr_0"].shape == (8, 16, 16, 4)

@@ -189,9 +189,10 @@ class TestServe:
 
     def test_sharded_serving_virtual_mesh(self, trained_exp):
         """--shard over the 8-device virtual mesh: divisible buckets run
-        data-parallel (GSPMD splits the chain batch). Serves the shared
-        1-device-trained experiment — device count is a serving-time
-        property, not a checkpoint property."""
+        data-parallel — shard_map per-shard chains for exact protocols (the
+        layout that keeps Pallas kernels live on a real pod), GSPMD for
+        cached ones. Serves the shared 1-device-trained experiment — device
+        count is a serving-time property, not a checkpoint property."""
         env = _cpu_env()
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
         exp_dir = trained_exp
