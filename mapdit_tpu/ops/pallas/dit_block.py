@@ -161,9 +161,8 @@ def _attention_core(qkv, g, t, d, heads, dtype):
         q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd]
         k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd]
         v = qkv[:, 2 * d + hi * hd : 2 * d + (hi + 1) * hd]
-        if scales is not None:
-            q = q * scales[:, hi : hi + 1]
-            k = k * scales[:, heads + hi : heads + hi + 1]
+        # scales path: q/k enter the GEMM RAW — the normalize folds into
+        # the logits below ((q/|q|).(k/|k|) == (q.k)/(|q||k|))
         q = q.reshape(g, t, hd)
         k = k.reshape(g, t, hd)
         if scales is None and "norm" not in skips:
@@ -191,6 +190,22 @@ def _attention_core(qkv, g, t, d, heads, dtype):
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * inv_hd  # (G, T, T) | packed (G/2, 2T, 2T)
+        if scales is not None:
+            # Post-GEMM cosine normalize (the r03s5 kernel_ablation showed
+            # the pre-GEMM q/k scale-multiplies as the largest remaining
+            # VPU item, 0.266 ms/step of 1.610): scaling the LOGITS by the
+            # outer product of the per-row scales is the same math —
+            # (q/|q|).(k/|k|) == (q.k)/(|q||k|) — and the two broadcast
+            # multiplies fuse into the exp's existing elementwise chain
+            # over the logit tile instead of materializing scaled (T, hd)
+            # q/k buffers per head. The max-free-softmax bound still holds:
+            # the scaled logits are value-identical to the pre-scaled ones.
+            qs = scales[:, hi].reshape(g, t)
+            ks = scales[:, heads + hi].reshape(g, t)
+            if pack:
+                qs = qs.reshape(g // 2, 2 * t)
+                ks = ks.reshape(g // 2, 2 * t)
+            logits = logits * qs[:, :, None] * ks[:, None, :]
         if pack:
             logits = jnp.where(same_blk, logits, -1e30)
         if "softmax" in skips:  # ablation probe only
