@@ -23,6 +23,7 @@ dispatch show less); one TPU process at a time (axon relay).
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -101,7 +102,11 @@ def main():
         l, g = jax.value_and_grad(loss_of)(params, constants, rng)
         return l, optax.global_norm(g)
 
-    @jax.jit
+    # donate params/opt_state like the full step does (donate_argnums=0 on
+    # the whole TrainState) — without it XLA copies the 3x-param optimizer
+    # state every call and the comparison reads ~4 ms slower than the full
+    # step (measured; the first probe run had exactly that artifact)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def grad_adam(params, opt_state, constants, rng):
         l, g = jax.value_and_grad(loss_of)(params, constants, rng)
         updates, opt_state = tx.update(g, opt_state, params)
@@ -127,7 +132,16 @@ def main():
     rng = jax.random.PRNGKey(0)
     t_fwd = time_it(fwd, state.params, state.constants, rng)
     t_grad = time_it(grad, state.params, state.constants, rng)
-    t_ga = time_it(grad_adam, state.params, state.opt_state, state.constants, rng)
+
+    # donated args must thread through the loop (the input buffers die)
+    p, o = jax.tree_util.tree_map(jnp.copy, (state.params, state.opt_state))
+    p, o, l, _ = grad_adam(p, o, state.constants, rng)
+    jax.block_until_ready(l)
+    start = time.perf_counter()
+    for _ in range(args.steps):
+        p, o, l, _ = grad_adam(p, o, state.constants, rng)
+    jax.block_until_ready(l)
+    t_ga = (time.perf_counter() - start) / args.steps * 1e3
 
     # full step must thread state (donated); time the real loop shape
     s = state
