@@ -158,18 +158,28 @@ def _attention_core(qkv, g, t, d, heads, dtype):
     )
 
     def head_slices(hi):
-        q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd]
-        k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd]
+        # q/k enter the GEMM RAW — the cosine normalize folds into the
+        # logits below ((q/|q|).(k/|k|) == (q.k)/(|q||k|)); only the
+        # per-row scale VECTORS are computed here, never scaled buffers
+        q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd].reshape(g, t, hd)
+        k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd].reshape(g, t, hd)
         v = qkv[:, 2 * d + hi * hd : 2 * d + (hi + 1) * hd]
-        # scales path: q/k enter the GEMM RAW — the normalize folds into
-        # the logits below ((q/|q|).(k/|k|) == (q.k)/(|q||k|))
-        q = q.reshape(g, t, hd)
-        k = k.reshape(g, t, hd)
-        if scales is None and "norm" not in skips:
-            # per-head VPU cross-lane reduce — the small-M fallback
+        if "norm" in skips:  # ablation probe only
+            qs = ks = None
+        elif scales is not None:
+            qs = scales[:, hi].reshape(g, t)
+            ks = scales[:, heads + hi].reshape(g, t)
+        else:
+            # small-M fallback (gemm_reduce gate, XL's G=2): per-head VPU
+            # reduce AND pre-GEMM scaling. Folding these scales into the
+            # logits was A/B'd on chip at XL: fold 74.3 vs this form 74.0
+            # steps/s same-session (both within the 74.0-75.8 cross-session
+            # tunnel band) — a wash at T==hd geometry, so this branch keeps
+            # the form the 75.8 record was measured on
+            qs = ks = None
             q = q * (math.sqrt(hd) / (jnp.sqrt(jnp.sum(q * q, -1, keepdims=True)) + _NORM_EPS))
             k = k * (math.sqrt(hd) / (jnp.sqrt(jnp.sum(k * k, -1, keepdims=True)) + _NORM_EPS))
-        return q, k, v.reshape(g, t, hd)
+        return q, k, v.reshape(g, t, hd), qs, ks
 
     pack = _pack_mode() and g % 2 == 0 and t % 8 == 0 and 2 * t <= 128
     if pack:
@@ -179,7 +189,7 @@ def _attention_core(qkv, g, t, d, heads, dtype):
 
     head_outs = []
     for hi in range(heads):
-        q, k, v = head_slices(hi)
+        q, k, v, qs, ks = head_slices(hi)
         if pack:
             q = q.reshape(g // 2, 2 * t, hd)
             k = k.reshape(g // 2, 2 * t, hd)
@@ -190,7 +200,7 @@ def _attention_core(qkv, g, t, d, heads, dtype):
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * inv_hd  # (G, T, T) | packed (G/2, 2T, 2T)
-        if scales is not None:
+        if qs is not None:
             # Post-GEMM cosine normalize (the r03s5 kernel_ablation showed
             # the pre-GEMM q/k scale-multiplies as the largest remaining
             # VPU item, 0.266 ms/step of 1.610): scaling the LOGITS by the
@@ -200,8 +210,6 @@ def _attention_core(qkv, g, t, d, heads, dtype):
             # over the logit tile instead of materializing scaled (T, hd)
             # q/k buffers per head. The max-free-softmax bound still holds:
             # the scaled logits are value-identical to the pre-scaled ones.
-            qs = scales[:, hi].reshape(g, t)
-            ks = scales[:, heads + hi].reshape(g, t)
             if pack:
                 qs = qs.reshape(g // 2, 2 * t)
                 ks = ks.reshape(g // 2, 2 * t)

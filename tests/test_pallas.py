@@ -281,6 +281,27 @@ class TestDiTBlockMegakernel:
                 np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
             )
 
+    def test_small_m_fallback_normalize_parity(self, monkeypatch):
+        """The gemm_reduce geometry gate's FALLBACK branch (XL's G=2
+        shapes: per-head VPU norm reduce, logits-fold applied) must match
+        the reference — the default test shapes all satisfy the gate, so
+        force it off."""
+        from mapdit_tpu.ops.pallas import dit_block as dbk
+
+        monkeypatch.setattr(dbk, "_gemm_reduce_pays", lambda rows, d: False)
+        rng = np.random.default_rng(11)
+        f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+        n, t, d, heads, h = 4, 16, 64, 2, 256
+        x, a = f(n, t, d), f(n, d)
+        gains = jnp.asarray([0.3, 0.7], jnp.float32)
+        args = (x, a, gains, f(6 * d, d), f(3 * d, d), f(d, d),
+                f(h, d), f(d, h))
+        got = dbk.fused_dit_block(*args, heads)
+        ref = dbk._reference(*args, heads)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
     @pytest.mark.parametrize(
         "skip", ["norm", "softmax", "attn-core", "attn", "mlp", "mod"]
     )
