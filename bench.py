@@ -257,6 +257,7 @@ def main():
             cfg, variables, diffusion, cfg_scale=1.5, fold=True, sampler=args.sampler,
             scan_unroll=args.scan_unroll,
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
+            batch_hint=args.batch,
         )
 
     n = args.batch

@@ -137,6 +137,34 @@ def _use_megakernel(cfg: DiTConfig, seq_len: int) -> bool:
     )
 
 
+def _stack_auto_ok(cfg: DiTConfig, batch_hint) -> bool:
+    """auto-promotion gate for the whole-STACK megakernel inside the
+    sampling runtime (build_shared_sample_fn): prefer ``mega_stack`` over
+    per-block ``mega`` wherever the whole-block kernel would dispatch.
+
+    Measured on chip after the logits-fold cut (S/2 chains, r03s5, stack
+    vs mega): +3.7% at batch 1x2/50-step (1731.7/1670.4 — pre-fold this
+    shape LOST; the fold shrank per-block VPU work, so the stack's
+    one-launch-per-model-call structure now wins), +8.7% at 2, +3.0% at
+    4, +4.6% at 8, +3.3% at 16, +1.3% at the 32x2 headline (662.1 vs
+    653.9). B-scale still loses (186.4 vs mega_attn's 199.4), which the
+    S-class weight-fit condition below already excludes. ``batch_hint``
+    (pre-CFG sample count) is required for the resident-stream VMEM fit
+    check — CFG doubling assumed worst-case.
+    """
+    if batch_hint is None:
+        return False
+    if cfg.scan_blocks or not cfg.fold_weights:
+        return False
+    if not (_kernel_family_ok(cfg) and cfg.num_patches <= 64
+            and _whole_block_weight_bytes(cfg) <= _VMEM_WEIGHT_BUDGET
+            and _mega_auto_ok()):
+        return False
+    itemsize = 2 if cfg.dtype == jnp.bfloat16 else 4
+    scratch = 2 * batch_hint * cfg.num_patches * cfg.hidden_size * itemsize
+    return 2 * _whole_block_weight_bytes(cfg) + scratch <= 88 * 2**20
+
+
 def resolve_block_kernel_shard_local(cfg: DiTConfig, folded: bool) -> str:
     """Resolve ``block_kernel="auto"`` for a shard_map context.
 

@@ -139,10 +139,17 @@ def build_shared_sample_fn(
     scan_unroll: int = 1,
     clip_denoised: bool = False,
     cfg_interval: Optional[tuple] = None,
+    batch_hint: Optional[int] = None,
 ):
     """Like build_sample_fn but takes variables as a call argument, so one
     compiled program serves many parameter sets (sample_ema.py's five EMA
     stds reuse a single compile).
+
+    ``batch_hint`` (pre-CFG sample count the caller will pass): lets the
+    ``auto`` kernel policy promote the whole-STACK megakernel where it is
+    measured faster than per-block ``mega`` (batch >= 8 at S-class; see
+    blocks._stack_auto_ok). Purely an optimization hint — any batch still
+    runs correctly without it.
 
     ``cfg_interval=(sigma_lo, sigma_hi)``: limited-interval guidance
     (Kynkaanniemi et al., arXiv 2404.07724) — CFG is applied only on chain
@@ -160,6 +167,11 @@ def build_shared_sample_fn(
     from mapdit_tpu.models.dit import DiT
 
     run_cfg = cfg.replace(fold_weights=True) if (fold and cfg.use_weight_normalization) else cfg
+    if run_cfg.block_kernel == "auto":
+        from mapdit_tpu.models.blocks import _stack_auto_ok
+
+        if _stack_auto_ok(run_cfg, batch_hint):
+            run_cfg = run_cfg.replace(block_kernel="mega_stack")
     model = DiT(run_cfg)
     use_stack = run_cfg.block_kernel == "mega_stack"
     if use_stack:
@@ -594,6 +606,7 @@ def build_sample_fn(
     scan_unroll: int = 1,
     clip_denoised: bool = False,
     cfg_interval: Optional[tuple] = None,
+    batch_hint: Optional[int] = None,
 ):
     """Jitted (noise, y, rng) -> samples over the full denoising chain.
 
@@ -609,7 +622,7 @@ def build_sample_fn(
     prepare, shared_fn = build_shared_sample_fn(
         cfg, diffusion, cfg_scale=cfg_scale, fold=fold, sampler=sampler, eta=eta,
         scan_unroll=scan_unroll, clip_denoised=clip_denoised,
-        cfg_interval=cfg_interval,
+        cfg_interval=cfg_interval, batch_hint=batch_hint,
     )
     prepared = prepare(variables)
 

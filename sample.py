@@ -176,7 +176,7 @@ def main(args):
             cfg, variables, diffusion, cfg_scale=args.cfg_scale,
             sampler=args.sampler, eta=args.eta,
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
-            clip_denoised=args.clip_denoised,
+            clip_denoised=args.clip_denoised, batch_hint=n,
         )
     samples = sample_fn(z, y, skey)
     samples = np.asarray(samples[:n])  # drop the null-class half

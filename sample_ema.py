@@ -48,6 +48,7 @@ def main(args):
     prepare, sample_fn = build_shared_sample_fn(
         cfg, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler, eta=args.eta,
         cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
+        batch_hint=n,
     )
     res = []
     for std in EMA_STDS:

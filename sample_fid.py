@@ -86,7 +86,7 @@ def main(args):
             sampler=args.sampler,
             eta=args.eta,
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
-            clip_denoised=args.clip_denoised,
+            clip_denoised=args.clip_denoised, batch_hint=args.batch_size,
         )
         assert (2 * n if use_cfg else n) % n_data == 0, \
             "batch size (incl. CFG doubling) must divide the device count"

@@ -235,6 +235,7 @@ class SamplerService:
                     cfg_scale=cfg_scale if cfg_scale > 1.0 else None,
                     sampler=sampler,
                     cfg_interval=cfg_interval,
+                    batch_hint=bucket,
                 )
             if not isinstance(fn, tuple):
                 fn = (fn, "plain")
