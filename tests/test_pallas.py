@@ -281,6 +281,32 @@ class TestDiTBlockMegakernel:
                 np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
             )
 
+    def test_stack_auto_promotion_gate(self, monkeypatch):
+        """blocks._stack_auto_ok: promotes at S-class (any measured batch),
+        never at B-scale (mega_attn wins there), never without a batch
+        hint, never past the resident-stream VMEM fit."""
+        from mapdit_tpu.models import blocks, build_config
+
+        monkeypatch.setattr(blocks, "_mega_auto_ok", lambda: True)
+        s = build_config(
+            "DiT-S/2", in_channels=4, input_size=16, num_classes=10,
+            compute_dtype="bfloat16", block_kernel="auto", fold_weights=True,
+        )
+        assert blocks._stack_auto_ok(s, 1)
+        assert blocks._stack_auto_ok(s, 32)
+        assert not blocks._stack_auto_ok(s, None)
+        assert not blocks._stack_auto_ok(s, 100_000)  # stream > VMEM fit
+        assert not blocks._stack_auto_ok(s.replace(scan_blocks=True), 32)
+        assert not blocks._stack_auto_ok(s.replace(fold_weights=False), 32)
+        b = build_config(
+            "DiT-B/2", in_channels=4, input_size=16, num_classes=10,
+            compute_dtype="bfloat16", block_kernel="auto", fold_weights=True,
+        )
+        assert not blocks._stack_auto_ok(b, 32)  # B: whole-block > budget
+        # off-TPU (the real env for this suite): never promotes
+        monkeypatch.setattr(blocks, "_mega_auto_ok", lambda: False)
+        assert not blocks._stack_auto_ok(s, 32)
+
     def test_small_m_fallback_normalize_parity(self, monkeypatch):
         """The gemm_reduce geometry gate's FALLBACK branch (XL's G=2
         shapes: per-head VPU norm reduce, logits-fold applied) must match
