@@ -86,6 +86,26 @@ _VMEM_WEIGHT_BUDGET = 7 * 2**20  # leave room for double-buffered activations
 _ATTN_WEIGHT_BUDGET = 11 * 2**20
 
 
+def _kernel_policy(cfg: DiTConfig, folded: bool, seq_len: int) -> str:
+    """THE auto kernel policy (single source — the flax dispatch gates, the
+    shard_map resolver, and the stack-promotion gate all derive from it;
+    no device/platform condition here, callers add their own):
+
+      * whole-block weights fit the 7 MB budget (S and below) -> ``mega``
+        (raised-scope whole-block at B/XL REFUTED on chip, BENCH_NOTES
+        r03s5: resident 18D^2 weights crowd out activation rows)
+      * attention half fits its 11 MB budget at T<=64 (B, XL) -> ``mega_attn``
+      * otherwise -> ``off`` (XLA pipeline; T=256 kernels refuted r03)
+    """
+    if not (_kernel_family_ok(cfg) and folded and seq_len <= 64):
+        return "off"
+    if _whole_block_weight_bytes(cfg) <= _VMEM_WEIGHT_BUDGET:
+        return "mega"
+    if _attn_weight_bytes(cfg) <= _ATTN_WEIGHT_BUDGET:
+        return "mega_attn"
+    return "off"
+
+
 def _use_attn_halfkernel(cfg: DiTConfig, seq_len: int) -> bool:
     """Attention half-block kernel (`fused_attn_branch`): modulate + qkv +
     cosine attention + out-proj + MP residual in one VMEM residency, with
@@ -101,10 +121,7 @@ def _use_attn_halfkernel(cfg: DiTConfig, seq_len: int) -> bool:
         return True
     return (
         cfg.block_kernel == "auto"
-        and cfg.fold_weights
-        and seq_len <= 64
-        and _whole_block_weight_bytes(cfg) > _VMEM_WEIGHT_BUDGET
-        and _attn_weight_bytes(cfg) <= _ATTN_WEIGHT_BUDGET
+        and _kernel_policy(cfg, cfg.fold_weights, seq_len) == "mega_attn"
         and _mega_auto_ok()
     )
 
@@ -126,18 +143,16 @@ def _use_megakernel(cfg: DiTConfig, seq_len: int) -> bool:
         return False
     if cfg.block_kernel == "mega":
         return True
-    if cfg.block_kernel != "auto" or not cfg.fold_weights:
-        return False
     # T<=64 covers every registry model on the shipped 16x16-latent dataset
     # (p=2); larger-T VMEM budgets are unmeasured — explicit flags override
     return (
-        seq_len <= 64
-        and _whole_block_weight_bytes(cfg) <= _VMEM_WEIGHT_BUDGET
+        cfg.block_kernel == "auto"
+        and _kernel_policy(cfg, cfg.fold_weights, seq_len) == "mega"
         and _mega_auto_ok()
     )
 
 
-def _stack_auto_ok(cfg: DiTConfig, batch_hint) -> bool:
+def _stack_auto_ok(cfg: DiTConfig, batch_hint, single_device_ok=False) -> bool:
     """auto-promotion gate for the whole-STACK megakernel inside the
     sampling runtime (build_shared_sample_fn): prefer ``mega_stack`` over
     per-block ``mega`` wherever the whole-block kernel would dispatch.
@@ -151,14 +166,17 @@ def _stack_auto_ok(cfg: DiTConfig, batch_hint) -> bool:
     S-class weight-fit condition below already excludes. ``batch_hint``
     (pre-CFG sample count) is required for the resident-stream VMEM fit
     check — CFG doubling assumed worst-case.
+
+    ``single_device_ok=True`` skips the global device-count probe: inside
+    a shard_map body every shard IS one device, so the GSPMD-partitioning
+    concern behind :func:`_mega_auto_ok` does not apply (the caller has
+    already established the TPU platform).
     """
-    if batch_hint is None:
+    if batch_hint is None or cfg.scan_blocks:
         return False
-    if cfg.scan_blocks or not cfg.fold_weights:
+    if _kernel_policy(cfg, cfg.fold_weights, cfg.num_patches) != "mega":
         return False
-    if not (_kernel_family_ok(cfg) and cfg.num_patches <= 64
-            and _whole_block_weight_bytes(cfg) <= _VMEM_WEIGHT_BUDGET
-            and _mega_auto_ok()):
+    if not (single_device_ok or _mega_auto_ok()):
         return False
     itemsize = 2 if cfg.dtype == jnp.bfloat16 else 4
     scratch = 2 * batch_hint * cfg.num_patches * cfg.hidden_size * itemsize
@@ -173,11 +191,8 @@ def resolve_block_kernel_shard_local(cfg: DiTConfig, folded: bool) -> str:
     gate in :func:`_mega_auto_ok` (which exists because GSPMD has no
     partitioning rule for the kernel custom-calls) does not apply — the
     same VMEM-budget policy as the single-chip ``auto`` gate picks the
-    kernel, minus the count check:
-
-      * whole-block weights fit the 7 MB budget (S and below) -> ``mega``
-      * attention half fits its 11 MB budget at T<=64 (B, XL) -> ``mega_attn``
-      * otherwise (or off-TPU, where interpret mode is debug-speed) -> ``off``
+    kernel (:func:`_kernel_policy`), minus the count check; off-TPU
+    (where interpret mode is debug-speed) resolves to ``off``.
     """
     if cfg.block_kernel != "auto":
         return cfg.block_kernel
@@ -185,14 +200,9 @@ def resolve_block_kernel_shard_local(cfg: DiTConfig, folded: bool) -> str:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    if not (on_tpu and folded and _kernel_family_ok(cfg)
-            and cfg.num_patches <= 64):
+    if not on_tpu:
         return "off"
-    if _whole_block_weight_bytes(cfg) <= _VMEM_WEIGHT_BUDGET:
-        return "mega"
-    if _attn_weight_bytes(cfg) <= _ATTN_WEIGHT_BUDGET:
-        return "mega_attn"
-    return "off"
+    return _kernel_policy(cfg, folded, cfg.num_patches)
 
 
 def modulation_dims(cfg: DiTConfig, with_gate: bool) -> Tuple[int, ...]:

@@ -463,10 +463,15 @@ def _fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
     # experiment-only override: force a group size, bypassing the budget
     # (A/B probes of VMEM-pressure corners; not a production knob)
     force = os.environ.get("MAPDIT_MEGA_FORCE_GROUP")
-    if force and n % int(force) == 0:
-        # only shapes the forced group divides (model init traces at n=1;
-        # the probe targets the real batch)
-        g = int(force)
+    if force:
+        f = int(force)
+        if n % f == 0:
+            g = f
+        elif n >= f:
+            # a real batch that cannot take the forced group is a probe
+            # mistake — fail loudly rather than silently measuring auto-g
+            raise ValueError(f"MAPDIT_MEGA_FORCE_GROUP={f} does not divide n={n}")
+        # else: the n < f case is the model-init trace (n=1); auto-g applies
 
     return pl.pallas_call(
         functools.partial(
@@ -1206,8 +1211,15 @@ def _stack_fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
             // 2**20
         )
         scope_mb = max(32, min(96, need_mb))
-    if not _interpret() and (
-        2 * weight_bytes + scratch_bytes > (scope_mb - 8) * 2**20
+    if (
+        not _interpret()
+        and not os.environ.get("MAPDIT_MEGA_VMEM_MB")
+        # an explicit scope override is an A/B probe (e.g. the 16 MB
+        # baseline row in BENCH_NOTES r03s5 — infeasible by this check yet
+        # it runs, just group-collapsed): let Mosaic be the arbiter there;
+        # the guard protects only the self-sized path, whose 8 MB headroom
+        # makes it unreachable below the 96 MB cap by construction
+        and 2 * weight_bytes + scratch_bytes > (scope_mb - 8) * 2**20
     ):
         # XL-class stacks (45.6 MB bf16 weights, double-buffered) cannot
         # fit the 96 MB scope cap next to the resident stream — fail with
@@ -1234,10 +1246,15 @@ def _stack_fwd_impl(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads):
             continue
         break
     force = os.environ.get("MAPDIT_MEGA_FORCE_GROUP")
-    if force and n % int(force) == 0:
-        # only shapes the forced group divides (model init traces at n=1;
-        # the probe targets the real batch)
-        g = int(force)
+    if force:
+        f = int(force)
+        if n % f == 0:
+            g = f
+        elif n >= f:
+            # a real batch that cannot take the forced group is a probe
+            # mistake — fail loudly rather than silently measuring auto-g
+            raise ValueError(f"MAPDIT_MEGA_FORCE_GROUP={f} does not divide n={n}")
+        # else: the n < f case is the model-init trace (n=1); auto-g applies
 
     return pl.pallas_call(
         functools.partial(

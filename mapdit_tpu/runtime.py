@@ -644,6 +644,7 @@ def build_dp_sharded_sample_fn(
     scan_unroll: int = 1,
     clip_denoised: bool = False,
     cfg_interval: Optional[tuple] = None,
+    batch_hint: Optional[int] = None,
 ):
     """Data-parallel sampling with per-shard Pallas kernels (shard_map).
 
@@ -678,9 +679,21 @@ def build_dp_sharded_sample_fn(
         "whole-layer programs; use the GSPMD path for tensor parallelism)"
     )
     folded = fold and cfg.use_weight_normalization
-    run_cfg = cfg.replace(
-        block_kernel=resolve_block_kernel_shard_local(cfg, folded)
-    )
+    n_shards_hint = mesh.shape[DATA_AXIS]
+    resolved = resolve_block_kernel_shard_local(cfg, folded)
+    if resolved == "mega" and batch_hint is not None:
+        # per-shard batch is known at build time — apply the same stack
+        # promotion as the single-chip runtime (each shard IS one device,
+        # so the device-count probe is skipped; see blocks._stack_auto_ok)
+        from mapdit_tpu.models.blocks import _stack_auto_ok
+
+        shard_batch = max(1, batch_hint // n_shards_hint)
+        if _stack_auto_ok(
+            cfg.replace(fold_weights=folded), shard_batch,
+            single_device_ok=True,
+        ):
+            resolved = "mega_stack"
+    run_cfg = cfg.replace(block_kernel=resolved)
     prepare, shared_fn = build_shared_sample_fn(
         run_cfg, diffusion, cfg_scale=cfg_scale, fold=fold, sampler=sampler,
         eta=eta, scan_unroll=scan_unroll, clip_denoised=clip_denoised,

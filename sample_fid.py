@@ -77,7 +77,7 @@ def main(args):
             sampler=args.sampler,
             eta=args.eta,
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
-            clip_denoised=args.clip_denoised,
+            clip_denoised=args.clip_denoised, batch_hint=args.batch_size,
         )
     else:
         sample_fn = build_sample_fn(

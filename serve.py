@@ -225,6 +225,7 @@ class SamplerService:
                     cfg_scale=cfg_scale if cfg_scale > 1.0 else None,
                     sampler=sampler,
                     cfg_interval=cfg_interval,
+                    batch_hint=bucket,
                 )
                 fn = (fn, "shard_map")
             else:

@@ -312,6 +312,27 @@ class TestSampleCLI:
         # ADM evaluator format: uint8 NHWC, exactly num_samples
         assert arr.dtype == np.uint8 and arr.shape == (6, 16, 16, 4)
 
+    def test_sample_fid_kernel_sharding_flag(self, trained_run):
+        """--kernel-sharding shard_map forced on the 1-device CPU backend:
+        the per-shard-chain layout (runtime.build_dp_sharded_sample_fn)
+        through the real CLI. (The 8-device mesh legs live in
+        tests/test_parallel.py::TestShardedFid.)"""
+        run(
+            "sample_fid.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--num-samples", "4",
+            "--batch-size", "4",
+            "--num-classes", "10",
+            "--num-sampling-steps", "2",
+            "--cfg-scale", "1.5",
+            "--kernel-sharding", "shard_map",
+            "--output-file", "samples_sm.npz",
+        )
+        path = os.path.join(trained_run, "fid_samples", "samples_sm.npz")
+        with np.load(path) as f:
+            assert f["arr_0"].shape == (4, 16, 16, 4)
+
     def test_guidance_sweep_end_to_end(self, trained_run, tmp_path):
         """tools/guidance_sweep.py: the weights-day (cfg_scale x
         cfg_interval) arbitration harness, weights-free via random-proj."""

@@ -303,9 +303,13 @@ class TestDiTBlockMegakernel:
             compute_dtype="bfloat16", block_kernel="auto", fold_weights=True,
         )
         assert not blocks._stack_auto_ok(b, 32)  # B: whole-block > budget
-        # off-TPU (the real env for this suite): never promotes
+        # off-TPU (the real env for this suite): never promotes —
+        # EXCEPT inside a shard_map body, where every shard is one device
+        # and the caller passes single_device_ok (it has already
+        # established the platform)
         monkeypatch.setattr(blocks, "_mega_auto_ok", lambda: False)
         assert not blocks._stack_auto_ok(s, 32)
+        assert blocks._stack_auto_ok(s, 32, single_device_ok=True)
 
     def test_small_m_fallback_normalize_parity(self, monkeypatch):
         """The gemm_reduce geometry gate's FALLBACK branch (XL's G=2
