@@ -27,8 +27,14 @@ def save_state(exp_dir: str, step: int, state) -> str:
 
     path = checkpoint_path(exp_dir, step)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
+    # Atomic: a process killed mid-write must never leave a truncated
+    # checkpoint behind (latest_checkpoint would pick it up and --resume
+    # would die on "Unpack failed: incomplete input"). The .tmp name does
+    # not match _CKPT_RE, so a dead partial write is invisible to resume.
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(state)))
+    os.replace(tmp, path)
     return path
 
 

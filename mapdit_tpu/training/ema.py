@@ -125,7 +125,11 @@ def save_snapshot(ema_dir: str, std: float, step: int, params) -> str:
     os.makedirs(ema_dir, exist_ok=True)
     flat = {k: v.astype(np.float16) for k, v in _flatten(jax.device_get(params)).items()}
     path = os.path.join(ema_dir, f"{std:.3f}_{step:07d}.npz")
-    np.savez(path, **flat)
+    # Atomic (tmp does not match _SNAP_RE): a truncated snapshot would
+    # poison every posthoc reconstruction that scans the ledger.
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
     return path
 
 

@@ -273,6 +273,36 @@ class TestTrainStep:
         restored, metrics = step_fn(restored, next(it))
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_interrupted_save_is_invisible_to_resume(self, tiny_setup, tmp_path):
+        """A process killed mid-write must never poison --resume: saves go
+        through a .tmp rename, and a leftover partial .tmp (or a truncated
+        real-looking file from a pre-atomic writer) is skipped/irrelevant."""
+        import os
+
+        from mapdit_tpu.training.checkpoint import latest_checkpoint, save_state
+        from mapdit_tpu.training.ema import list_snapshots, save_snapshot
+
+        cfg, ds, step_fn, _ = tiny_setup
+        tx = create_optimizer(warmup_flat_invsqrt(1e-2, 5, 50))
+        state = create_train_state(cfg, tx, seed=1)
+
+        good = save_state(str(tmp_path), 2, state)
+        # simulate a kill mid-write of the NEXT checkpoint
+        ckpt_dir = os.path.join(str(tmp_path), "checkpoints")
+        with open(os.path.join(ckpt_dir, "0000004.msgpack.tmp"), "wb") as f:
+            f.write(b"\x00" * 128)
+        assert latest_checkpoint(str(tmp_path)) == good
+        # no stray tmp left behind by a completed save
+        assert [f for f in os.listdir(ckpt_dir) if f.endswith(".tmp")] == [
+            "0000004.msgpack.tmp"
+        ]
+
+        ema_dir = os.path.join(str(tmp_path), "ema")
+        snap = save_snapshot(ema_dir, 0.05, 2, state.params)
+        with open(os.path.join(ema_dir, "0.050_0000004.npz.tmp.npz"), "wb") as f:
+            f.write(b"\x00" * 128)
+        assert [p for _, _, p in list_snapshots(ema_dir)] == [snap]
+
 
 class TestGradAccum:
     """--grad-accum: micro-batch scan with averaged gradients must trace the

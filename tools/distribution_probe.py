@@ -1,0 +1,292 @@
+"""Distribution-recovery probe: end-to-end learning validation, no gated weights.
+
+The reference's whole arbitration surface is FID on trained ImageNet weights
+(/root/reference/sample_fid.py:104-110) — weights/network-gated here. This
+probe is the in-environment stand-in: train a DiT on a fabricated
+class-conditional Gaussian latent dataset whose moments are KNOWN, sample
+from the trained checkpoint, and verify the sampler reproduces the per-class
+moments. FID measures distribution match on Inception features; this
+measures it directly on an analytically known distribution — validating the
+entire learning loop (data pipeline -> q_sample/training_losses ->
+Adam/EMA/weight-projection -> checkpointing -> the jitted sampling chain ->
+label conditioning) against ground truth, with the untrained init as the
+null baseline.
+
+Stages (independently skippable for iteration):
+
+  python tools/distribution_probe.py --work-dir /tmp/dprobe \
+      --model DiT-XS/8 --classes 8 --examples 4096 --train-steps 600 \
+      --batch-size 64 --sampler dpm++ --num-sampling-steps 25
+
+prints ONE JSON line with per-class mean error (relative L2 of the sampled
+class-mean channel vector vs truth), total-std ratio, and nearest-center
+label accuracy (chance = 1/K), each for {trained, init}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+# ----------------------------------------------------------------- dataset
+
+
+def make_data(
+    out_dir: str,
+    classes: int,
+    examples: int,
+    input_size: int,
+    channels: int = 4,
+    center_scale: float = 1.0,
+    within_std: float = 0.3,
+    seed: int = 0,
+) -> dict:
+    """Write a MoG posterior dataset (native artifact family, the exact
+    layout train.py consumes) + ground_truth.npz.
+
+    Per class c: center m_c ~ center_scale * N(0, I) per CHANNEL (constant
+    over space, so the class signal survives spatial averaging);
+    posterior mean = m_c + within_std * N(0, I) per pixel; posterior std
+    ~ U[0.1, 0.15] per pixel. True latent law per class is therefore
+    N(m_c, (within_std^2 + E[std^2]) I) — same construction as
+    training.data.SyntheticLatentDataset, but with the truth exported.
+    """
+    from mapdit_tpu.training.data import save_dataset
+
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, classes, examples).astype(np.int64)
+    centers = (center_scale * rng.normal(size=(classes, channels, 1, 1))).astype(
+        np.float32
+    )
+    means = (
+        centers[labels]
+        + within_std * rng.normal(size=(examples, channels, input_size, input_size))
+    ).astype(np.float32)
+    stds = (0.1 + 0.05 * rng.random(means.shape)).astype(np.float32)
+
+    mean = means.mean(axis=(0, 2, 3))
+    var = (stds**2).mean(axis=(0, 2, 3)) + (
+        (means - mean[None, :, None, None]) ** 2
+    ).mean(axis=(0, 2, 3))
+    save_dataset(out_dir, means, stds, labels, {"mean": mean, "std": np.sqrt(var)})
+
+    # Finite-sample empirical truth (what the model actually saw): per-class
+    # channel mean of the latent law (posterior eps has zero mean, so the
+    # posterior means average to it) and the total per-class std.
+    emp_means = np.stack(
+        [means[labels == c].mean(axis=(0, 2, 3)) for c in range(classes)]
+    )
+    total_var = within_std**2 + float((stds**2).mean())
+    gt = {
+        "class_means": emp_means,  # (K, C)
+        "total_std": np.float32(np.sqrt(total_var)),
+        "centers": centers[:, :, 0, 0],  # (K, C) analytic
+    }
+    np.savez(os.path.join(out_dir, "ground_truth.npz"), **gt)
+    return gt
+
+
+# ------------------------------------------------------------------- train
+
+
+def run_train(args, data_dir: str, results_dir: str) -> str:
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "train.py"),
+        "--data-path", data_dir,
+        "--results-dir", results_dir,
+        "--model", args.model,
+        "--num-classes", str(args.classes),
+        "--num-steps", str(args.train_steps),
+        "--batch-size", str(args.batch_size),
+        "--seed", str(args.seed),
+        "--log-every", str(max(1, args.train_steps // 10)),
+        "--ckpt-every", str(args.train_steps),
+        # the train.py default (num_steps//250, ref parity) would snapshot
+        # every 2 steps at probe budgets and dominate wall time
+        "--ema-snapshot-every", str(max(1, args.train_steps // 20)),
+        "--compute-dtype", args.compute_dtype,
+    ]
+    if args.train_args:
+        cmd += args.train_args.split()
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=args.train_timeout
+    )
+    if proc.returncode != 0:
+        raise SystemExit(f"train.py failed:\n{proc.stdout}\n{proc.stderr}")
+    runs = sorted(os.listdir(results_dir))
+    return os.path.join(results_dir, runs[-1])
+
+
+# ---------------------------------------------------------------- evaluate
+
+
+def evaluate(
+    variables,
+    train_args: dict,
+    gt: dict,
+    samples_per_class: int,
+    sampler: str,
+    num_sampling_steps: int,
+    time_schedule: str,
+    seed: int,
+    batch_hint_cap: int = 1024,
+) -> dict:
+    """Sample M per class cond-only, denormalize, compare moments vs truth."""
+    import jax
+    import jax.numpy as jnp
+
+    from mapdit_tpu.diffusion import create_diffusion, respacing_string
+    from mapdit_tpu.runtime import build_sample_fn
+    from mapdit_tpu.utils.experiment import config_from_args
+    from sample import decode_latents
+
+    cfg = config_from_args(train_args)
+    K = int(train_args["num_classes"])
+    M = samples_per_class
+    N = K * M
+    diffusion = create_diffusion(
+        respacing_string(num_sampling_steps, sampler, time_schedule)
+    )
+    sample_fn = build_sample_fn(
+        cfg,
+        variables,
+        diffusion,
+        cfg_scale=None,  # cond-only: moments must match the data law, no CFG sharpening
+        sampler=sampler,
+        batch_hint=min(N, batch_hint_cap),
+    )
+    key = jax.random.PRNGKey(seed)
+    zkey, skey = jax.random.split(key)
+    C, S = int(train_args["in_channels"]), int(train_args["input_size"])
+    z = jax.random.normal(zkey, (N, C, S, S))
+    y = jnp.repeat(jnp.arange(K, dtype=jnp.int32), M)
+    samples = np.asarray(sample_fn(z, y, skey))
+    latents = decode_latents(samples, train_args, use_vae=False, vae_path=None)
+    latents = latents.reshape(K, M, C, S, S)
+
+    true_means = np.asarray(gt["class_means"], np.float32)  # (K, C)
+    true_std = float(gt["total_std"])
+    got_means = latents.mean(axis=(1, 3, 4))  # (K, C)
+    mean_err = float(
+        np.linalg.norm(got_means - true_means, axis=1).mean()
+        / np.linalg.norm(true_means, axis=1).mean()
+    )
+    # total std around the class mean, pooled over classes
+    centered = latents - got_means[:, None, :, None, None]
+    std_ratio = float(centered.std() / true_std)
+    # nearest-center assignment of each sample's channel-mean vector
+    feats = latents.mean(axis=(3, 4))  # (K, M, C)
+    d2 = ((feats[:, :, None, :] - true_means[None, None, :, :]) ** 2).sum(-1)
+    assigned = d2.argmin(-1)  # (K, M)
+    label_acc = float((assigned == np.arange(K)[:, None]).mean())
+    return {"mean_err": mean_err, "std_ratio": std_ratio, "label_acc": label_acc}
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--work-dir", required=True,
+                   help="holds data/ and results/; reused across stages")
+    p.add_argument("--model", default="DiT-XS/8")
+    p.add_argument("--classes", type=int, default=8)
+    p.add_argument("--examples", type=int, default=4096)
+    p.add_argument("--input-size", type=int, default=16)
+    p.add_argument("--center-scale", type=float, default=1.0)
+    p.add_argument("--within-std", type=float, default=0.3)
+    p.add_argument("--train-steps", type=int, default=600)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--train-args", default=None,
+                   help="extra flags passed through to train.py, one string")
+    p.add_argument("--train-timeout", type=int, default=3600)
+    p.add_argument("--sampler", default="dpm++", choices=["ddpm", "ddim", "dpm++"])
+    p.add_argument("--num-sampling-steps", type=int, default=25)
+    p.add_argument("--time-schedule", default="karras",
+                   choices=["uniform", "karras"])
+    p.add_argument("--samples-per-class", type=int, default=128)
+    p.add_argument("--ema-std", type=float, default=None,
+                   help="evaluate the post-hoc EMA at this std instead of the raw final checkpoint")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--skip-train", action="store_true",
+                   help="reuse the existing run in work-dir/results")
+    p.add_argument("--skip-init-baseline", action="store_true")
+    args = p.parse_args()
+
+    from mapdit_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    data_dir = os.path.join(args.work_dir, "data")
+    results_dir = os.path.join(args.work_dir, "results")
+    gt_path = os.path.join(data_dir, "ground_truth.npz")
+    if os.path.exists(gt_path) and args.skip_train:
+        gt = dict(np.load(gt_path))
+    else:
+        gt = make_data(
+            data_dir, args.classes, args.examples, args.input_size,
+            center_scale=args.center_scale, within_std=args.within_std,
+            seed=args.seed,
+        )
+
+    if args.skip_train:
+        run_dir = os.path.join(results_dir, sorted(os.listdir(results_dir))[-1])
+    else:
+        run_dir = run_train(args, data_dir, results_dir)
+
+    from mapdit_tpu.utils.experiment import config_from_args, load_config
+    from sample import load_variables
+
+    train_args = load_config(run_dir)
+    if args.ema_std is not None:
+        variables = load_variables(run_dir, train_args, ema_std=args.ema_std)
+    else:
+        variables = load_variables(
+            run_dir, train_args, ckpt=f"{args.train_steps:07d}"
+        )
+
+    eval_kwargs = dict(
+        samples_per_class=args.samples_per_class,
+        sampler=args.sampler,
+        num_sampling_steps=args.num_sampling_steps,
+        time_schedule=args.time_schedule,
+        seed=args.seed + 1,
+    )
+    trained = evaluate(variables, train_args, gt, **eval_kwargs)
+
+    init = {}
+    if not args.skip_init_baseline:
+        from mapdit_tpu.models.dit import init_model
+
+        _, init_vars = init_model(config_from_args(train_args), seed=args.seed + 2)
+        init = evaluate(init_vars, train_args, gt, **eval_kwargs)
+
+    out = {
+        "metric": "distribution_recovery",
+        "model": args.model,
+        "classes": args.classes,
+        "train_steps": args.train_steps,
+        "batch_size": args.batch_size,
+        "sampler": f"{args.sampler}:{args.num_sampling_steps}:{args.time_schedule}",
+        "samples_per_class": args.samples_per_class,
+        "chance_acc": 1.0 / args.classes,
+        "mean_err_trained": trained["mean_err"],
+        "std_ratio_trained": trained["std_ratio"],
+        "label_acc_trained": trained["label_acc"],
+        **{f"{k}_init": v for k, v in init.items()},
+        "run_dir": run_dir,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
