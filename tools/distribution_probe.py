@@ -130,23 +130,29 @@ def run_train(args, data_dir: str, results_dir: str) -> str:
 # ---------------------------------------------------------------- evaluate
 
 
-def evaluate(
+def draw_samples(
     variables,
     train_args: dict,
-    gt: dict,
     samples_per_class: int,
     sampler: str,
     num_sampling_steps: int,
     time_schedule: str,
     seed: int,
     batch_hint_cap: int = 1024,
-) -> dict:
-    """Sample M per class cond-only, denormalize, compare moments vs truth."""
+    cache_interval: int = 0,
+    cache_mode: str = "hold",
+    cfg_scale=None,
+    cfg_interval=None,
+) -> np.ndarray:
+    """Run the jitted sampling chain; returns denormalized latents (K,M,C,S,S).
+
+    Identical (z, y, chain-key) across every config at a given seed, so
+    same-family configs are chain-comparable (ddpm shares the RNG stream)."""
     import jax
     import jax.numpy as jnp
 
     from mapdit_tpu.diffusion import create_diffusion, respacing_string
-    from mapdit_tpu.runtime import build_sample_fn
+    from mapdit_tpu.runtime import build_cached_sample_fn, build_sample_fn
     from mapdit_tpu.utils.experiment import config_from_args
     from sample import decode_latents
 
@@ -157,23 +163,44 @@ def evaluate(
     diffusion = create_diffusion(
         respacing_string(num_sampling_steps, sampler, time_schedule)
     )
-    sample_fn = build_sample_fn(
-        cfg,
-        variables,
-        diffusion,
-        cfg_scale=None,  # cond-only: moments must match the data law, no CFG sharpening
-        sampler=sampler,
-        batch_hint=min(N, batch_hint_cap),
-    )
+    if cache_interval > 1:
+        sample_fn = build_cached_sample_fn(
+            cfg,
+            variables,
+            diffusion,
+            cfg_scale=cfg_scale,
+            sampler=sampler,
+            cache_interval=cache_interval,
+            cache_mode=cache_mode,
+            cfg_interval=cfg_interval,
+        )
+    else:
+        sample_fn = build_sample_fn(
+            cfg,
+            variables,
+            diffusion,
+            cfg_scale=cfg_scale,
+            sampler=sampler,
+            batch_hint=min(N, batch_hint_cap),
+            cfg_interval=cfg_interval,
+        )
     key = jax.random.PRNGKey(seed)
     zkey, skey = jax.random.split(key)
     C, S = int(train_args["in_channels"]), int(train_args["input_size"])
     z = jax.random.normal(zkey, (N, C, S, S))
     y = jnp.repeat(jnp.arange(K, dtype=jnp.int32), M)
-    samples = np.asarray(sample_fn(z, y, skey))
+    if cfg_scale is not None:
+        # reference-shaped CFG batch [z; z] / [y; null] (sample.py:148-153)
+        z = jnp.concatenate([z, z], axis=0)
+        y = jnp.concatenate([y, jnp.full((N,), cfg.num_classes, jnp.int32)])
+    samples = np.asarray(sample_fn(z, y, skey))[:N]
     latents = decode_latents(samples, train_args, use_vae=False, vae_path=None)
-    latents = latents.reshape(K, M, C, S, S)
+    return latents.reshape(K, M, C, S, S)
 
+
+def dist_metrics(latents: np.ndarray, gt: dict) -> dict:
+    """Moment-recovery metrics of (K,M,C,S,S) latents vs ground truth."""
+    finite_frac = float(np.isfinite(latents).all(axis=(2, 3, 4)).mean())
     true_means = np.asarray(gt["class_means"], np.float32)  # (K, C)
     true_std = float(gt["total_std"])
     got_means = latents.mean(axis=(1, 3, 4))  # (K, C)
@@ -188,8 +215,78 @@ def evaluate(
     feats = latents.mean(axis=(3, 4))  # (K, M, C)
     d2 = ((feats[:, :, None, :] - true_means[None, None, :, :]) ** 2).sum(-1)
     assigned = d2.argmin(-1)  # (K, M)
+    K = latents.shape[0]
     label_acc = float((assigned == np.arange(K)[:, None]).mean())
-    return {"mean_err": mean_err, "std_ratio": std_ratio, "label_acc": label_acc}
+    out = {"mean_err": mean_err, "std_ratio": std_ratio, "label_acc": label_acc}
+    if finite_frac < 1.0:
+        out["finite_frac"] = finite_frac
+    return out
+
+
+def evaluate(variables, train_args: dict, gt: dict, **draw_kwargs) -> dict:
+    return dist_metrics(draw_samples(variables, train_args, **draw_kwargs), gt)
+
+
+# -------------------------------------------------------- accelerator grid
+
+
+def rel_l2(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.linalg.norm(a - b) / np.linalg.norm(b))
+
+
+def run_grid(variables, train_args: dict, gt: dict, args) -> list:
+    """Arbitrate the lossy/few-step accelerators on TRAINED weights.
+
+    Every fidelity number recorded so far (BENCH_NOTES span-cache tables)
+    was measured on random-init weights because trained weights were
+    gated; this reruns the arbitration where it matters. Per config:
+    distribution-recovery metrics vs ground truth AND final-sample rel-L2
+    vs the exact chain of the same family at the same (z, y, key).
+    """
+    rows = []
+    exact_by_family = {}
+    # (family, label, sampler, steps, schedule, k, mode, cfg_scale, cfg_interval)
+    # exact chains (k=0, no interval) must precede their family's variants
+    grid = [
+        ("ddpm250", "ddpm:250", "ddpm", 250, "uniform", 0, "hold", None, None),
+        ("ddpm250", "ddpm:250:k2-hold", "ddpm", 250, "uniform", 2, "hold", None, None),
+        ("ddpm250", "ddpm:250:k2-forecast", "ddpm", 250, "uniform", 2, "forecast", None, None),
+        ("ddpm250", "ddpm:250:k5-hold", "ddpm", 250, "uniform", 5, "hold", None, None),
+        ("ddpm250", "ddpm:250:k5-forecast", "ddpm", 250, "uniform", 5, "forecast", None, None),
+        ("dpm20", "dpm++:20:karras", "dpm++", 20, "karras", 0, "hold", None, None),
+        ("dpm20", "dpm++:20:karras:k2-hold", "dpm++", 20, "karras", 2, "hold", None, None),
+        ("dpm20", "dpm++:20:karras:k2-forecast", "dpm++", 20, "karras", 2, "forecast", None, None),
+        ("dpm10", "dpm++:10:karras", "dpm++", 10, "karras", 0, "hold", None, None),
+        # guidance family: sharpening (std_ratio < 1, label_acc up) is the
+        # EXPECTED deviation from the data law; arbitration is cfg-interval
+        # vs the full-CFG chain of the same scale
+        ("cfg4", "dpm++:20:karras:cfg4", "dpm++", 20, "karras", 0, "hold", 4.0, None),
+        ("cfg4", "dpm++:20:karras:cfg4:interval", "dpm++", 20, "karras", 0, "hold", 4.0, (0.3, 3.0)),
+        ("cfg1.5", "ddpm:250:cfg1.5", "ddpm", 250, "uniform", 0, "hold", 1.5, None),
+        ("cfg1.5", "ddpm:250:cfg1.5:interval", "ddpm", 250, "uniform", 0, "hold", 1.5, (0.3, 3.0)),
+    ]
+    for family, label, sampler, steps, schedule, k, mode, scale, interval in grid:
+        latents = draw_samples(
+            variables,
+            train_args,
+            samples_per_class=args.samples_per_class,
+            sampler=sampler,
+            num_sampling_steps=steps,
+            time_schedule=schedule,
+            seed=args.seed + 1,
+            cache_interval=k,
+            cache_mode=mode,
+            cfg_scale=scale,
+            cfg_interval=interval,
+        )
+        row = {"config": label, **dist_metrics(latents, gt)}
+        if k == 0 and interval is None:
+            exact_by_family[family] = latents
+        else:
+            row["rel_l2_vs_exact"] = rel_l2(latents, exact_by_family[family])
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
 
 
 def main():
@@ -220,11 +317,17 @@ def main():
     p.add_argument("--skip-train", action="store_true",
                    help="reuse the existing run in work-dir/results")
     p.add_argument("--skip-init-baseline", action="store_true")
+    p.add_argument("--grid", action="store_true",
+                   help="also arbitrate the lossy/few-step accelerator grid "
+                        "(span cache hold/forecast, few-step dpm++) on the "
+                        "trained weights — one JSON row per config")
     args = p.parse_args()
 
+    from mapdit_tpu.utils.backend_guard import fail_fast_on_dead_backend
     from mapdit_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    fail_fast_on_dead_backend(label="distribution_probe")
 
     data_dir = os.path.join(args.work_dir, "data")
     results_dir = os.path.join(args.work_dir, "results")
@@ -285,6 +388,8 @@ def main():
         **{f"{k}_init": v for k, v in init.items()},
         "run_dir": run_dir,
     }
+    if args.grid:
+        out["grid"] = run_grid(variables, train_args, gt, args)
     print(json.dumps(out))
 
 
