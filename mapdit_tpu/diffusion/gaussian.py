@@ -51,6 +51,28 @@ LEARNED, FIXED_SMALL, FIXED_LARGE, LEARNED_RANGE = (
 MSE, RESCALED_MSE, KL, RESCALED_KL = "mse", "rescaled_mse", "kl", "rescaled_kl"
 
 
+def dynamic_threshold_fn(percentile: float = 0.995, floor: float = 1.0):
+    """Imagen-style dynamic thresholding (arXiv 2205.11487 §2.3) adapted to
+    latent space: a ``denoised_fn`` that clips each sample's x0 estimate to
+    its own ``percentile``-quantile of |x0| (floored at ``floor``) — WITHOUT
+    the paper's pixel-space /s rescale, which would rescale latents the VAE
+    decoder expects unshrunk. Bounds the x0-feedback loop that makes
+    undertrained or high-guidance chains diverge (an exploding x0 estimate
+    re-enters the update and compounds multiplicatively at high t), while
+    leaving in-range estimates bit-identical. Beyond-reference knob; the
+    reference's only control is the hard [-1, 1] clamp (``clip_denoised``,
+    /root/reference/diffusion/gaussian_diffusion.py:317-322)."""
+    assert 0.0 < percentile <= 1.0, percentile
+
+    def fn(x0: Array) -> Array:
+        flat = jnp.abs(x0.reshape(x0.shape[0], -1))
+        s = jnp.quantile(flat, percentile, axis=1)
+        s = jnp.maximum(s, floor).reshape((-1,) + (1,) * (x0.ndim - 1))
+        return jnp.clip(x0, -s, s)
+
+    return fn
+
+
 @struct.dataclass
 class GaussianDiffusion:
     """Diffusion process: static mode switches + float32 coefficient tables."""
@@ -362,6 +384,7 @@ class GaussianDiffusion:
         noise: Array,
         rng: Array,
         clip_denoised: bool = True,
+        denoised_fn=None,
         model_kwargs=None,
         noise_fn=None,
         unroll: int = 1,
@@ -410,6 +433,8 @@ class GaussianDiffusion:
             frac = (var_values + 1.0) / 2.0
             log_variance = frac * max_log + (1.0 - frac) * min_log
             pred_xstart = sra * x - srm1 * eps_hat
+            if denoised_fn is not None:
+                pred_xstart = denoised_fn(pred_xstart)
             if clip_denoised:
                 pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
             mean = pc1 * pred_xstart + pc2 * x

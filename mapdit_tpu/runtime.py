@@ -140,10 +140,15 @@ def build_shared_sample_fn(
     clip_denoised: bool = False,
     cfg_interval: Optional[tuple] = None,
     batch_hint: Optional[int] = None,
+    dynamic_threshold: Optional[float] = None,
 ):
     """Like build_sample_fn but takes variables as a call argument, so one
     compiled program serves many parameter sets (sample_ema.py's five EMA
     stds reuse a single compile).
+
+    ``dynamic_threshold``: percentile for Imagen-style per-sample x0
+    thresholding (:func:`mapdit_tpu.diffusion.gaussian.dynamic_threshold_fn`);
+    None disables it.
 
     ``batch_hint`` (pre-CFG sample count the caller will pass): lets the
     ``auto`` kernel policy promote the whole-STACK megakernel where it is
@@ -195,6 +200,12 @@ def build_shared_sample_fn(
         cfg_segments = cfg_interval_segments(diffusion, *cfg_interval)
     else:
         cfg_segments = None
+    if dynamic_threshold is not None:
+        from mapdit_tpu.diffusion.gaussian import dynamic_threshold_fn
+
+        denoised = dynamic_threshold_fn(dynamic_threshold)
+    else:
+        denoised = None
     # CFG half-batch chain: the reference (and our legacy path) evolves 2N
     # latents where the second half is re-derived from the first every step
     # and discarded at the end (src/dit.py:107-118). Evolving N latents with
@@ -256,6 +267,7 @@ def build_shared_sample_fn(
             T = diffusion.num_timesteps
             kw = dict(
                 clip_denoised=clip_denoised,
+                denoised_fn=denoised,
                 model_kwargs={"y": chain_y},
                 unroll=scan_unroll,
             )
@@ -291,24 +303,26 @@ def build_shared_sample_fn(
         if sampler == "ddim":
             x = diffusion.ddim_sample_loop(
                 model_fn, chain_noise, rng, clip_denoised=clip_denoised,
-                model_kwargs={"y": chain_y}, eta=eta,
+                denoised_fn=denoised, model_kwargs={"y": chain_y}, eta=eta,
             )
         elif sampler == "dpm++":
             from mapdit_tpu.diffusion.dpm_solver import dpm_solver_pp_loop
 
             x = dpm_solver_pp_loop(
                 diffusion, model_fn, chain_noise, clip_denoised=clip_denoised,
-                model_kwargs={"y": chain_y}, unroll=scan_unroll,
+                denoised_fn=denoised, model_kwargs={"y": chain_y},
+                unroll=scan_unroll,
             )
         elif use_fast:
             x = diffusion.p_sample_loop_fast(
                 model_fn, chain_noise, rng, clip_denoised=clip_denoised,
-                model_kwargs={"y": chain_y}, unroll=scan_unroll,
+                denoised_fn=denoised, model_kwargs={"y": chain_y},
+                unroll=scan_unroll,
             )
         else:
             x = diffusion.p_sample_loop(
                 model_fn, chain_noise, rng, clip_denoised=clip_denoised,
-                model_kwargs={"y": chain_y},
+                denoised_fn=denoised, model_kwargs={"y": chain_y},
             )
         if half_cfg_chain:
             # preserve the reference-shaped 2N output contract
@@ -330,6 +344,7 @@ def build_cached_sample_fn(
     sampler: str = "ddpm",
     cfg_interval: Optional[tuple] = None,
     cache_mode: str = "hold",
+    dynamic_threshold: Optional[float] = None,
 ):
     """Denoising chain with Delta-DiT-style block-span caching (arXiv
     2406.01125), for the ancestral DDPM chain or the DPM-Solver++(2M) ODE
@@ -399,6 +414,12 @@ def build_cached_sample_fn(
         group_lo = group_hi = None
     if span is None:
         span = (cfg.depth // 4, cfg.depth - cfg.depth // 4)
+    if dynamic_threshold is not None:
+        from mapdit_tpu.diffusion.gaussian import dynamic_threshold_fn
+
+        denoised = dynamic_threshold_fn(dynamic_threshold)
+    else:
+        denoised = None
 
     run_cfg = cfg.replace(fold_weights=True) if (fold and cfg.use_weight_normalization) else cfg
     assert not run_cfg.scan_blocks, "block-span caching needs scan_blocks=False"
@@ -526,6 +547,8 @@ def build_cached_sample_fn(
                         frac = (var_values + 1.0) / 2.0
                         log_variance = frac * max_log + (1.0 - frac) * min_log
                         pred_xstart = sra * x - srm1 * eps_hat
+                        if denoised is not None:
+                            pred_xstart = denoised(pred_xstart)
                         if clip_denoised:
                             pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
                         mean = pc1 * pred_xstart + pc2 * x
@@ -553,6 +576,8 @@ def build_cached_sample_fn(
                         )
                         eps_hat, _ = jnp.split(out, 2, axis=1)
                         x0 = sra * x - srm1 * eps_hat
+                        if denoised is not None:
+                            x0 = denoised(x0)
                         if clip_denoised:
                             x0 = jnp.clip(x0, -1.0, 1.0)
                         d = (1.0 + w2) * x0 - w2 * prev_x0
@@ -607,6 +632,7 @@ def build_sample_fn(
     clip_denoised: bool = False,
     cfg_interval: Optional[tuple] = None,
     batch_hint: Optional[int] = None,
+    dynamic_threshold: Optional[float] = None,
 ):
     """Jitted (noise, y, rng) -> samples over the full denoising chain.
 
@@ -623,6 +649,7 @@ def build_sample_fn(
         cfg, diffusion, cfg_scale=cfg_scale, fold=fold, sampler=sampler, eta=eta,
         scan_unroll=scan_unroll, clip_denoised=clip_denoised,
         cfg_interval=cfg_interval, batch_hint=batch_hint,
+        dynamic_threshold=dynamic_threshold,
     )
     prepared = prepare(variables)
 
@@ -645,6 +672,7 @@ def build_dp_sharded_sample_fn(
     clip_denoised: bool = False,
     cfg_interval: Optional[tuple] = None,
     batch_hint: Optional[int] = None,
+    dynamic_threshold: Optional[float] = None,
 ):
     """Data-parallel sampling with per-shard Pallas kernels (shard_map).
 
@@ -697,7 +725,7 @@ def build_dp_sharded_sample_fn(
     prepare, shared_fn = build_shared_sample_fn(
         run_cfg, diffusion, cfg_scale=cfg_scale, fold=fold, sampler=sampler,
         eta=eta, scan_unroll=scan_unroll, clip_denoised=clip_denoised,
-        cfg_interval=cfg_interval,
+        cfg_interval=cfg_interval, dynamic_threshold=dynamic_threshold,
     )
     prepared = jax.device_put(
         prepare(variables), NamedSharding(mesh, P())

@@ -170,6 +170,7 @@ def main(args):
             cache_interval=args.cache_interval, sampler=args.sampler,
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
             cache_mode=args.cache_mode, clip_denoised=args.clip_denoised,
+            dynamic_threshold=args.dynamic_threshold,
         )
     else:
         sample_fn = build_sample_fn(
@@ -177,6 +178,7 @@ def main(args):
             sampler=args.sampler, eta=args.eta,
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
             clip_denoised=args.clip_denoised, batch_hint=n,
+            dynamic_threshold=args.dynamic_threshold,
         )
     samples = sample_fn(z, y, skey)
     samples = np.asarray(samples[:n])  # drop the null-class half
@@ -256,6 +258,14 @@ if __name__ == "__main__":
                              "evaluations (static Predict-to-Skip, arXiv "
                              "2602.18093; same FLOPs — BENCH_NOTES records "
                              "measured deviations)")
+    parser.add_argument("--dynamic-threshold", type=float, default=None,
+                        metavar="P",
+                        help="Imagen-style dynamic thresholding (arXiv "
+                             "2205.11487): clip each sample's x0 estimate to "
+                             "its own P-quantile of |x0| (floor 1.0), no "
+                             "rescale — stabilizes undertrained or "
+                             "high-guidance chains without the bias of "
+                             "--clip-denoised's hard [-1,1] clamp")
     parser.add_argument("--save-trajectory", type=str, default=None,
                         help="also write a denoising-evolution grid (pred_xstart "
                              "at 8 chain positions) to this PNG; ddpm only. "

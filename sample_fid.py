@@ -78,6 +78,7 @@ def main(args):
             eta=args.eta,
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
             clip_denoised=args.clip_denoised, batch_hint=args.batch_size,
+            dynamic_threshold=args.dynamic_threshold,
         )
     else:
         sample_fn = build_sample_fn(
@@ -87,6 +88,7 @@ def main(args):
             eta=args.eta,
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
             clip_denoised=args.clip_denoised, batch_hint=args.batch_size,
+            dynamic_threshold=args.dynamic_threshold,
         )
         assert (2 * n if use_cfg else n) % n_data == 0, \
             "batch size (incl. CFG doubling) must divide the device count"
@@ -143,6 +145,11 @@ if __name__ == "__main__":
                         help="clamp pred_xstart to [-1, 1] each step (reference "
                              "FID protocol passes False; True keeps few-step "
                              "chains finite on untrained checkpoints)")
+    parser.add_argument("--dynamic-threshold", type=float, default=None,
+                        metavar="P",
+                        help="Imagen-style dynamic thresholding (arXiv "
+                             "2205.11487): per-sample P-quantile x0 clip, "
+                             "floor 1.0, no rescale (see sample.py)")
     parser.add_argument("--kernel-sharding", choices=["auto", "gspmd", "shard_map"],
                         default="auto",
                         help="multi-chip layout: gspmd = batch-sharded one "

@@ -24,7 +24,8 @@ Endpoints:
       {"class_labels": [207, 360] | "class_label": 88, "num_samples": 4,
        "steps": 20, "sampler": "ddpm|ddim|dpm++", "cfg_scale": 4.0,
        "schedule": "uniform|karras", "cache_interval": 0, "seed": 0,
-       "cfg_interval": [0.3, 3.0], "format": "png|npz"}
+       "cfg_interval": [0.3, 3.0], "dynamic_threshold": 0.995,
+       "format": "png|npz"}
       cache_interval >= 2 enables Delta-DiT block-span caching (LOSSY —
       docs/BENCH_NOTES.md records the deviation; ddpm/dpm++ only, must
       divide steps). cache_mode = "hold" (default) keeps the cached delta
@@ -174,14 +175,14 @@ class SamplerService:
     def _get_fn(
         self, sampler: str, steps: int, cfg_scale: float, bucket: int,
         schedule: str = "uniform", cache_interval: int = 0, cfg_interval=None,
-        cache_mode: str = "hold",
+        cache_mode: str = "hold", dynamic_threshold=None,
     ):
         from mapdit_tpu.diffusion import create_diffusion, respacing_string
         from mapdit_tpu.runtime import build_cached_sample_fn, build_sample_fn
 
         key = (
             sampler, steps, float(cfg_scale), bucket, schedule, cache_interval,
-            cfg_interval, cache_mode,
+            cfg_interval, cache_mode, dynamic_threshold,
         )
         fn = self._fns.get(key)
         if fn is None:
@@ -208,6 +209,7 @@ class SamplerService:
                     sampler=sampler,
                     cfg_interval=cfg_interval,
                     cache_mode=cache_mode,
+                    dynamic_threshold=dynamic_threshold,
                 )
             elif n_dev > 1 and bucket % n_dev == 0:
                 # Multi-chip: per-shard single-chip chains (shard_map) keep
@@ -226,6 +228,7 @@ class SamplerService:
                     sampler=sampler,
                     cfg_interval=cfg_interval,
                     batch_hint=bucket,
+                    dynamic_threshold=dynamic_threshold,
                 )
                 fn = (fn, "shard_map")
             else:
@@ -237,6 +240,7 @@ class SamplerService:
                     sampler=sampler,
                     cfg_interval=cfg_interval,
                     batch_hint=bucket,
+                    dynamic_threshold=dynamic_threshold,
                 )
             if not isinstance(fn, tuple):
                 fn = (fn, "plain")
@@ -258,7 +262,7 @@ class SamplerService:
     def sample(
         self, class_labels, steps, sampler, cfg_scale, seed=None,
         schedule="uniform", cache_interval=0, cfg_interval=None,
-        cache_mode="hold",
+        cache_mode="hold", dynamic_threshold=None,
     ):
         """(labels, protocol) -> float latents/images (n, C, H, W) in [-1, 1].
 
@@ -319,11 +323,20 @@ class SamplerService:
             if sampler not in ("ddpm", "dpm++"):
                 raise ValueError("cfg_interval composes with sampler ddpm or dpm++")
             cfg_interval = (lo, hi)
+        if dynamic_threshold is not None:
+            try:
+                dynamic_threshold = float(dynamic_threshold)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "dynamic_threshold must be a number in (0, 1]"
+                ) from None
+            if not 0.0 < dynamic_threshold <= 1.0:
+                raise ValueError("dynamic_threshold must be in (0, 1]")
 
         job = _Job(np.asarray(class_labels, np.int32), seed)
         key = (
             sampler, int(steps), cfg_scale, schedule, cache_interval,
-            cfg_interval, cache_mode,
+            cfg_interval, cache_mode, dynamic_threshold,
         )
         with self._cv:
             # Backpressure: bound the pending queue (503 on overflow) and
@@ -418,7 +431,8 @@ class SamplerService:
         import jax
         import jax.numpy as jnp
 
-        sampler, steps, cfg_scale, schedule, cache_interval, cfg_interval, cache_mode = key
+        (sampler, steps, cfg_scale, schedule, cache_interval, cfg_interval,
+         cache_mode, dynamic_threshold) = key
         n = sum(len(j.labels) for j in group)
         bucket = self._bucket(n)
         num_classes = self.cfg.num_classes
@@ -450,7 +464,7 @@ class SamplerService:
 
         fn, layout = self._get_fn(
             sampler, steps, cfg_scale, bucket, schedule, cache_interval,
-            cfg_interval, cache_mode,
+            cfg_interval, cache_mode, dynamic_threshold,
         )
         if layout == "shard_map":
             # un-doubled interface: per-shard CFG doubling inside the
@@ -605,6 +619,7 @@ def make_handler(service: SamplerService, defaults: dict):
                     schedule=schedule, cache_interval=cache_interval,
                     cfg_interval=req.get("cfg_interval"),
                     cache_mode=req.get("cache_mode", "hold"),
+                    dynamic_threshold=req.get("dynamic_threshold"),
                 )
             except QueueFullError as e:
                 # standard shed-load signal

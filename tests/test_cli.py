@@ -280,6 +280,20 @@ class TestSampleCLI:
         )
         assert os.path.exists(out)
 
+    def test_sample_dynamic_threshold(self, trained_run, tmp_path):
+        """Imagen dynamic thresholding (arXiv 2205.11487) from the user CLI."""
+        out = str(tmp_path / "sample_dthresh.png")
+        run(
+            "sample.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--output-file", out,
+            "--num-sampling-steps", "4",
+            "--sampler", "dpm++",
+            "--dynamic-threshold", "0.995",
+        )
+        assert os.path.exists(out)
+
     def test_sample_cfg_interval(self, trained_run, tmp_path):
         """Limited-interval guidance (arXiv 2404.07724) from the user CLI."""
         out = str(tmp_path / "sample_cfg_interval.png")

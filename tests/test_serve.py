@@ -288,6 +288,27 @@ class TestServe:
                 assert e.code == 400
                 assert frag in json.loads(e.read())["error"]
 
+    def test_dynamic_threshold_protocol(self, server):
+        """Imagen-style dynamic thresholding is a serving protocol knob:
+        percentile 1.0 is the bit-exact no-op limit (clip at max|x0|), and
+        out-of-range values 400 at admission."""
+        base = {"class_label": 2, "steps": 4, "sampler": "dpm++",
+                "cfg_scale": 1.0, "format": "npz", "seed": 5}
+        _, _, body = _post(server, dict(base, dynamic_threshold=1.0))
+        with np.load(io.BytesIO(body)) as f:
+            thresholded = f["arr_0"]
+        _, _, body2 = _post(server, base)
+        with np.load(io.BytesIO(body2)) as f:
+            exact = f["arr_0"]
+        np.testing.assert_array_equal(thresholded, exact)
+        for bad in (0.0, -0.5, 1.5, "high"):
+            try:
+                _post(server, dict(base, dynamic_threshold=bad))
+                raise AssertionError(f"expected 400 for {bad!r}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert "dynamic_threshold" in json.loads(e.read())["error"]
+
     def test_cfg_interval_protocol(self, server):
         """Limited-interval guidance is a serving protocol knob: the
         full-sigma interval reproduces the plain CFG program (exactness
