@@ -143,6 +143,7 @@ def draw_samples(
     cache_mode: str = "hold",
     cfg_scale=None,
     cfg_interval=None,
+    dynamic_threshold=None,
 ) -> np.ndarray:
     """Run the jitted sampling chain; returns denormalized latents (K,M,C,S,S).
 
@@ -173,6 +174,7 @@ def draw_samples(
             cache_interval=cache_interval,
             cache_mode=cache_mode,
             cfg_interval=cfg_interval,
+            dynamic_threshold=dynamic_threshold,
         )
     else:
         sample_fn = build_sample_fn(
@@ -183,6 +185,7 @@ def draw_samples(
             sampler=sampler,
             batch_hint=min(N, batch_hint_cap),
             cfg_interval=cfg_interval,
+            dynamic_threshold=dynamic_threshold,
         )
     key = jax.random.PRNGKey(seed)
     zkey, skey = jax.random.split(key)
@@ -278,6 +281,7 @@ def run_grid(variables, train_args: dict, gt: dict, args) -> list:
             cache_mode=mode,
             cfg_scale=scale,
             cfg_interval=interval,
+            dynamic_threshold=args.dynamic_threshold,
         )
         row = {"config": label, **dist_metrics(latents, gt)}
         if k == 0 and interval is None:
@@ -313,6 +317,9 @@ def main():
     p.add_argument("--samples-per-class", type=int, default=128)
     p.add_argument("--ema-std", type=float, default=None,
                    help="evaluate the post-hoc EMA at this std instead of the raw final checkpoint")
+    p.add_argument("--dynamic-threshold", type=float, default=None,
+                   help="Imagen dynamic thresholding percentile for every "
+                        "evaluation chain (stabilizes divergent chains)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-train", action="store_true",
                    help="reuse the existing run in work-dir/results")
@@ -363,6 +370,7 @@ def main():
         num_sampling_steps=args.num_sampling_steps,
         time_schedule=args.time_schedule,
         seed=args.seed + 1,
+        dynamic_threshold=args.dynamic_threshold,
     )
     trained = evaluate(variables, train_args, gt, **eval_kwargs)
 
