@@ -179,7 +179,10 @@ class DiT(nn.Module):
             # per-block checkpoints.
             scan_cls = nn.scan(
                 block_cls,
-                variable_axes={"params": 0},
+                # 'intermediates' axis: lets capture_intermediates (magnitude
+                # telemetry, training/telemetry.py) stack per-depth sows; inert
+                # unless the caller requests the collection.
+                variable_axes={"params": 0, "intermediates": 0},
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
                 length=cfg.depth,

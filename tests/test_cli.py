@@ -105,6 +105,7 @@ class TestObservability:
             "--metrics-jsonl", "auto",
             "--profile-dir", prof,
             "--grad-accum", "2",
+            "--log-magnitudes",
         )
         exp = os.path.join(results, os.listdir(results)[0])
         lines = open(os.path.join(exp, "metrics.jsonl")).read().splitlines()
@@ -113,6 +114,13 @@ class TestObservability:
         for r in recs:
             assert r["loss"] > 0 and r["steps_per_sec"] > 0 and r["lr"] > 0
             assert r["samples_seen"] == r["step"] * 8
+            # --log-magnitudes: MP telemetry rides the same records; forced
+            # WN keeps weight rows on the unit-RMS manifold after every step
+            mags = r["magnitudes"]
+            assert mags["w_rms_dev_max"] < 1e-3
+            assert len(mags["block_rms"]) == 6  # DiT-XS depth
+            assert all(v > 0 for v in mags["block_rms"])
+            assert mags["out_rms"] > 0
         # profiler wrote a trace tree
         assert any(os.scandir(prof)), "empty profile dir"
 

@@ -174,6 +174,35 @@ def main(args):
         grad_shardings=p_shard if args.grad_accum > 1 and mesh.size > 1 else None,
     )
     step_fn = jax.jit(step_fn, donate_argnums=0)
+
+    mag_probe = None
+    if args.log_magnitudes:
+        # Magnitude-preservation telemetry (training/telemetry.py): the
+        # framework's core invariant as a live metric. Runs on every process
+        # (ordinary GSPMD programs over the sharded state); the lead writes.
+        from mapdit_tpu.training.telemetry import (
+            make_activation_probe,
+            weight_magnitudes,
+        )
+
+        _w_mags = jax.jit(weight_magnitudes)
+        _act_probe = jax.jit(
+            make_activation_probe(
+                cfg,
+                diffusion,
+                stats_mean=jnp.asarray(dataset.stats["mean"]),
+                stats_std=jnp.asarray(dataset.stats["std"]),
+            )
+        )
+
+        def mag_probe(st, probe_batch, step):
+            row = {k: float(v) for k, v in _w_mags(st.params).items()}
+            act = _act_probe(
+                st.params, st.constants, probe_batch, jax.random.PRNGKey(step)
+            )
+            row["block_rms"] = [round(float(v), 4) for v in act["block_rms"]]
+            row["out_rms"] = round(float(act["out_rms"]), 4)
+            return row
     state = state.replace(
         params=shard_tree(state.params, p_shard),
         ema={k: shard_tree(v, p_shard) for k, v in state.ema.items()},
@@ -287,17 +316,32 @@ def main(args):
                     f"(step={train_steps:07d}) train loss: {avg_loss:.4f}, "
                     f"train steps/sec: {steps_per_sec:.2f}"
                 )
+                mag_row = None
+                if mag_probe is not None:
+                    mag_row = mag_probe(state, batch, train_steps)
+                    br = mag_row["block_rms"]
+                    logger.info(
+                        "(magnitudes) "
+                        f"w_rms_dev mean {mag_row.get('w_rms_dev_mean', 0.0):.2e} "
+                        f"max {mag_row.get('w_rms_dev_max', 0.0):.2e}, "
+                        f"gain |.| max {mag_row.get('gain_abs_max', 0.0):.3f}, "
+                        f"block_rms {br[0]:.3f}..{br[-1]:.3f}, "
+                        f"out_rms {mag_row['out_rms']:.3f}"
+                    )
                 if metrics_sink is not None:
                     import json
 
-                    metrics_sink.write(json.dumps({
+                    row = {
                         "step": train_steps,
                         "loss": round(avg_loss, 6),
                         "steps_per_sec": round(steps_per_sec, 3),
                         "lr": float(schedule(train_steps)),
                         "samples_seen": train_steps * args.batch_size,
                         "wall_time": round(time.time(), 3),
-                    }) + "\n")
+                    }
+                    if mag_row is not None:
+                        row["magnitudes"] = mag_row
+                    metrics_sink.write(json.dumps(row) + "\n")
                     metrics_sink.flush()
                 loss_buf = []
                 # local_devices: devices[0] may belong to another process
@@ -450,6 +494,11 @@ if __name__ == "__main__":
     parser.add_argument("--metrics-jsonl", type=str, default=None,
                         help="append one JSON metrics object per log interval "
                              "('auto' = <exp_dir>/metrics.jsonl)")
+    parser.add_argument("--log-magnitudes", action="store_true",
+                        help="per log interval, record magnitude-preservation "
+                             "telemetry: weight-row RMS deviation (the forced-WN "
+                             "invariant), gain magnitudes, and per-block "
+                             "residual-stream RMS at t=T/2 (one extra forward)")
     parser.add_argument("--multihost", type=lambda s: s.lower() in ("1", "true", "yes"),
                         default=False, metavar="BOOL",
                         help="call jax.distributed.initialize() (one process per host)")
