@@ -69,3 +69,15 @@ def config_from_args(args: Dict[str, Any]) -> DiTConfig:
     `--use-*` flag family)."""
     overrides = {k: args[k] for k in _MODEL_KEYS if k in args}
     return build_config(args["model"], **overrides)
+
+
+def percentile_arg(s: str):
+    """argparse type for (0, 1] quantile flags (--dynamic-threshold): rejects
+    out-of-range values at parse time instead of tripping an assert (or, under
+    python -O, silently producing NaN latents) inside the chain builders."""
+    import argparse
+
+    v = float(s)
+    if not 0.0 < v <= 1.0:
+        raise argparse.ArgumentTypeError(f"{s!r}: must be in (0, 1]")
+    return v

@@ -19,7 +19,7 @@ from mapdit_tpu.diffusion import create_diffusion
 from mapdit_tpu.runtime import build_sample_fn
 from mapdit_tpu.training.ema import calculate_posthoc_ema
 from mapdit_tpu.utils import class_name, load_config
-from mapdit_tpu.utils.experiment import config_from_args
+from mapdit_tpu.utils.experiment import config_from_args, percentile_arg
 from mapdit_tpu.utils.image import save_image_grid
 from mapdit_tpu.utils.compile_cache import enable_compile_cache
 
@@ -258,7 +258,7 @@ if __name__ == "__main__":
                              "evaluations (static Predict-to-Skip, arXiv "
                              "2602.18093; same FLOPs — BENCH_NOTES records "
                              "measured deviations)")
-    parser.add_argument("--dynamic-threshold", type=float, default=None,
+    parser.add_argument("--dynamic-threshold", type=percentile_arg, default=None,
                         metavar="P",
                         help="Imagen-style dynamic thresholding (arXiv "
                              "2205.11487): clip each sample's x0 estimate to "

@@ -16,7 +16,7 @@ import numpy as np
 from mapdit_tpu.diffusion import create_diffusion
 from mapdit_tpu.runtime import build_shared_sample_fn
 from mapdit_tpu.utils import class_name, load_config
-from mapdit_tpu.utils.experiment import config_from_args
+from mapdit_tpu.utils.experiment import config_from_args, percentile_arg
 from mapdit_tpu.utils.image import save_image_grid
 
 from sample import decode_latents, load_variables
@@ -48,6 +48,7 @@ def main(args):
     prepare, sample_fn = build_shared_sample_fn(
         cfg, diffusion, cfg_scale=args.cfg_scale, sampler=args.sampler, eta=args.eta,
         cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
+        dynamic_threshold=args.dynamic_threshold,
         batch_hint=n,
     )
     res = []
@@ -90,6 +91,11 @@ if __name__ == "__main__":
                         metavar=("SIGMA_LO", "SIGMA_HI"),
                         help="limited-interval guidance (arXiv 2404.07724; "
                              "see sample.py --cfg-interval)")
+    parser.add_argument("--dynamic-threshold", type=percentile_arg, default=None,
+                        metavar="P",
+                        help="Imagen-style dynamic thresholding (arXiv "
+                             "2205.11487) — stabilizes undertrained chains, "
+                             "exactly the EMA-sweep use case (see sample.py)")
     parser.add_argument("--eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic ODE)")
     parser.add_argument("--seed", type=int, default=42)

@@ -22,7 +22,7 @@ from mapdit_tpu.parallel import batch_sharding, make_mesh
 from mapdit_tpu.diffusion import create_diffusion
 from mapdit_tpu.runtime import build_sample_fn
 from mapdit_tpu.utils import load_config
-from mapdit_tpu.utils.experiment import config_from_args
+from mapdit_tpu.utils.experiment import config_from_args, percentile_arg
 from mapdit_tpu.utils.image import to_uint8
 
 from sample import decode_latents, load_variables
@@ -145,7 +145,7 @@ if __name__ == "__main__":
                         help="clamp pred_xstart to [-1, 1] each step (reference "
                              "FID protocol passes False; True keeps few-step "
                              "chains finite on untrained checkpoints)")
-    parser.add_argument("--dynamic-threshold", type=float, default=None,
+    parser.add_argument("--dynamic-threshold", type=percentile_arg, default=None,
                         metavar="P",
                         help="Imagen-style dynamic thresholding (arXiv "
                              "2205.11487): per-sample P-quantile x0 clip, "

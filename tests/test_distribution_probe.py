@@ -1,0 +1,82 @@
+"""Distribution-recovery probe internals (tools/distribution_probe.py):
+dataset/ground-truth consistency, metric contracts, JSON sanitization, and
+the law's conditioning-signal analysis (the r03s7 degeneracy finding —
+label conditioning in the MoG probe family is informationally negligible,
+so label_acc ~ chance after training is expected, not a bug)."""
+
+import importlib.util
+import json
+import os
+
+import numpy as np
+import pytest
+
+spec = importlib.util.spec_from_file_location(
+    "distribution_probe",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "distribution_probe.py"),
+)
+probe = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(probe)
+
+
+class TestMakeData:
+    def test_ground_truth_matches_artifacts(self, tmp_path):
+        gt = probe.make_data(str(tmp_path), classes=4, examples=512, input_size=8)
+        assert gt["class_means"].shape == (4, 4)
+        assert np.isfinite(gt["class_means"]).all()
+        # empirical class means track the analytic centers at this N
+        err = np.abs(gt["class_means"] - gt["centers"]).max()
+        assert err < 0.15, err
+        # the dataset dir is the native artifact family train.py consumes
+        from mapdit_tpu.training.data import LatentDataset
+
+        ds = LatentDataset(str(tmp_path))
+        assert len(ds) == 512
+
+    def test_empty_class_fails_loudly(self, tmp_path):
+        with pytest.raises(AssertionError, match="zero examples"):
+            probe.make_data(str(tmp_path), classes=64, examples=8, input_size=8)
+
+
+class TestDistMetrics:
+    def test_exact_law_scores_clean(self):
+        rng = np.random.default_rng(0)
+        k, m_per, c, s = 4, 256, 4, 8
+        centers = rng.normal(size=(k, c)).astype(np.float32)
+        gt = {"class_means": centers, "total_std": np.float32(0.3)}
+        lat = centers[:, None, :, None, None] + 0.3 * rng.normal(
+            size=(k, m_per, c, s, s)
+        ).astype(np.float32)
+        out = probe.dist_metrics(lat, gt)
+        assert out["mean_err"] < 0.05
+        assert 0.95 < out["std_ratio"] < 1.05
+        assert out["label_acc"] == 1.0
+        assert "finite_frac" not in out
+
+    def test_divergent_latents_flagged_and_json_safe(self):
+        gt = {
+            "class_means": np.ones((2, 4), np.float32),
+            "total_std": np.float32(0.3),
+        }
+        lat = np.full((2, 8, 4, 8, 8), np.nan, np.float32)
+        out = probe.dist_metrics(lat, gt)
+        assert out["finite_frac"] == 0.0
+        text = json.dumps(probe.finite_json(out))
+        json.loads(text)  # strict-parseable
+        assert "NaN" not in text and "Infinity" not in text
+
+
+class TestConditioningSignal:
+    def test_mog_laws_are_conditioning_degenerate(self):
+        """The max extractable label signal in uniform-t eps-MSE is <=~1e-3
+        of the O(1) loss for separated AND overlapping MoG laws — pins the
+        finding that label_acc ~ chance is the correct-model outcome."""
+        rng = np.random.default_rng(1)
+        for center_scale, within in [(1.0, 0.33), (0.5, 1.0)]:
+            centers = (center_scale * rng.normal(size=(8, 4))).astype(np.float32)
+            gt = {"class_means": centers, "total_std": np.float32(within)}
+            sig = probe.conditioning_signal(
+                gt, within, input_size=16, n=128, t_stride=100
+            )
+            assert sig["uniform_t_mean"] < 2e-3, (center_scale, within, sig)
+            assert sig["max"] < 8e-3, (center_scale, within, sig)

@@ -36,6 +36,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from mapdit_tpu.utils.experiment import percentile_arg  # noqa: E402
+
 
 # ----------------------------------------------------------------- dataset
 
@@ -64,6 +66,12 @@ def make_data(
 
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, classes, examples).astype(np.int64)
+    counts = np.bincount(labels, minlength=classes)
+    assert (counts > 0).all(), (
+        f"class(es) {np.nonzero(counts == 0)[0].tolist()} drew zero examples "
+        f"({examples} examples over {classes} classes) — per-class ground-truth "
+        "means would be NaN; raise --examples"
+    )
     centers = (center_scale * rng.normal(size=(classes, channels, 1, 1))).astype(
         np.float32
     )
@@ -230,11 +238,94 @@ def evaluate(variables, train_args: dict, gt: dict, **draw_kwargs) -> dict:
     return dist_metrics(draw_samples(variables, train_args, **draw_kwargs), gt)
 
 
+# ----------------------------------------------------------- law analysis
+
+
+def conditioning_signal(
+    gt: dict,
+    within_std: float,
+    input_size: int,
+    n: int = 512,
+    t_stride: int = 50,
+    seed: int = 7,
+) -> dict:
+    """Monte-Carlo the MAX extractable label-conditioning signal of the law:
+    the eps-MSE gap between the optimal conditional and optimal marginal
+    denoisers, per timestep (uniform-t mean = its weight in the training
+    loss).
+
+    Measured finding (r03s7, BENCH_NOTES): for every channel-constant MoG
+    law this integrates to <=~1e-3 of the O(1) eps loss — the class is
+    either recoverable from x_t itself (separated modes: the S^2-pixel
+    evidence makes the class posterior near-one-hot wherever the mode
+    matters) or irrelevant to x0 (overlapping modes). Label conditioning is
+    therefore informationally NEGLIGIBLE for this probe family: label_acc ~
+    chance after training is the EXPECTED outcome of a correct
+    implementation, and the probe arbitrates marginal-law recovery + chain
+    fidelity, not conditioning. (Natural-image latents do not share this
+    degeneracy: class information there shifts E[x0|x_t] across a wide t
+    band.)
+    """
+    from mapdit_tpu.diffusion import create_diffusion
+
+    acp_tab = np.asarray(create_diffusion("").alphas_cumprod)
+    # normalized law, as the training pipeline sees it
+    m = np.asarray(gt["class_means"], np.float64)
+    k, c = m.shape
+    pooled = np.sqrt(within_std**2 + m.var(axis=0).mean())
+    # within_std here should be the TOTAL per-class std (incl. posterior draw)
+    m = m / pooled
+    s = within_std / pooled
+    rng = np.random.default_rng(seed)
+    S = input_size
+    tg = np.arange(0, 1000, t_stride)
+    gaps = []
+    for t in tg:
+        acp = float(acp_tab[t])
+        y = rng.integers(0, k, n)
+        x0 = m[y][:, :, None, None] + s * rng.normal(size=(n, c, S, S))
+        xt = np.sqrt(acp) * x0 + np.sqrt(1 - acp) * rng.normal(size=(n, c, S, S))
+        v = acp * s**2 + (1 - acp)
+        post_c = (np.sqrt(acp) * s**2 * xt + (1 - acp) * m[y][:, :, None, None]) / v
+        mm = m[:, None, :, None, None]
+        d = xt[None] - np.sqrt(acp) * mm
+        ll = -0.5 * (d**2).sum(axis=(2, 3, 4)) / v
+        ll -= ll.max(axis=0, keepdims=True)
+        w = np.exp(ll)
+        w /= w.sum(axis=0, keepdims=True)
+        post_m = (
+            w[:, :, None, None, None]
+            * (np.sqrt(acp) * s**2 * xt[None] + (1 - acp) * mm)
+            / v
+        ).sum(axis=0)
+        gaps.append(acp / (1 - acp) * float(((post_c - post_m) ** 2).mean()))
+    gaps = np.asarray(gaps)
+    i = int(gaps.argmax())
+    return {
+        "uniform_t_mean": float(gaps.mean()),
+        "max": float(gaps.max()),
+        "argmax_t": int(tg[i]),
+    }
+
+
 # -------------------------------------------------------- accelerator grid
 
 
 def rel_l2(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.linalg.norm(a - b) / np.linalg.norm(b))
+
+
+def finite_json(obj):
+    """NaN/Infinity are not valid JSON; divergent chains (the runs this probe
+    exists to diagnose) produce them — map to None so the one-line output
+    stays parseable by strict consumers (jq, json.loads(allow_nan=False))."""
+    if isinstance(obj, float):
+        return obj if np.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: finite_json(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [finite_json(v) for v in obj]
+    return obj
 
 
 def run_grid(variables, train_args: dict, gt: dict, args) -> list:
@@ -289,7 +380,7 @@ def run_grid(variables, train_args: dict, gt: dict, args) -> list:
         else:
             row["rel_l2_vs_exact"] = rel_l2(latents, exact_by_family[family])
         rows.append(row)
-        print(json.dumps(row), flush=True)
+        print(json.dumps(finite_json(row)), flush=True)
     return rows
 
 
@@ -317,7 +408,7 @@ def main():
     p.add_argument("--samples-per-class", type=int, default=128)
     p.add_argument("--ema-std", type=float, default=None,
                    help="evaluate the post-hoc EMA at this std instead of the raw final checkpoint")
-    p.add_argument("--dynamic-threshold", type=float, default=None,
+    p.add_argument("--dynamic-threshold", type=percentile_arg, default=None,
                    help="Imagen dynamic thresholding percentile for every "
                         "evaluation chain (stabilizes divergent chains)")
     p.add_argument("--seed", type=int, default=0)
@@ -334,7 +425,6 @@ def main():
     from mapdit_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    fail_fast_on_dead_backend(label="distribution_probe")
 
     data_dir = os.path.join(args.work_dir, "data")
     results_dir = os.path.join(args.work_dir, "results")
@@ -353,6 +443,11 @@ def main():
     else:
         run_dir = run_train(args, data_dir, results_dir)
 
+    # Attach to the accelerator only AFTER train.py (its own process) has
+    # released it — never two live TPU processes (axon relay can wedge).
+    fail_fast_on_dead_backend(label="distribution_probe")
+
+    from mapdit_tpu.training.checkpoint import latest_checkpoint
     from mapdit_tpu.utils.experiment import config_from_args, load_config
     from sample import load_variables
 
@@ -360,8 +455,13 @@ def main():
     if args.ema_std is not None:
         variables = load_variables(run_dir, train_args, ema_std=args.ema_std)
     else:
+        # the reused run's actual final checkpoint, not this invocation's
+        # --train-steps (they differ under --skip-train)
+        ckpt_path = latest_checkpoint(run_dir)
+        assert ckpt_path, f"no checkpoint under {run_dir}"
         variables = load_variables(
-            run_dir, train_args, ckpt=f"{args.train_steps:07d}"
+            run_dir, train_args,
+            ckpt=os.path.splitext(os.path.basename(ckpt_path))[0],
         )
 
     eval_kwargs = dict(
@@ -394,11 +494,16 @@ def main():
         "std_ratio_trained": trained["std_ratio"],
         "label_acc_trained": trained["label_acc"],
         **{f"{k}_init": v for k, v in init.items()},
+        # how much conditioning the law can even express (see the docstring:
+        # ~<=1e-3 for every MoG law => label_acc ~ chance is expected)
+        "conditioning_signal": conditioning_signal(
+            gt, float(gt["total_std"]), args.input_size
+        ),
         "run_dir": run_dir,
     }
     if args.grid:
         out["grid"] = run_grid(variables, train_args, gt, args)
-    print(json.dumps(out))
+    print(json.dumps(finite_json(out)))
 
 
 if __name__ == "__main__":
