@@ -193,7 +193,7 @@ def main():
                         "(ddpm/dpm++; composes with --cache-interval)")
     p.add_argument("--mode", choices=["sample", "train"], default="sample",
                    help="sample = headline denoise-steps/sec; train = train steps/sec")
-    p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm",
+    p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++", "unipc"], default="ddpm",
                    help="chain family for sample mode (ddim = eta-0 chain)")
     p.add_argument("--time-schedule", choices=["uniform", "karras"], default="uniform")
     p.add_argument("--scan-unroll", type=int, default=1,

@@ -12,6 +12,7 @@ from typing import Optional, Sequence, Union
 
 from mapdit_tpu.diffusion import gaussian as gd
 from mapdit_tpu.diffusion.dpm_solver import dpm_solver_pp_loop
+from mapdit_tpu.diffusion.unipc import unipc_loop
 from mapdit_tpu.diffusion.gaussian import GaussianDiffusion
 from mapdit_tpu.diffusion.respace import (
     karras_timesteps,
@@ -77,6 +78,7 @@ __all__ = [
     "GaussianDiffusion",
     "create_diffusion",
     "dpm_solver_pp_loop",
+    "unipc_loop",
     "karras_timesteps",
     "respacing_string",
     "space_timesteps",

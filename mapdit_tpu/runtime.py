@@ -194,8 +194,8 @@ def build_shared_sample_fn(
     )
     if cfg_interval is not None:
         assert cfg_scale is not None, "--cfg-interval needs CFG (cfg_scale)"
-        assert sampler == "dpm++" or use_fast, (
-            "--cfg-interval composes with --sampler ddpm or dpm++"
+        assert sampler in ("dpm++", "unipc") or use_fast, (
+            "--cfg-interval composes with --sampler ddpm, dpm++ or unipc"
         )
         cfg_segments = cfg_interval_segments(diffusion, *cfg_interval)
     else:
@@ -286,6 +286,21 @@ def build_shared_sample_fn(
                     diffusion, model_fn_cond, x, prev_x0=x0,
                     step_slice=(g1, T), **kw,
                 )
+            elif sampler == "unipc":
+                from mapdit_tpu.diffusion.unipc import unipc_loop
+
+                carry = unipc_loop(
+                    diffusion, model_fn_cond, chain_noise,
+                    step_slice=(0, g0), return_carry=True, **kw,
+                )
+                carry = unipc_loop(
+                    diffusion, model_fn, carry[0], prev_carry=carry,
+                    step_slice=(g0, g1), return_carry=True, **kw,
+                )
+                x = unipc_loop(
+                    diffusion, model_fn_cond, carry[0], prev_carry=carry,
+                    step_slice=(g1, T), **kw,
+                )
             else:  # use_fast ddpm (asserted at build time)
                 x, key = diffusion.p_sample_loop_fast(
                     model_fn_cond, chain_noise, rng,
@@ -309,6 +324,14 @@ def build_shared_sample_fn(
             from mapdit_tpu.diffusion.dpm_solver import dpm_solver_pp_loop
 
             x = dpm_solver_pp_loop(
+                diffusion, model_fn, chain_noise, clip_denoised=clip_denoised,
+                denoised_fn=denoised, model_kwargs={"y": chain_y},
+                unroll=scan_unroll,
+            )
+        elif sampler == "unipc":
+            from mapdit_tpu.diffusion.unipc import unipc_loop
+
+            x = unipc_loop(
                 diffusion, model_fn, chain_noise, clip_denoised=clip_denoised,
                 denoised_fn=denoised, model_kwargs={"y": chain_y},
                 unroll=scan_unroll,
@@ -639,7 +662,9 @@ def build_sample_fn(
     ``sampler``: "ddpm" (ancestral, the reference scripts' path), "ddim"
     (present-but-unwired in the reference entry points; usable here), or
     "dpm++" (DPM-Solver++(2M), beyond-reference fast ODE sampler — pass
-    --num-sampling-steps 10-25).
+    --num-sampling-steps 10-25), or "unipc" (UniPC bh2 order 2 +
+    corrector, arXiv 2302.04867 — effective order 3 at the same
+    model-call count as dpm++).
     ``cfg_interval``: see :func:`build_shared_sample_fn`.
     Sampling scripts pass clip_denoised=False (reference `sample.py:57`).
     Thin wrapper over :func:`build_shared_sample_fn` with variables closed

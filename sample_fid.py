@@ -130,7 +130,7 @@ if __name__ == "__main__":
     parser.add_argument("--num-samples", type=int, default=10_000)
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--num-sampling-steps", type=int, default=250)
-    parser.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="ddpm")
+    parser.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++", "unipc"], default="ddpm")
     parser.add_argument("--time-schedule", choices=["uniform", "karras"], default="uniform",
                         help="timestep grid: uniform sections (reference) or EDM sigma spacing")
     parser.add_argument("--cfg-interval", type=float, nargs=2, default=None,

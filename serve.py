@@ -320,8 +320,10 @@ class SamplerService:
                 raise ValueError("cfg_interval needs 0 <= sigma_lo <= sigma_hi")
             if cfg_scale <= 1.0:
                 raise ValueError("cfg_interval needs cfg_scale > 1")
-            if sampler not in ("ddpm", "dpm++"):
-                raise ValueError("cfg_interval composes with sampler ddpm or dpm++")
+            if sampler not in ("ddpm", "dpm++", "unipc"):
+                raise ValueError(
+                    "cfg_interval composes with sampler ddpm, dpm++ or unipc"
+                )
             cfg_interval = (lo, hi)
         if dynamic_threshold is not None:
             try:
@@ -535,7 +537,7 @@ class SamplerService:
             # ddpm draws per-step noise shaped like the coalesced batch; a
             # seed reproduces its output only for identical batch
             # compositions (X-Seed-Deterministic response header per request)
-            "seed_deterministic_samplers": ["dpm++", "ddim"],
+            "seed_deterministic_samplers": ["dpm++", "unipc", "ddim"],
         }
 
 
@@ -602,7 +604,7 @@ def make_handler(service: SamplerService, defaults: dict):
                     )
                 steps = int(req.get("steps", defaults["steps"]))
                 sampler = req.get("sampler", defaults["sampler"])
-                if sampler not in ("ddpm", "ddim", "dpm++"):
+                if sampler not in ("ddpm", "ddim", "dpm++", "unipc"):
                     raise ValueError(f"unknown sampler {sampler!r}")
                 if not 1 <= steps <= 1000:
                     raise ValueError("steps must be in [1, 1000]")
@@ -751,7 +753,7 @@ if __name__ == "__main__":
                         help="batch buckets; requests pad to the next bucket "
                              "so every (sampler, steps, bucket) compiles once")
     parser.add_argument("--default-steps", type=int, default=20)
-    parser.add_argument("--default-sampler", choices=["ddpm", "ddim", "dpm++"],
+    parser.add_argument("--default-sampler", choices=["ddpm", "ddim", "dpm++", "unipc"],
                         default="dpm++")
     parser.add_argument("--default-cfg-scale", type=float, default=4.0)
     parser.add_argument("--seed", type=int, default=0)

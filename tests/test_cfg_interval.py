@@ -85,7 +85,7 @@ class TestSegmentMapping:
 
 
 class TestExactnessLimits:
-    @pytest.mark.parametrize("sampler", ["ddpm", "dpm++"])
+    @pytest.mark.parametrize("sampler", ["ddpm", "dpm++", "unipc"])
     def test_full_interval_matches_exact_cfg_chain(self, setup, sampler):
         cfg, variables, d, z, z2, y2, rng = setup
         exact = build_sample_fn(
@@ -101,7 +101,7 @@ class TestExactnessLimits:
             np.asarray(exact), np.asarray(seg), rtol=1e-5, atol=1e-5
         )
 
-    @pytest.mark.parametrize("sampler", ["ddpm", "dpm++"])
+    @pytest.mark.parametrize("sampler", ["ddpm", "dpm++", "unipc"])
     def test_empty_interval_is_cond_only_chain(self, setup, sampler):
         cfg, variables, d, z, z2, y2, rng = setup
         cond_only = build_sample_fn(
@@ -171,6 +171,27 @@ class TestStepSliceStitching:
         )
         x = dpm_solver_pp_loop(
             d, model_fn, x, prev_x0=x0, step_slice=(3, d.num_timesteps), **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(x), rtol=1e-6, atol=1e-6
+        )
+
+    def test_unipc_chain_slices_stitch(self, setup):
+        """UniPC carries a 4-tuple (predicted sample, corrected sample, two
+        x0 outputs) across the boundary; coefficients (incl. the corrector
+        gating and neighbor spacings) come from the FULL grid."""
+        from mapdit_tpu.diffusion.unipc import unipc_loop
+
+        cfg, variables, d, z, z2, y2, rng = setup
+        model_fn = build_model_fn(cfg, variables)
+        kw = dict(clip_denoised=True, model_kwargs={"y": y2[:N]})
+        base = unipc_loop(d, model_fn, z, **kw)
+        carry = unipc_loop(
+            d, model_fn, z, step_slice=(0, 3), return_carry=True, **kw
+        )
+        x = unipc_loop(
+            d, model_fn, carry[0], prev_carry=carry,
+            step_slice=(3, d.num_timesteps), **kw,
         )
         np.testing.assert_allclose(
             np.asarray(base), np.asarray(x), rtol=1e-6, atol=1e-6
@@ -287,7 +308,7 @@ class TestBuilderValidation:
 
     def test_requires_supported_sampler(self, setup):
         cfg, variables, d, *_ = setup
-        with pytest.raises(AssertionError, match="ddpm or dpm"):
+        with pytest.raises(AssertionError, match="ddpm, dpm"):
             build_sample_fn(
                 cfg, variables, d, cfg_scale=4.0, sampler="ddim",
                 cfg_interval=FULL,

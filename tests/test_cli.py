@@ -288,6 +288,20 @@ class TestSampleCLI:
         )
         assert os.path.exists(out)
 
+    def test_sample_unipc(self, trained_run, tmp_path):
+        """UniPC predictor-corrector sampler (arXiv 2302.04867) end to end."""
+        out = str(tmp_path / "sample_unipc.png")
+        run(
+            "sample.py",
+            "--result-dir", trained_run,
+            "--use-vae", "false",
+            "--output-file", out,
+            "--num-sampling-steps", "4",
+            "--sampler", "unipc",
+            "--time-schedule", "karras",
+        )
+        assert os.path.exists(out)
+
     def test_sample_dynamic_threshold(self, trained_run, tmp_path):
         """Imagen dynamic thresholding (arXiv 2205.11487) from the user CLI."""
         out = str(tmp_path / "sample_dthresh.png")

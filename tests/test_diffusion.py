@@ -657,3 +657,133 @@ class TestHalfBatchCFGChain:
         np.testing.assert_allclose(
             np.asarray(legacy[:n]), np.asarray(half), rtol=1e-5, atol=1e-5
         )
+
+
+class TestUniPC:
+    """UniPC(bh2, order 2 + corrector) — beyond-reference predictor-corrector
+    sampler (arXiv 2302.04867): effective order 3 at the same model-call
+    count as DPM-Solver++(2M). Same analytic oracles as TestDPMSolverPP."""
+
+    def test_beats_dpmpp_at_matched_calls(self):
+        """Measured on the N(0,I) oracle (exact trajectory = constant):
+        unipc 0.426/0.057/0.0011 vs dpm++ 0.451/0.072/0.0023 at N=20/50/250
+        uniform, and 0.122/0.0063/0.00012 vs 0.176/0.023/0.00064 on karras
+        grids — identical FLOPs, up to ~5x lower discretization error."""
+        from mapdit_tpu.diffusion import dpm_solver_pp_loop, unipc_loop
+
+        model = TestDPMSolverPP._analytic_model()
+        noise = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 8, 8))
+        err = lambda x: float(jnp.abs(x - noise).max())
+        for spec, bound in (("50", 0.07), ("karras20", 0.16), ("karras50", 0.01)):
+            d = create_diffusion(spec)
+            eu = err(unipc_loop(d, model, noise, clip_denoised=False))
+            ed = err(dpm_solver_pp_loop(d, model, noise, clip_denoised=False))
+            assert eu < bound and eu < ed, (spec, eu, ed)
+
+    def test_higher_order_convergence(self):
+        from mapdit_tpu.diffusion import unipc_loop
+
+        model = TestDPMSolverPP._analytic_model()
+        noise = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 8, 8))
+        err = lambda x: float(jnp.abs(x - noise).max())
+        e50 = err(unipc_loop(create_diffusion("50"), model, noise,
+                             clip_denoised=False))
+        e250 = err(unipc_loop(create_diffusion("250"), model, noise,
+                              clip_denoised=False))
+        # 5x steps shrink the error by ~50x (measured 0.0569 -> 0.00107):
+        # a strictly higher-order signature than dpm++'s ~30x on this grid
+        assert e50 < 0.07 and e250 < 0.002 and e50 / e250 > 25
+
+    def test_deterministic_and_rng_ignored(self):
+        from mapdit_tpu.diffusion import unipc_loop
+
+        model = TestDPMSolverPP._analytic_model()
+        noise = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8, 8))
+        d = create_diffusion("8")
+        a = unipc_loop(d, model, noise, rng=jax.random.PRNGKey(0))
+        b = unipc_loop(d, model, noise, rng=jax.random.PRNGKey(9))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_coefficients(self):
+        from mapdit_tpu.diffusion.unipc import unipc_coefficients
+
+        d = create_diffusion("12")
+        co = unipc_coefficients(np.asarray(d.alphas_cumprod))
+        assert all(v.shape == (12,) for v in co.values())
+        # final virtual step: sigma -> 0, alpha -> 1, expm1(-inf) = -1,
+        # first-order (no history weight)
+        assert co["sr_p"][-1] == 0.0 and co["a_p"][-1] == 1.0
+        assert co["phi1_p"][-1] == -1.0 and co["rho_p"][-1] == 0.0
+        # first step: no history for the predictor, no corrector for s_0
+        assert co["rho_p"][0] == 0.0 and co["use_c"][0] == 0.0
+        # interior: simplified UniP-2 weight; corrector ramps order 1 -> 2
+        assert np.all(co["rho_p"][1:-1] == 0.5)
+        assert co["rho_ct"][1] == 0.5 and co["rho_cp"][1] == 0.0
+        assert np.all(co["use_c"][1:] == 1.0)
+        assert np.all(co["rho_cp"][2:] != 0.0)
+        for v in co.values():
+            assert np.all(np.isfinite(v))
+
+    def test_single_and_two_step_chains(self):
+        from mapdit_tpu.diffusion import unipc_loop
+
+        model = TestDPMSolverPP._analytic_model()
+        noise = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 8, 8))
+        for n in (1, 2):
+            x = unipc_loop(create_diffusion(str(n)), model, noise)
+            assert x.shape == noise.shape
+            assert np.all(np.isfinite(np.asarray(x)))
+
+    def test_point_mass_oracle_exact_trajectory(self):
+        """With an exact x0 prediction at every point all multistep
+        differences vanish and the corrector is a no-op in expectation —
+        the chain must land exactly on x0* (same oracle as the dpm++
+        test; exercises the corrector/predictor D1 terms cancelling)."""
+        from mapdit_tpu.diffusion import unipc_loop
+
+        full = create_diffusion("")
+        alpha = jnp.sqrt(full.alphas_cumprod)
+        sigma = jnp.sqrt(1.0 - full.alphas_cumprod)
+        x0_star = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 8, 8)) * 0.5
+
+        def model(x, t, **kw):
+            ti = t.astype(jnp.int32)
+            a = alpha[ti].reshape(-1, 1, 1, 1)
+            s = sigma[ti].reshape(-1, 1, 1, 1)
+            eps = (x - a * x0_star) / s
+            return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=1)
+
+        noise = jax.random.normal(jax.random.PRNGKey(6), (3, 4, 8, 8))
+        for n in (5, 20):
+            x = unipc_loop(
+                create_diffusion(str(n)), model, noise, clip_denoised=False
+            )
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(jnp.broadcast_to(x0_star, x.shape)),
+                atol=5e-4,
+            )
+
+    def test_start_x_parameterization_matches(self):
+        """x0-predicting process must trace the same trajectory as the
+        eps-predicting one when both models encode the same posterior."""
+        from mapdit_tpu.diffusion import unipc_loop
+
+        full_eps = create_diffusion("20")
+        full_x0 = create_diffusion("20", predict_xstart=True)
+        sig = jnp.sqrt(1.0 - create_diffusion("").alphas_cumprod)
+
+        def eps_model(x, t, **kw):
+            s = sig[t.astype(jnp.int32)].reshape(-1, 1, 1, 1)
+            eps = s * x
+            return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=1)
+
+        def x0_model(x, t, **kw):
+            s = sig[t.astype(jnp.int32)].reshape(-1, 1, 1, 1)
+            a = jnp.sqrt(1.0 - s**2)
+            x0 = a * x  # same posterior as eps = s * x
+            return jnp.concatenate([x0, jnp.zeros_like(x0)], axis=1)
+
+        noise = jax.random.normal(jax.random.PRNGKey(7), (2, 4, 8, 8))
+        a = unipc_loop(full_eps, eps_model, noise, clip_denoised=False)
+        b = unipc_loop(full_x0, x0_model, noise, clip_denoised=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

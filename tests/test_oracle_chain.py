@@ -134,3 +134,26 @@ class TestOracleChains:
         # the ensemble at 25 steps (measured 1.21 with the exact oracle) —
         # the discretization bias karras grids exist to fix (1.0 band above)
         check(out, 0.06, 0.7, 1.35)
+
+    def test_unipc_karras(self, zy):
+        """UniPC (predictor-corrector, arXiv 2302.04867) through the same
+        ground-truth oracle: moments recovered at 25 karras steps, tighter
+        than dpm++ at matched model calls."""
+        from mapdit_tpu.diffusion import unipc_loop
+
+        z, y, _ = zy
+        diff = create_diffusion(respacing_string(25, "unipc", "karras"))
+        out = unipc_loop(
+            diff, oracle_model_fn, z, clip_denoised=False, model_kwargs={"y": y}
+        )
+        check(out, 0.06, 0.7, 1.1)
+
+    def test_unipc_uniform_grid(self, zy):
+        from mapdit_tpu.diffusion import unipc_loop
+
+        z, y, _ = zy
+        diff = create_diffusion("25")
+        out = unipc_loop(
+            diff, oracle_model_fn, z, clip_denoised=False, model_kwargs={"y": y}
+        )
+        check(out, 0.06, 0.7, 1.35)

@@ -130,6 +130,15 @@ class TestServe:
         assert status == 200 and ctype == "image/png"
         assert body[:8] == b"\x89PNG\r\n\x1a\n"
 
+    def test_unipc_protocol(self, server):
+        status, ctype, body = _post(
+            server,
+            {"class_label": 5, "num_samples": 2, "steps": 4,
+             "sampler": "unipc", "cfg_scale": 1.0},
+        )
+        assert status == 200 and ctype == "image/png"
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
     def test_npz_format_and_seed_determinism(self, server):
         payload = {
             "class_labels": [1, 2], "steps": 4, "sampler": "ddim",

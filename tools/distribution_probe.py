@@ -401,7 +401,7 @@ def main():
     p.add_argument("--train-args", default=None,
                    help="extra flags passed through to train.py, one string")
     p.add_argument("--train-timeout", type=int, default=3600)
-    p.add_argument("--sampler", default="dpm++", choices=["ddpm", "ddim", "dpm++"])
+    p.add_argument("--sampler", default="dpm++", choices=["ddpm", "ddim", "dpm++", "unipc"])
     p.add_argument("--num-sampling-steps", type=int, default=25)
     p.add_argument("--time-schedule", default="karras",
                    choices=["uniform", "karras"])

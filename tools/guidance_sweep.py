@@ -79,7 +79,7 @@ def main():
     p.add_argument("--num-samples", type=int, default=512)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++"], default="dpm++")
+    p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm++", "unipc"], default="dpm++")
     p.add_argument("--time-schedule", choices=["uniform", "karras"], default="karras")
     p.add_argument("--features", choices=["inception", "random-proj"],
                    default="inception")
