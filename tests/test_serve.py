@@ -380,7 +380,7 @@ class TestServe:
             assert resp.headers["X-Seed-Deterministic"] == "false"
         with urllib.request.urlopen(server + "/healthz", timeout=60) as resp:
             info = json.loads(resp.read())
-        assert info["seed_deterministic_samplers"] == ["dpm++", "ddim"]
+        assert info["seed_deterministic_samplers"] == ["dpm++", "unipc", "ddim"]
 
     def test_errors(self, server):
         for payload, frag in [
