@@ -656,6 +656,7 @@ def build_sample_fn(
     cfg_interval: Optional[tuple] = None,
     batch_hint: Optional[int] = None,
     dynamic_threshold: Optional[float] = None,
+    mesh=None,
 ):
     """Jitted (noise, y, rng) -> samples over the full denoising chain.
 
@@ -669,7 +670,27 @@ def build_sample_fn(
     Sampling scripts pass clip_denoised=False (reference `sample.py:57`).
     Thin wrapper over :func:`build_shared_sample_fn` with variables closed
     over (prepared once).
+
+    ``mesh``: optional ``('data', 'model')`` :class:`jax.sharding.Mesh` —
+    the prepared parameter tree is device_put with the training TP layout
+    (:func:`mapdit_tpu.parallel.mesh.param_sharding`: QKV / MLP-in split on
+    the head/out dim, out-proj / MLP-out on the in dim, everything else
+    replicated) so a nontrivial 'model' axis tensor-parallelizes every
+    model call inside the chain — GSPMD inserts the branch-output psums
+    over ICI, exactly as in training. This is the latency layout: it
+    shrinks the per-call wall-clock for batch sizes too small to fill a
+    data axis (a data-parallel mesh leaves tp=1 and only splits the batch).
+    Callers run the returned fn under ``jax.set_mesh(mesh)`` with the batch
+    sharded over 'data'. The Pallas megakernels have no GSPMD partitioning
+    rule; the ``auto`` kernel policy already resolves to the XLA pipeline
+    on multi-device meshes, and explicit kernels are rejected here.
     """
+    if mesh is not None and mesh.devices.size > 1:
+        assert cfg.block_kernel in ("auto", "off"), (
+            "explicit Pallas block kernels cannot be GSPMD-partitioned; "
+            "use block_kernel='auto' (resolves to the XLA pipeline on "
+            "multi-device meshes) or the shard_map data-parallel path"
+        )
     prepare, shared_fn = build_shared_sample_fn(
         cfg, diffusion, cfg_scale=cfg_scale, fold=fold, sampler=sampler, eta=eta,
         scan_unroll=scan_unroll, clip_denoised=clip_denoised,
@@ -677,6 +698,10 @@ def build_sample_fn(
         dynamic_threshold=dynamic_threshold,
     )
     prepared = prepare(variables)
+    if mesh is not None and mesh.devices.size > 1:
+        from mapdit_tpu.parallel.mesh import param_sharding, shard_tree
+
+        prepared = shard_tree(prepared, param_sharding(prepared, mesh))
 
     def sample_fn(noise: Array, y: Array, rng: Array) -> Array:
         return shared_fn(prepared, noise, y, rng)

@@ -60,10 +60,16 @@ def main(args):
     #     vs 409 steps/s/chip at S/2), CFG pairs never straddle shards,
     #     chain noise decorrelated via fold_in(key, axis_index). Same math,
     #     different (equally valid) noise stream than the gspmd layout.
-    mesh = make_mesh(n_model=1)
+    if args.n_model > 1 and args.kernel_sharding == "shard_map":
+        raise SystemExit(
+            "error: --kernel-sharding shard_map is data-parallel only "
+            "(per-shard single-chip programs); tensor parallelism "
+            "(--n-model > 1) runs on the gspmd layout"
+        )
+    mesh = make_mesh(n_model=args.n_model)
     n_data = mesh.shape["data"]
     use_shard_map = args.kernel_sharding == "shard_map" or (
-        args.kernel_sharding == "auto" and n_data > 1
+        args.kernel_sharding == "auto" and n_data > 1 and args.n_model == 1
     )
     n = args.batch_size
     if use_shard_map:
@@ -89,9 +95,10 @@ def main(args):
             cfg_interval=tuple(args.cfg_interval) if args.cfg_interval else None,
             clip_denoised=args.clip_denoised, batch_hint=args.batch_size,
             dynamic_threshold=args.dynamic_threshold,
+            mesh=mesh if mesh.devices.size > 1 else None,
         )
         assert (2 * n if use_cfg else n) % n_data == 0, \
-            "batch size (incl. CFG doubling) must divide the device count"
+            "batch size (incl. CFG doubling) must divide the data axis"
     b_shard = batch_sharding(mesh)
 
     key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
@@ -150,6 +157,14 @@ if __name__ == "__main__":
                         help="Imagen-style dynamic thresholding (arXiv "
                              "2205.11487): per-sample P-quantile x0 clip, "
                              "floor 1.0, no rescale (see sample.py)")
+    parser.add_argument("--n-model", type=int, default=1,
+                        help="tensor-parallel width: devices reshape to a "
+                             "(data, model) mesh and every model call in the "
+                             "chain splits its QKV/MLP matmuls over the "
+                             "'model' axis (training TP layout, GSPMD psums "
+                             "over ICI). Use when per-chip batch is too small "
+                             "to fill the data axis — the latency layout; "
+                             "pure DP (default) is the throughput layout")
     parser.add_argument("--kernel-sharding", choices=["auto", "gspmd", "shard_map"],
                         default="auto",
                         help="multi-chip layout: gspmd = batch-sharded one "

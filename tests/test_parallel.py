@@ -384,6 +384,111 @@ class TestShardMapKernelSampling:
             )
 
 
+class TestGspmdTpSampling:
+    """Tensor-parallel inference (build_sample_fn mesh=, sample_fid
+    --n-model): the training TP layout applied to the folded sampling
+    parameter tree — QKV/MLP-in split over heads on 'model', out-proj /
+    MLP-out on the in dim, GSPMD psums inside every chain model call.
+    The latency layout for batches too small to fill a data axis (the
+    reference has no inference parallelism at all; its sample_fid.py is
+    single-GPU)."""
+
+    def _variables(self, cfg):
+        from mapdit_tpu.models import init_model
+
+        _, variables = init_model(cfg, seed=0)
+        return variables
+
+    def test_tp_layout_on_folded_tree(self, setup):
+        """param_sharding must TP-split the FOLDED inference tree (same
+        leaf names as the training tree by construction): at least one
+        attention/MLP weight carries the 'model' axis, embeddings stay
+        replicated."""
+        from mapdit_tpu.runtime import fold_weights_for_inference
+
+        cfg = setup[0]
+        variables = self._variables(cfg)
+        folded = fold_weights_for_inference(variables["params"], cfg)
+        mesh = make_mesh(n_data=4, n_model=2)
+        specs = param_sharding({"params": folded}, mesh)
+        flat = {
+            "/".join(str(getattr(p, "key", p)) for p in path): s.spec
+            for path, s in jax.tree_util.tree_flatten_with_path(specs)[0]
+        }
+        tp_split = [k for k, spec in flat.items() if MODEL_AXIS in spec]
+        assert any("qkv" in k or "mlp" in k for k in tp_split), flat
+        for k, spec in flat.items():
+            if "embedding" in k:
+                assert MODEL_AXIS not in spec, (k, spec)
+
+    def test_dp4_tp2_matches_single_device_chain(self, setup):
+        """ddim eta=0 CFG chain on a dp4 x tp2 GSPMD mesh reproduces the
+        unsharded chain — TP resharding must be numerically inert (psum
+        ordering aside)."""
+        from mapdit_tpu.runtime import build_sample_fn
+
+        cfg = setup[0]
+        variables = self._variables(cfg)
+        d = create_diffusion("4")
+        n = 4
+        z = jax.random.normal(jax.random.PRNGKey(0), (n, 4, 16, 16))
+        y = jnp.arange(n, dtype=jnp.int32) % cfg.num_classes
+        z2 = jnp.concatenate([z, z], axis=0)
+        y2 = jnp.concatenate([y, jnp.full((n,), cfg.num_classes, jnp.int32)])
+        key = jax.random.PRNGKey(1)
+
+        plain = build_sample_fn(
+            cfg, variables, d, cfg_scale=1.5, sampler="ddim",
+            clip_denoised=True,
+        )
+        ref = np.asarray(plain(z2, y2, key))[:n]
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        fn = build_sample_fn(
+            cfg, variables, d, cfg_scale=1.5, sampler="ddim",
+            clip_denoised=True, mesh=mesh,
+        )
+        zs = jax.device_put(z2, batch_sharding(mesh))
+        ys = jax.device_put(y2, batch_sharding(mesh))
+        with jax.set_mesh(mesh):
+            out = np.asarray(fn(zs, ys, key))[:n]
+        np.testing.assert_allclose(ref, out, rtol=1e-4, atol=1e-4)
+
+    def test_pure_tp_mesh_dp1(self, setup):
+        """tp8 (no data axis): the whole batch on every device, weights
+        split 8-way — the single-sample-latency corner; must stay finite
+        and match the unsharded chain."""
+        from mapdit_tpu.runtime import build_sample_fn
+
+        cfg = setup[0]
+        variables = self._variables(cfg)
+        d = create_diffusion("2")
+        z = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 16, 16))
+        y = jnp.arange(2, dtype=jnp.int32)
+        key = jax.random.PRNGKey(4)
+        plain = build_sample_fn(cfg, variables, d, sampler="ddim",
+                                clip_denoised=True)
+        ref = np.asarray(plain(z, y, key))
+        mesh = make_mesh(n_data=1, n_model=8)
+        fn = build_sample_fn(cfg, variables, d, sampler="ddim",
+                             clip_denoised=True, mesh=mesh)
+        with jax.set_mesh(mesh):
+            out = np.asarray(fn(jax.device_put(z, replicated(mesh)),
+                                jax.device_put(y, replicated(mesh)), key))
+        np.testing.assert_allclose(ref, out, rtol=1e-4, atol=1e-4)
+
+    def test_rejects_explicit_kernel(self, setup):
+        from mapdit_tpu.runtime import build_sample_fn
+
+        cfg = setup[0]
+        mesh = make_mesh(n_data=4, n_model=2)
+        with pytest.raises(AssertionError, match="GSPMD-partitioned"):
+            build_sample_fn(
+                cfg.replace(block_kernel="mega"), self._variables(cfg),
+                create_diffusion("4"), mesh=mesh,
+            )
+
+
 class TestFsdpCli:
     def test_train_fsdp_flag(self, tmp_path):
         """train.py --fsdp true over the 8-device virtual mesh (subprocess:
@@ -412,13 +517,14 @@ class TestFsdpCli:
 
 
 class TestShardedFid:
-    @pytest.mark.parametrize("layout", ["gspmd", "auto"])  # auto = shard_map at 8 devices
+    # auto = shard_map at 8 devices; tp2 = dp4 x tp2 tensor-parallel gspmd
+    @pytest.mark.parametrize("layout", ["gspmd", "auto", "tp2"])
     def test_sample_fid_cli_sharded(self, trained_run, layout):
         """sample_fid.py over the 8-device virtual mesh (in-process would
         recompile; run the real script with 8 virtual devices) against the
-        session-shared trained experiment — both multi-chip layouts: the
-        GSPMD batch-sharded program and the shard_map per-shard-chain
-        default."""
+        session-shared trained experiment — all three multi-chip layouts:
+        the GSPMD batch-sharded program, the shard_map per-shard-chain
+        default, and the tensor-parallel (--n-model 2) GSPMD mesh."""
         import subprocess
         import sys
         import os
@@ -430,12 +536,14 @@ class TestShardedFid:
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
         exp = trained_run
         out_name = f"samples_{layout}.npz"
+        sharding = (["--kernel-sharding", "gspmd", "--n-model", "2"]
+                    if layout == "tp2" else ["--kernel-sharding", layout])
         proc = subprocess.run(
             [sys.executable, os.path.join(repo, "sample_fid.py"),
              "--result-dir", exp, "--use-vae", "false",
              "--num-samples", "8", "--batch-size", "8", "--num-classes", "10",
              "--num-sampling-steps", "2", "--cfg-scale", "1.5",
-             "--kernel-sharding", layout, "--output-file", out_name,
+             *sharding, "--output-file", out_name,
              "--ckpt", "0000012"],
             capture_output=True, text=True, timeout=900, cwd=repo, env=env,
         )
