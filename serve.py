@@ -105,6 +105,7 @@ class SamplerService:
         seed: int = 0,
         coalesce_ms: float = 3.0,
         shard: bool = True,
+        n_model: int = 1,
         max_programs: int = 32,
         max_pending: int = 64,
         request_timeout_s: float = 600.0,
@@ -117,12 +118,25 @@ class SamplerService:
 
         # Data-parallel serving: buckets divisible by the device count run
         # sharded over a ('data',) mesh (GSPMD replicates params, splits the
-        # chain batch) — one request can use a whole v5e slice.
+        # chain batch) — one request can use a whole v5e slice. n_model > 1
+        # carves a tensor-parallel axis out of the fleet instead (the
+        # latency layout: every chain model call splits its matmuls over
+        # 'model' with GSPMD psums; see build_sample_fn mesh=) — worth it
+        # when buckets are too small to fill a data axis.
         self._mesh = None
+        self._n_model = max(1, int(n_model))
+        if self._n_model > 1:
+            if not shard:
+                raise ValueError("--n-model needs --shard true")
+            if len(jax.devices()) % self._n_model:
+                raise ValueError(
+                    f"--n-model {self._n_model} does not divide the "
+                    f"{len(jax.devices())}-device fleet"
+                )
         if shard and len(jax.devices()) > 1:
             from mapdit_tpu.parallel import batch_sharding, make_mesh
 
-            self._mesh = make_mesh(n_model=1)
+            self._mesh = make_mesh(n_model=self._n_model)
             self._b_shard = batch_sharding(self._mesh)
         self.result_dir = result_dir
         self.train_args = load_config(result_dir)
@@ -211,12 +225,13 @@ class SamplerService:
                     cache_mode=cache_mode,
                     dynamic_threshold=dynamic_threshold,
                 )
-            elif n_dev > 1 and bucket % n_dev == 0:
+            elif n_dev > 1 and bucket % n_dev == 0 and self._n_model == 1:
                 # Multi-chip: per-shard single-chip chains (shard_map) keep
                 # the Pallas megakernels live — GSPMD cannot partition their
                 # custom-calls, so the plain path loses them on a mesh
                 # (docs/BENCH_NOTES r03s5). Un-doubled interface: the CFG
-                # doubling happens per shard inside the wrapper.
+                # doubling happens per shard inside the wrapper. (TP serving
+                # takes the plain GSPMD path below instead.)
                 from mapdit_tpu.runtime import build_dp_sharded_sample_fn
 
                 fn = build_dp_sharded_sample_fn(
@@ -241,6 +256,7 @@ class SamplerService:
                     cfg_interval=cfg_interval,
                     batch_hint=bucket,
                     dynamic_threshold=dynamic_threshold,
+                    mesh=self._mesh if self._n_model > 1 else None,
                 )
             if not isinstance(fn, tuple):
                 fn = (fn, "plain")
@@ -486,9 +502,16 @@ class SamplerService:
                 y = y_rows
             n_dev = self._mesh.shape["data"] if self._mesh is not None else 1
             cfg_rows = 2 * bucket if cfg_scale > 1.0 else bucket
-            if n_dev > 1 and bucket % n_dev == 0 and cfg_rows % n_dev == 0:
-                z = jax.device_put(z, self._b_shard)
-                y = jax.device_put(y, self._b_shard)
+            divisible = bucket % n_dev == 0 and cfg_rows % n_dev == 0
+            if self._mesh is not None and (
+                (n_dev > 1 and divisible) or self._n_model > 1
+            ):
+                # TP programs always run under the mesh (params carry
+                # explicit 'model'-axis shardings); the batch rides the
+                # data axis whenever the bucket divides it.
+                if divisible:
+                    z = jax.device_put(z, self._b_shard)
+                    y = jax.device_put(y, self._b_shard)
                 with jax.set_mesh(self._mesh):
                     out = np.asarray(fn(z, y, skey))[:n]
             else:
@@ -518,7 +541,9 @@ class SamplerService:
             "input_size": self.train_args["input_size"],
             "in_channels": self.train_args["in_channels"],
             "buckets": list(self.buckets),
-            "devices": self._mesh.shape["data"] if self._mesh is not None else 1,
+            "devices": self._mesh.devices.size if self._mesh is not None else 1,
+            "mesh": dict(self._mesh.shape) if self._mesh is not None else
+                    {"data": 1, "model": 1},
             "compiled_programs": len(self._fns),
             "max_programs": self.max_programs,
             "batches_run": self._batches_run,
@@ -680,6 +705,7 @@ def main(args):
         seed=args.seed,
         coalesce_ms=args.coalesce_ms,
         shard=args.shard,
+        n_model=args.n_model,
         max_programs=args.max_programs,
         max_pending=args.max_pending,
         request_timeout_s=args.request_timeout_s,
@@ -775,6 +801,12 @@ if __name__ == "__main__":
     parser.add_argument("--shard", type=lambda s: s.lower() in ("1", "true", "yes"),
                         default=True, metavar="BOOL",
                         help="shard divisible buckets over all chips (data-parallel)")
+    parser.add_argument("--n-model", type=int, default=1,
+                        help="tensor-parallel width: carve a 'model' axis out "
+                             "of the fleet so every chain model call splits "
+                             "its matmuls over it (GSPMD psums over ICI) — "
+                             "the latency layout for buckets too small to "
+                             "fill a data axis; must divide the device count")
     parser.add_argument("--coalesce-ms", type=float, default=3.0,
                         help="how long the dispatcher waits to merge concurrent "
                              "same-protocol requests into one device batch "

@@ -241,6 +241,59 @@ class TestServe:
             srv.terminate()
             srv.wait(timeout=30)
 
+    def test_tensor_parallel_serving_virtual_mesh(self, trained_exp):
+        """--n-model 2 over the 8-device virtual mesh (dp4 x tp2): every
+        chain model call splits its matmuls over the 'model' axis — the
+        latency layout for small buckets (see build_sample_fn mesh=)."""
+        env = _cpu_env()
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        srv = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "serve.py"),
+             "--result-dir", trained_exp, "--port", "0", "--warmup", "false",
+             "--buckets", "4", "--shard", "true", "--n-model", "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env,
+        )
+        try:
+            port = None
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                line = srv.stdout.readline()
+                if "listening on http://" in line:
+                    port = int(line.split("http://")[1].split()[0].rsplit(":", 1)[1])
+                    break
+                if srv.poll() is not None:
+                    raise AssertionError(f"serve.py exited:\n{srv.stdout.read()}")
+            assert port
+            _drain(srv.stdout)
+            base = f"http://127.0.0.1:{port}"
+            with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+                info = json.loads(resp.read())
+            assert info["devices"] == 8
+            assert info["mesh"] == {"data": 4, "model": 2}
+            status, ctype, body = _post(
+                base,
+                {"class_label": 1, "num_samples": 4, "steps": 4,
+                 "sampler": "dpm++", "cfg_scale": 4.0, "format": "npz"},
+            )
+            assert status == 200
+            with np.load(io.BytesIO(body)) as f:
+                assert f["arr_0"].shape == (4, 16, 16, 4)
+            # non-divisible bucket fill (1 sample in the 4-bucket): the TP
+            # program still runs under the mesh (batch replicated if the
+            # padded rows divide, which they do at bucket 4)
+            status, _, body = _post(
+                base,
+                {"class_label": 2, "num_samples": 1, "steps": 4,
+                 "sampler": "dpm++", "cfg_scale": 4.0, "format": "npz"},
+            )
+            assert status == 200
+            with np.load(io.BytesIO(body)) as f:
+                assert f["arr_0"].shape == (1, 16, 16, 4)
+        finally:
+            srv.terminate()
+            srv.wait(timeout=30)
+
     def test_cache_interval_protocol(self, server):
         """Delta-DiT span caching is a first-class serving protocol knob
         (VERDICT r02 item #4): a cached dpm++ request runs end-to-end."""
