@@ -808,3 +808,219 @@ def build_dp_sharded_sample_fn(
         return sharded(prepared, noise, y, rng)
 
     return sample_fn
+
+
+def build_pit_sample_fn(
+    cfg: DiTConfig,
+    variables: Dict,
+    diffusion,
+    cfg_scale: Optional[float] = None,
+    fold: bool = True,
+    window: int = 8,
+    sweeps: int = 2,
+    shift: Optional[int] = None,
+    clip_denoised: bool = False,
+    dynamic_threshold: Optional[float] = None,
+    mesh=None,
+):
+    """Parallel-in-time DDIM sampling (block/sliding Picard,
+    ParaDiGMS-family — Shih et al., arXiv 2305.16317, restructured for XLA).
+
+    The sequential DDIM chain x_{i+1} = Phi(x_i, t_i) is solved in blocks
+    of ``window`` consecutive steps: each Picard sweep evaluates the model
+    at ALL window positions in ONE batched call (window*B rows — per-row
+    timesteps, so one program) and shifts the resulting states one
+    position down the window; ``sweeps`` Jacobi sweeps run per block.
+    After sweep j the first j positions are exact, so
+
+      * ``sweeps == window``  reproduces the sequential chain EXACTLY
+        (tested bit-tight) — pure latency-for-FLOPs restructuring;
+      * ``sweeps < window``   is the accelerated regime: J/K of the
+        sequential chain's sequential-dependency depth at J x the FLOPs.
+
+    This is a MULTI-CHIP LATENCY technique: the window rows ride the
+    mesh's 'data' axis (sharding constraint inside the sweep), so on a
+    >=window-chip slice each sweep costs one per-chip model call and the
+    chain's wall-clock drops ~window/sweeps for a single sample — the
+    axis neither DP (throughput) nor TP (per-call latency) covers.
+    Single-chip it is strictly slower (measured refutation of the
+    batch-sweep arithmetic, docs/ROADMAP.md "Parallel-in-time") — it
+    exists for pod-scale serving, correctness-proven on the virtual mesh.
+
+    Unlike ParaDiGMS's adaptive window sliding (data-dependent
+    convergence tests are trace-hostile), both schedules here are static
+    and compile to one scan program; the deviation knob is the schedule,
+    arbitrated like every lossy accelerator (probe rows).
+
+    ``shift=S`` selects the SLIDING schedule instead (closer to the
+    paper's): after ``window//S - 1`` parked warm-up sweeps, every sweep
+    accepts the window's leading S positions and slides — each position
+    is refined ``window/S`` times by sweeps that straddle it at S
+    different window depths, so its final refinement happens right next
+    to the already-accepted entry state. Measured on trained weights at
+    matched cost (depth /2, FLOPs x5) the staggering roughly halves the
+    trajectory deviation and keeps the learned conditioning the block
+    schedule loses (label_acc 0.844 vs 0.563, exact 0.875 — BENCH_NOTES
+    r03s9 table). Depth = (window/S - 1) + T/S sweeps (vs T sequential
+    steps); FLOPs = (window/S) x sequential; ``shift=1`` reproduces the
+    sequential chain exactly (each accepted position is one sweep
+    downstream of an exact entry — tested). ``sweeps`` is ignored when
+    ``shift`` is given.
+
+    DDIM eta=0 only (the deterministic map Picard iterates on; ancestral
+    chains would need a frozen per-position noise table). CFG composes
+    (the [cond; uncond] doubling happens inside the per-row call); the
+    reference-shaped [z; z] / [y; null] batch contract matches
+    build_sample_fn. ``mesh`` composes with TP exactly as in
+    build_sample_fn (params via param_sharding; rows over 'data').
+    """
+    import numpy as np
+
+    T = diffusion.num_timesteps
+    if shift is not None:
+        assert window % shift == 0 and T % shift == 0, (
+            f"shift {shift} must divide window {window} and chain length {T}"
+        )
+        assert window <= T, (window, T)
+    else:
+        assert T % window == 0, (
+            f"window {window} must divide the respaced chain length {T}"
+        )
+        assert 1 <= sweeps <= window, (sweeps, window)
+    run_cfg = cfg.replace(fold_weights=True) if (fold and cfg.use_weight_normalization) else cfg
+    model = DiT(run_cfg)
+    if dynamic_threshold is not None:
+        from mapdit_tpu.diffusion.gaussian import dynamic_threshold_fn
+
+        denoised = dynamic_threshold_fn(dynamic_threshold)
+    else:
+        denoised = None
+
+    prepared = variables
+    if fold and cfg.use_weight_normalization:
+        prepared = dict(
+            variables, params=fold_weights_for_inference(variables["params"], run_cfg)
+        )
+    if mesh is not None and mesh.devices.size > 1:
+        from mapdit_tpu.parallel.mesh import param_sharding, shard_tree
+
+        prepared = shard_tree(prepared, param_sharding(prepared, mesh))
+
+    def _row_shard(x):
+        # flattened (window*B, C, H, W) rows ride the data axis — at B=1 on
+        # a window-chip slice each device owns exactly one window position
+        if mesh is None or mesh.devices.size == 1:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mapdit_tpu.parallel.mesh import DATA_AXIS
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(DATA_AXIS))
+        )
+
+    @jax.jit
+    def sample_fn(noise: Array, y: Array, rng: Array) -> Array:
+        del rng  # eta=0: the chain consumes no noise
+        if cfg_scale is None:
+            n = noise.shape[0]
+            x0_rows, y_rows = noise, y
+            y_tiled = jnp.tile(y_rows, window)
+
+            def model_fn(x, t, y):
+                return model.apply(prepared, x, t, y)
+
+        else:
+            n = noise.shape[0] // 2
+            x0_rows = noise[:n]
+            y_cond = y[:n]
+            y_tiled = jnp.tile(y_cond, window)
+            y_full = jnp.concatenate(
+                [y_tiled, jnp.full((window * n,), run_cfg.num_classes, jnp.int32)]
+            )
+
+            def model_fn(x_half, t, y):
+                t2 = jnp.concatenate([t, t])
+                out = model.apply(
+                    prepared,
+                    jnp.concatenate([x_half, x_half], axis=0),
+                    t2,
+                    y_full,
+                    cfg_scale,
+                    method=DiT.forward_with_cfg,
+                )
+                return out[: window * n]
+
+        dummy_key = jax.random.PRNGKey(0)  # sigma=0 multiplies the draw away
+
+        def ddim_rows(x_rows, t_rows):
+            out = diffusion.ddim_sample(
+                model_fn, x_rows, t_rows, dummy_key,
+                clip_denoised=clip_denoised, denoised_fn=denoised,
+                model_kwargs={"y": y_tiled}, eta=0.0,
+            )
+            return out["sample"]
+
+        def sweep_rows(X, t_rows):
+            flat = _row_shard(X.reshape(window * n, *X.shape[2:]))
+            nxt = ddim_rows(flat, t_rows)
+            return nxt.reshape(window, n, *X.shape[2:])
+
+        if shift is not None:
+            # sliding schedule: warm up parked, then accept S per sweep
+            chain = np.arange(T - 1, -1, -1)  # chain-order timesteps
+            slides = T // shift
+            # iteration i window covers chain positions [i*S, i*S + K)
+            pos = (np.arange(slides)[:, None] * shift
+                   + np.arange(window)[None, :])
+            t_mat = jnp.asarray(chain[np.minimum(pos, T - 1)])
+            warm = window // shift - 1
+
+            X0 = jnp.broadcast_to(x0_rows[None], (window, *x0_rows.shape))
+            t_rows0 = jnp.repeat(t_mat[0], n)
+
+            def parked(_, X):
+                Y = sweep_rows(X, t_rows0)
+                return jnp.concatenate([x0_rows[None], Y[:-1]], axis=0)
+
+            X = jax.lax.fori_loop(0, warm, parked, X0)
+
+            def slide(carry, t_slots):
+                x_entry, X = carry
+                Y = sweep_rows(X, jnp.repeat(t_slots, n))
+                new_entry = Y[shift - 1]
+                fresh = jnp.broadcast_to(Y[-1][None], (shift, *Y.shape[1:]))
+                Xn = jnp.concatenate([Y[shift - 1 : window - 1], fresh], axis=0)
+                return (new_entry, Xn), None
+
+            (x, _), _ = jax.lax.scan(slide, (x0_rows, X), t_mat)
+            if cfg_scale is not None:
+                x = jnp.concatenate([x, x], axis=0)
+            return x
+
+        ts = jnp.arange(T - 1, -1, -1).reshape(T // window, window)
+
+        def block(x_entry, t_block):
+            # X[k] is the current iterate for the state ENTERING step k
+            X = jnp.broadcast_to(x_entry[None], (window, *x_entry.shape))
+            t_rows = jnp.repeat(t_block, n)
+
+            def sweep(_, carry):
+                X, _ = carry
+                flat = _row_shard(X.reshape(window * n, *x_entry.shape[1:]))
+                nxt = ddim_rows(flat, t_rows)
+                Y = nxt.reshape(window, n, *x_entry.shape[1:])
+                Xn = jnp.concatenate([x_entry[None], Y[:-1]], axis=0)
+                return Xn, Y[-1]
+
+            _, x_exit = jax.lax.fori_loop(
+                0, sweeps, sweep, (X, x_entry), unroll=False
+            )
+            return x_exit, None
+
+        x, _ = jax.lax.scan(block, x0_rows, ts)
+        if cfg_scale is not None:
+            x = jnp.concatenate([x, x], axis=0)
+        return x
+
+    return sample_fn
