@@ -152,6 +152,7 @@ def draw_samples(
     cfg_scale=None,
     cfg_interval=None,
     dynamic_threshold=None,
+    pit=None,
 ) -> np.ndarray:
     """Run the jitted sampling chain; returns denormalized latents (K,M,C,S,S).
 
@@ -172,7 +173,23 @@ def draw_samples(
     diffusion = create_diffusion(
         respacing_string(num_sampling_steps, sampler, time_schedule)
     )
-    if cache_interval > 1:
+    if pit is not None:
+        # parallel-in-time Picard chain (runtime.build_pit_sample_fn):
+        # pit=(window, sweeps_or_None, shift_or_None), ddim only
+        from mapdit_tpu.runtime import build_pit_sample_fn
+
+        window, sweeps, shift = pit
+        sample_fn = build_pit_sample_fn(
+            cfg,
+            variables,
+            diffusion,
+            cfg_scale=cfg_scale,
+            window=window,
+            sweeps=sweeps or 2,
+            shift=shift,
+            dynamic_threshold=dynamic_threshold,
+        )
+    elif cache_interval > 1:
         sample_fn = build_cached_sample_fn(
             cfg,
             variables,
@@ -362,7 +379,14 @@ def run_grid(variables, train_args: dict, gt: dict, args) -> list:
         ("cfg1.5", "ddpm:250:cfg1.5", "ddpm", 250, "uniform", 0, "hold", 1.5, None),
         ("cfg1.5", "ddpm:250:cfg1.5:interval", "ddpm", 250, "uniform", 0, "hold", 1.5, (0.3, 3.0)),
     ]
-    for family, label, sampler, steps, schedule, k, mode, scale, interval in grid:
+    # parallel-in-time family (ddim; pit=(window, sweeps, shift)) — the
+    # multi-chip latency axis, arbitrated on the same trained weights
+    grid += [
+        ("ddim50", "ddim:50", "ddim", 50, "uniform", 0, "hold", None, None, None),
+        ("ddim50", "ddim:50:pit-slide-K10-S2", "ddim", 50, "uniform", 0, "hold", None, None, (10, None, 2)),
+        ("ddim50", "ddim:50:pit-block-K10-J5", "ddim", 50, "uniform", 0, "hold", None, None, (10, 5, None)),
+    ]
+    for family, label, sampler, steps, schedule, k, mode, scale, interval, *pit in grid:
         latents = draw_samples(
             variables,
             train_args,
@@ -376,9 +400,10 @@ def run_grid(variables, train_args: dict, gt: dict, args) -> list:
             cfg_scale=scale,
             cfg_interval=interval,
             dynamic_threshold=args.dynamic_threshold,
+            pit=pit[0] if pit else None,
         )
         row = {"config": label, **dist_metrics(latents, gt)}
-        if k == 0 and interval is None:
+        if k == 0 and interval is None and not (pit and pit[0]):
             exact_by_family[family] = latents
         else:
             row["rel_l2_vs_exact"] = rel_l2(latents, exact_by_family[family])
