@@ -103,12 +103,21 @@ def load_variables(result_dir: str, train_args: dict, ckpt=None, ema_std=0.05):
 
 def decode_latents(
     samples: np.ndarray, train_args: dict, use_vae: bool, vae_path=None,
-    decoder=None,
+    decoder=None, clip: bool = True,
 ):
     """Denormalize by dataset stats and optionally decode through the VAE.
 
     ``decoder`` short-circuits the weight load — long-lived callers
-    (serve.py) pass the decoder they built once at startup."""
+    (serve.py) pass the decoder they built once at startup.
+
+    ``clip`` clamps to the [-1, 1] image range — correct for every image
+    output path (PNG grids, FID uint8 npz; decoded pixels live there by
+    construction). Pass ``clip=False`` when the caller consumes RAW
+    latents as numbers (tools/distribution_probe.py): denormalized
+    latents are NOT range-bounded, and clipping them silently truncates
+    any law with mass outside the box (it cost a session a wrong
+    model-shrinkage diagnosis on a |mean|~2 probe law — BENCH_NOTES
+    r03s9 'clip artifact')."""
     mean = np.asarray(train_args["stats_mean"], np.float32).reshape(1, -1, 1, 1)
     std = np.asarray(train_args["stats_std"], np.float32).reshape(1, -1, 1, 1)
     samples = samples * std + mean
@@ -121,7 +130,7 @@ def decode_latents(
             print("warning: no VAE weights available (--vae-path); writing raw latents")
         else:
             samples = np.asarray(decoder(jnp.asarray(samples)))
-    return np.clip(samples, -1.0, 1.0)
+    return np.clip(samples, -1.0, 1.0) if clip else samples
 
 
 def main(args):

@@ -80,3 +80,18 @@ class TestConditioningSignal:
             )
             assert sig["uniform_t_mean"] < 2e-3, (center_scale, within, sig)
             assert sig["max"] < 8e-3, (center_scale, within, sig)
+
+
+def test_probe_latents_escape_image_clip():
+    """The probe consumes RAW denormalized latents: decode_latents must not
+    apply the [-1, 1] image clamp in clip=False mode (a law with |mean| ~ 2
+    was silently truncated through the default once — BENCH_NOTES r03s9
+    'clip artifact'), and the image paths must keep clamping by default."""
+    from sample import decode_latents
+
+    ta = {"stats_mean": [0.0] * 4, "stats_std": [2.0] * 4}
+    x = np.ones((1, 4, 2, 2), np.float32)  # denormalizes to 2.0
+    raw = decode_latents(x, ta, use_vae=False, clip=False)
+    assert raw.max() == 2.0
+    clipped = decode_latents(x, ta, use_vae=False)
+    assert clipped.max() == 1.0

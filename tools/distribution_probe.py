@@ -222,7 +222,12 @@ def draw_samples(
         z = jnp.concatenate([z, z], axis=0)
         y = jnp.concatenate([y, jnp.full((N,), cfg.num_classes, jnp.int32)])
     samples = np.asarray(sample_fn(z, y, skey))[:N]
-    latents = decode_latents(samples, train_args, use_vae=False, vae_path=None)
+    # clip=False: metrics run on RAW latents — the [-1,1] image clamp
+    # truncates any law with mass outside the box and silently corrupts
+    # moment/assignment metrics (found the hard way; see decode_latents)
+    latents = decode_latents(
+        samples, train_args, use_vae=False, vae_path=None, clip=False
+    )
     return latents.reshape(K, M, C, S, S)
 
 
