@@ -902,6 +902,13 @@ def build_pit_sample_fn(
             variables, params=fold_weights_for_inference(variables["params"], run_cfg)
         )
     if mesh is not None and mesh.devices.size > 1:
+        # same invariant as build_sample_fn: GSPMD has no partitioning rule
+        # for the Pallas kernel custom-calls (auto already resolves to the
+        # XLA pipeline on multi-device meshes)
+        assert cfg.block_kernel in ("auto", "off"), (
+            "explicit Pallas block kernels cannot be GSPMD-partitioned; "
+            "use block_kernel='auto' for parallel-in-time sampling on a mesh"
+        )
         from mapdit_tpu.parallel.mesh import param_sharding, shard_tree
 
         prepared = shard_tree(prepared, param_sharding(prepared, mesh))
@@ -1007,9 +1014,7 @@ def build_pit_sample_fn(
 
             def sweep(_, carry):
                 X, _ = carry
-                flat = _row_shard(X.reshape(window * n, *x_entry.shape[1:]))
-                nxt = ddim_rows(flat, t_rows)
-                Y = nxt.reshape(window, n, *x_entry.shape[1:])
+                Y = sweep_rows(X, t_rows)
                 Xn = jnp.concatenate([x_entry[None], Y[:-1]], axis=0)
                 return Xn, Y[-1]
 

@@ -141,6 +141,15 @@ class SamplerService:
         self.result_dir = result_dir
         self.train_args = load_config(result_dir)
         self.cfg = config_from_args(self.train_args)
+        if self._n_model > 1 and self.cfg.block_kernel not in ("auto", "off"):
+            # fail at startup, not on the first request: build_sample_fn
+            # rejects explicit Pallas kernels on a GSPMD mesh (no
+            # partitioning rule for the custom-calls)
+            raise ValueError(
+                f"--n-model {self._n_model} needs block_kernel auto/off "
+                f"(experiment config pins '{self.cfg.block_kernel}', which "
+                "cannot be GSPMD-partitioned)"
+            )
         self.variables = load_variables(result_dir, self.train_args, ckpt, ema_std)
         self.use_vae = use_vae
         self.vae_path = vae_path
@@ -212,6 +221,16 @@ class SamplerService:
                 )
             diffusion = create_diffusion(respacing_string(steps, sampler, schedule))
             n_dev = self._mesh.shape["data"] if self._mesh is not None else 1
+            if cache_interval > 1 and self._n_model > 1:
+                # the cached builder has no TP support: under the TP mesh it
+                # would replicate params and duplicate 100% of the work
+                # across the 'model' axis — reject instead of silently
+                # defeating the latency layout (surfaces as a 400)
+                raise ValueError(
+                    "cache_interval is not supported on a tensor-parallel "
+                    "(--n-model) server; use a data-parallel fleet for "
+                    "cached protocols"
+                )
             if cache_interval > 1:
                 # Delta-DiT block-span caching (LOSSY; docs/BENCH_NOTES.md)
                 fn = build_cached_sample_fn(

@@ -550,3 +550,48 @@ class TestShardedFid:
         assert proc.returncode == 0, f"sample_fid:\n{proc.stdout}\n{proc.stderr}"
         with np.load(os.path.join(exp, "fid_samples", out_name)) as f:
             assert f["arr_0"].shape == (8, 16, 16, 4)
+
+    def test_sample_fid_cli_pit(self, trained_run):
+        """--pit-window/--pit-shift flag family through the real script on
+        the 8-device mesh (CLAUDE.md: every flag family gets a CLI test),
+        plus the two SystemExit guards."""
+        import subprocess
+        import sys
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        exp = trained_run
+        base = [sys.executable, os.path.join(repo, "sample_fid.py"),
+                "--result-dir", exp, "--use-vae", "false",
+                "--num-samples", "4", "--batch-size", "4",
+                "--num-classes", "10", "--num-sampling-steps", "4",
+                "--cfg-scale", "1.5", "--clip-denoised", "true",
+                "--ckpt", "0000012"]
+        proc = subprocess.run(
+            base + ["--sampler", "ddim", "--pit-window", "4",
+                    "--pit-shift", "2", "--kernel-sharding", "gspmd",
+                    "--output-file", "pit_cli.npz"],
+            capture_output=True, text=True, timeout=900, cwd=repo, env=env,
+        )
+        assert proc.returncode == 0, f"pit cli:\n{proc.stdout}\n{proc.stderr}"
+        with np.load(os.path.join(exp, "fid_samples", "pit_cli.npz")) as f:
+            assert f["arr_0"].shape == (4, 16, 16, 4)
+        # guard: pit needs ddim
+        proc = subprocess.run(
+            base + ["--sampler", "dpm++", "--pit-window", "4"],
+            capture_output=True, text=True, timeout=300, cwd=repo, env=env,
+        )
+        assert proc.returncode != 0 and "needs --sampler ddim" in (
+            proc.stdout + proc.stderr)
+        # guard: pit is gspmd-layout only
+        proc = subprocess.run(
+            base + ["--sampler", "ddim", "--pit-window", "4",
+                    "--kernel-sharding", "shard_map"],
+            capture_output=True, text=True, timeout=300, cwd=repo, env=env,
+        )
+        assert proc.returncode != 0 and "gspmd layout only" in (
+            proc.stdout + proc.stderr)

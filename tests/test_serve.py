@@ -292,6 +292,17 @@ class TestServe:
             assert status == 200
             with np.load(io.BytesIO(body)) as f:
                 assert f["arr_0"].shape == (1, 16, 16, 4)
+            # cached protocols are rejected on a TP server (the cached
+            # builder has no TP support — would duplicate work over 'model')
+            try:
+                _post(base,
+                      {"class_label": 2, "num_samples": 1, "steps": 4,
+                       "sampler": "dpm++", "cache_interval": 2,
+                       "cfg_scale": 1.0})
+                raise AssertionError("expected 400 for cache on a TP server")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert "tensor-parallel" in json.loads(e.read())["error"]
         finally:
             srv.terminate()
             srv.wait(timeout=30)
