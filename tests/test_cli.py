@@ -125,6 +125,90 @@ class TestObservability:
         assert any(os.scandir(prof)), "empty profile dir"
 
 
+class TestGracefulPreemption:
+    """SIGTERM mid-training (the TPU spot/preemptible eviction signal)
+    finishes the in-flight step, writes a checkpoint + EMA snapshots, and
+    exits 0 so --resume continues the run (new capability: the reference
+    loses up to --ckpt-every steps of work on preemption)."""
+
+    def test_sigterm_checkpoints_then_resume(self, tmp_path):
+        import signal
+        import time
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+        ).strip()
+        results = str(tmp_path / "results")
+        common = [
+            "--data-path", "synthetic:64",
+            "--model", "DiT-XS/8",
+            "--num-classes", "10",
+            "--batch-size", "8",
+            "--log-every", "2",
+            "--ckpt-every", "1000000",  # periodic path never fires
+            "--ema-snapshot-every", "4",
+        ]
+        # stdout goes to a file, never a pipe (an undrained pipe wedges the
+        # child — see CLAUDE.md); the log.txt is the progress signal.
+        with open(tmp_path / "train.out", "w") as out:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "train.py"),
+                 "--results-dir", results, "--num-steps", "100000", *common],
+                stdout=out, stderr=subprocess.STDOUT, cwd=REPO, env=env,
+            )
+            try:
+                logfile, deadline = None, time.time() + 600
+                while time.time() < deadline:
+                    exps = os.listdir(results) if os.path.isdir(results) else []
+                    if exps:
+                        lf = os.path.join(results, exps[0], "log.txt")
+                        # wait until at least one step interval is logged so
+                        # the SIGTERM lands mid-loop, not mid-compile
+                        if os.path.exists(lf) and "(step=" in open(lf).read():
+                            logfile = lf
+                            break
+                    assert proc.poll() is None, (
+                        "train.py exited before reaching the loop:\n"
+                        + open(tmp_path / "train.out").read()
+                    )
+                    time.sleep(0.5)
+                assert logfile, "no training progress within deadline"
+                proc.send_signal(signal.SIGTERM)
+                rc = proc.wait(timeout=300)
+            finally:
+                if proc.poll() is None:
+                    proc.kill()
+        assert rc == 0, open(tmp_path / "train.out").read()
+
+        exp = os.path.dirname(logfile)
+        log = open(logfile).read()
+        assert "graceful stop at step" in log and "--resume" in log
+        ckpts = os.listdir(os.path.join(exp, "checkpoints"))
+        assert len(ckpts) == 1, ckpts
+        stop_step = int(ckpts[0].split(".")[0])
+        assert stop_step > 0
+        # EMA ledger was flushed at the stop step too
+        snaps = os.listdir(os.path.join(exp, "ema"))
+        assert any(f"{stop_step:07d}" in s for s in snaps), (stop_step, snaps)
+
+        # resume picks up exactly at the preemption step
+        resumed = str(tmp_path / "resumed")
+        run(
+            "train.py",
+            "--results-dir", resumed,
+            "--num-steps", str(stop_step + 4),
+            "--resume", exp,
+            *common,
+        )
+        log2 = open(
+            os.path.join(resumed, os.listdir(resumed)[0], "log.txt")
+        ).read()
+        assert f"at step {stop_step}" in log2
+
+
 class TestOrbaxCheckpointer:
     """--checkpointer orbax routes periodic saves through the orbax backend
     (directory checkpoints) and --resume restores from them cross-backend."""

@@ -290,6 +290,70 @@ def main(args):
     loss_buf = []  # on-device scalars; fetched once per log interval
     start_time = time.time()
 
+    def save_checkpoint(step, st):
+        """One checkpoint write (both backends). Orbax saves are collective —
+        every process must call this; msgpack writes on the lead only."""
+        nonlocal orbax_saver
+        if args.checkpointer == "orbax":
+            # collective: EVERY process must join the orbax save
+            # barriers, or the lead deadlocks on a multi-host pod.
+            # Async: save() returns after the host snapshot; the
+            # directory write overlaps subsequent train steps.
+            if orbax_saver is None:
+                from mapdit_tpu.training.checkpoint import AsyncOrbaxSaver
+
+                orbax_saver = AsyncOrbaxSaver()
+            path = orbax_saver.save(exp_dir, step, st)
+            logger.info(f"saving checkpoint to {path} at step {step}...")
+        elif is_lead:
+            path = save_state(exp_dir, step, st)
+            logger.info(f"saving checkpoint to {path} at step {step}...")
+
+    def save_ema_snapshots(step, st):
+        ema_dir = os.path.join(exp_dir, "ema")
+        for std in ema_stds:
+            tree = st.ema[ema_key(std)]
+            if args.fsdp and jax.process_count() > 1:
+                # FSDP shards span processes: re-replicate via a
+                # collective (ALL processes must execute this jit)
+                # so the lead holds full arrays to snapshot.
+                tree = gather_replicated(tree)
+            if is_lead:
+                ema_lib.save_snapshot(ema_dir, std, step, tree)
+        if is_lead:
+            logger.info(f"saving ema snapshot to {ema_dir} at step {step}...")
+
+    # Graceful preemption (TPU preemptible/spot VMs send SIGTERM to every
+    # worker; the reference loses up to --ckpt-every steps of work — here the
+    # loop finishes the in-flight step, checkpoints, and exits 0 so --resume
+    # continues the exact trajectory). SIGINT gets the same treatment so an
+    # interactive ^C never leaves a stale experiment dir behind.
+    import signal
+
+    preempt = {"sig": None}
+
+    def _request_stop(signum, frame):
+        preempt["sig"] = signal.Signals(signum).name
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(_sig, _request_stop)
+
+    def stop_agreed():
+        """Whether the loop should exit now. Single process: immediately on
+        the flag. Multi-host: every process must leave the loop at the SAME
+        step (the step_fn and save paths are collective), so the local flags
+        are OR-combined at synchronized points (log boundaries)."""
+        if jax.process_count() == 1:
+            return preempt["sig"] is not None
+        if train_steps % args.log_every != 0:
+            return False
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([preempt["sig"] is not None])
+        )
+        return bool(flags.any())
+
     def stage_batch(host_batch):
         if jax.process_count() > 1:
             # Each process holds its local slice; assemble the global array.
@@ -353,39 +417,29 @@ def main(args):
                     )
                 log_steps, start_time = 0, time.time()
 
-            if train_steps % args.ckpt_every == 0 and train_steps > 0:
-                if args.checkpointer == "orbax":
-                    # collective: EVERY process must join the orbax save
-                    # barriers, or the lead deadlocks on a multi-host pod.
-                    # Async: save() returns after the host snapshot; the
-                    # directory write overlaps subsequent train steps.
-                    if orbax_saver is None:
-                        from mapdit_tpu.training.checkpoint import AsyncOrbaxSaver
+            ckpt_now = train_steps % args.ckpt_every == 0 and train_steps > 0
+            if ckpt_now:
+                save_checkpoint(train_steps, state)
 
-                        orbax_saver = AsyncOrbaxSaver()
-                    path = orbax_saver.save(exp_dir, train_steps, state)
-                    logger.info(f"saving checkpoint to {path} at step {train_steps}...")
-                elif is_lead:
-                    path = save_state(exp_dir, train_steps, state)
-                    logger.info(f"saving checkpoint to {path} at step {train_steps}...")
-
-            if (
+            ema_now = (
                 args.ema_snapshot_every
                 and train_steps % args.ema_snapshot_every == 0
                 and train_steps > 0
-            ):
-                ema_dir = os.path.join(exp_dir, "ema")
-                for std in ema_stds:
-                    tree = state.ema[ema_key(std)]
-                    if args.fsdp and jax.process_count() > 1:
-                        # FSDP shards span processes: re-replicate via a
-                        # collective (ALL processes must execute this jit)
-                        # so the lead holds full arrays to snapshot.
-                        tree = gather_replicated(tree)
-                    if is_lead:
-                        ema_lib.save_snapshot(ema_dir, std, train_steps, tree)
-                if is_lead:
-                    logger.info(f"saving ema snapshot to {ema_dir} at step {train_steps}...")
+            )
+            if ema_now:
+                save_ema_snapshots(train_steps, state)
+
+            if stop_agreed():
+                sig = preempt["sig"] or "SIGTERM"
+                if not ckpt_now:
+                    save_checkpoint(train_steps, state)
+                if args.ema_snapshot_every and not ema_now:
+                    save_ema_snapshots(train_steps, state)
+                logger.info(
+                    f"({sig}) graceful stop at step {train_steps}: state saved; "
+                    f"continue with --resume {exp_dir}"
+                )
+                break
 
     if orbax_saver is not None:
         orbax_saver.close()  # join the in-flight background write
