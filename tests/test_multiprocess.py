@@ -24,7 +24,7 @@ def _free_port() -> int:
     return port
 
 
-def _run_two_process(results, extra_args):
+def _launch_two_process(results, extra_args):
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -65,6 +65,10 @@ def _run_two_process(results, extra_args):
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
         )
+    return procs
+
+
+def _drain_two_process(procs):
     # Drain both pipes CONCURRENTLY: the processes block on each other's
     # collectives, so sequentially communicate()-ing one while the other
     # fills its 64 KB stdout pipe can deadlock the whole cluster.
@@ -82,6 +86,12 @@ def _run_two_process(results, extra_args):
         t.start()
     for t in threads:
         t.join(timeout=910)
+    return outs
+
+
+def _run_two_process(results, extra_args):
+    procs = _launch_two_process(results, extra_args)
+    outs = _drain_two_process(procs)
     assert all(p.returncode == 0 for p in procs), "\n\n".join(
         o or "" for o in outs
     )
@@ -105,6 +115,64 @@ def test_two_process_train(tmp_path):
     results = str(tmp_path / "results")
     _run_two_process(results, [])
     _check_artifacts(results)
+
+
+def test_two_process_preemption(tmp_path):
+    """SIGTERM to ONE process stops the WHOLE cluster cleanly: the local
+    preemption flags are OR-combined at synchronized log boundaries, both
+    processes leave the collective loop at the same step, join the
+    collective orbax save, and exit 0 (train.py graceful preemption)."""
+    import signal
+    import time
+
+    results = str(tmp_path / "results")
+    procs = _launch_two_process(
+        results,
+        [
+            "--num-steps", "100000",   # would run ~forever without the signal
+        ],
+    )
+    import threading
+
+    outs = [None, None]
+
+    def drain(i, p):
+        outs[i] = p.communicate(timeout=900)[0]
+
+    threads = [
+        threading.Thread(target=drain, args=(i, p)) for i, p in enumerate(procs)
+    ]
+    for t in threads:
+        t.start()
+    try:
+        # wait for real training progress, then preempt the NON-lead only
+        logfile, deadline = None, time.time() + 600
+        while time.time() < deadline:
+            exps = os.listdir(results) if os.path.isdir(results) else []
+            if exps:
+                lf = os.path.join(results, exps[0], "log.txt")
+                if os.path.exists(lf) and "(step=" in open(lf).read():
+                    logfile = lf
+                    break
+            assert all(p.poll() is None for p in procs), "cluster died early"
+            time.sleep(0.5)
+        assert logfile, "no training progress within deadline"
+        procs[1].send_signal(signal.SIGTERM)
+        for t in threads:
+            t.join(timeout=600)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), "\n\n".join(
+        o or "" for o in outs
+    )
+    log = open(logfile).read()
+    assert "graceful stop at step" in log
+    exp = os.path.dirname(logfile)
+    ckpts = [c for c in os.listdir(os.path.join(exp, "checkpoints"))]
+    assert ckpts, "no preemption checkpoint written"
+    assert all(int(c.split(".")[0]) < 100000 for c in ckpts)
 
 
 def test_two_process_train_fsdp(tmp_path):
