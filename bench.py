@@ -169,6 +169,12 @@ def main():
                    default="auto")
     p.add_argument("--scan-blocks", action="store_true",
                    help="lax.scan over depth-stacked block params (XL compile time)")
+    p.add_argument("--attn-bwd", choices=["pallas", "residual", "reference"],
+                   default="pallas",
+                   help="train mode with --block-kernel mega_attn: VJP for the "
+                        "attention half-block kernel (pallas = fused backward "
+                        "kernel; residual = residual-emitting forward + pure-XLA "
+                        "backward, no recompute; reference = jnp recompute)")
     p.add_argument("--remat", action="store_true",
                    help="per-block activation rematerialization (XL-scale train memory)")
     p.add_argument("--grad-accum", type=int, default=1,
@@ -226,6 +232,7 @@ def main():
         block_kernel=args.block_kernel,
         scan_blocks=args.scan_blocks,
         remat=args.remat,
+        attn_bwd=args.attn_bwd,
     )
     if args.mode == "train":
         return bench_train(args, cfg)

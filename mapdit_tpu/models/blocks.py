@@ -332,6 +332,7 @@ class DiTBlock(nn.Module):
                 attn_m.qkv_proj.effective_weight().astype(cfg.dtype),
                 attn_m.out_proj.effective_weight().astype(cfg.dtype),
                 cfg.num_heads,
+                bwd=cfg.attn_bwd,
             )
             h = apply_modulation(x, mlp_mods, gain_mlp, cfg)
             x = mp_sum(x, gate_mlp[:, None, :] * mlp_m(h), t=0.3)

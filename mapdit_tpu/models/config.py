@@ -77,6 +77,18 @@ class DiTConfig:
     #              measured ~2% BEHIND XLA at S/2 — kept as A/B infra.
     #   "auto"/"off" — XLA fusion pipeline.
     block_kernel: str = "off"
+    # Backward implementation for the attention half-block kernel
+    # (block_kernel="mega_attn" under grad — training only):
+    #   "pallas"    — hand-written fused backward kernel: flash-style forward
+    #                 recompute + the full VJP in one VMEM residency
+    #                 (ops/pallas/dit_block.py:_attn_bwd_kernel).
+    #   "residual"  — Pallas forward that additionally emits the softmax
+    #                 probabilities + pre-projection attention as residuals;
+    #                 the backward is plain XLA consuming them (no forward
+    #                 recompute anywhere).
+    #   "reference" — recompute through the plain jnp ops and let XLA
+    #                 differentiate (r02 behavior; escape hatch).
+    attn_bwd: str = "pallas"
     # Activation rematerialization per block (jax.checkpoint) — trades
     # backward-pass FLOPs for memory on deep models (XL: 28 blocks). The
     # reference has only a vestigial hook for this (`src/dit.py:64-68`).
@@ -103,6 +115,7 @@ class DiTConfig:
         assert self.block_kernel in (
             "auto", "pallas", "mega", "mega_attn", "mega_stack", "off"
         )
+        assert self.attn_bwd in ("pallas", "residual", "reference")
 
     @property
     def dtype(self):

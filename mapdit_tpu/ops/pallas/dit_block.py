@@ -1035,6 +1035,279 @@ def _attn_fwd_impl(x, shift, scale, gate, gain, w_qkv, w_out, heads):
     )
 
 
+def _attn_res_kernel(
+    gain_ref,   # SMEM (1, 1): gain_msa
+    x_ref,      # (G, T, D)
+    shift_ref,  # (N, D) full, program_id-sliced (see _attn_kernel doc)
+    scale_ref,  # (N, D)
+    gate_ref,   # (N, D)
+    wqkv_ref,   # (3D, D)
+    wout_ref,   # (D, D)
+    o_ref,      # (G, T, D) out: the half-block result
+    p_ref,      # (G, heads, T, T) f32 out: softmax probabilities (residual)
+    attn_ref,   # (G, T, D) out: pre-out-proj attention (residual)
+    *,
+    group: int,
+    heads: int,
+    inv_d: float,
+):
+    """Residual-emitting variant of `_attn_kernel` (training forward for
+    ``attn_bwd="residual"``): identical math, but the per-head softmax
+    probabilities and the pre-projection attention stream to HBM so the
+    backward can run as plain XLA GEMMs with NO forward recompute — neither
+    the flash-style in-kernel recompute of `_attn_bwd_kernel` nor the full
+    jnp recompute of the "reference" VJP. f32 probabilities on purpose:
+    bf16 p would put ~1e-3 relative error on the softmax VJP, past the
+    5e-4 gradient parity tolerance."""
+    g, t, d = x_ref.shape
+    hd = d // heads
+    dtype = wqkv_ref.dtype
+    row0 = pl.program_id(0) * group
+
+    x = x_ref[...].astype(jnp.float32)
+    shift = _row_select(shift_ref, row0, group, dtype).reshape(g, 1, d)
+    scale = _row_select(scale_ref, row0, group, dtype).reshape(g, 1, d)
+    gate = _row_select(gate_ref, row0, group, dtype).reshape(g, 1, d)
+    gain = gain_ref[0, 0]
+
+    h_in = _modulate(x, shift, scale, gain)
+    qkv = jax.lax.dot_general(
+        h_in.reshape(g * t, d).astype(dtype),
+        wqkv_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d  # (G*T, 3D)
+
+    gemm_reduce = _gemm_reduce_pays(g * t, d)
+    scales = _cosine_scales(qkv, d, heads, hd) if gemm_reduce else None
+    head_outs = []
+    for hi in range(heads):
+        q = qkv[:, 0 * d + hi * hd : 0 * d + (hi + 1) * hd].reshape(g, t, hd)
+        k = qkv[:, 1 * d + hi * hd : 1 * d + (hi + 1) * hd].reshape(g, t, hd)
+        v = qkv[:, 2 * d + hi * hd : 2 * d + (hi + 1) * hd].reshape(g, t, hd)
+        if scales is None:
+            # small-M fallback (see _attention_core): pre-GEMM normalize
+            q = q * (math.sqrt(hd) / (jnp.sqrt(jnp.sum(q * q, -1, keepdims=True)) + _NORM_EPS))
+            k = k * (math.sqrt(hd) / (jnp.sqrt(jnp.sum(k * k, -1, keepdims=True)) + _NORM_EPS))
+        logits = jax.lax.dot_general(
+            q.astype(dtype),
+            k.astype(dtype),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / math.sqrt(hd))
+        if scales is not None:
+            # logits-fold cosine normalize (see _attention_core)
+            qs = scales[:, hi].reshape(g, t)
+            ks = scales[:, heads + hi].reshape(g, t)
+            logits = logits * qs[:, :, None] * ks[:, None, :]
+        # max-free softmax (cosine logits provably bounded by sqrt(hd))
+        ex = jnp.exp(logits - math.sqrt(hd))
+        if gemm_reduce:
+            denom = jax.lax.dot_general(
+                ex,
+                jnp.ones((t, 1), jnp.float32),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            denom = jnp.sum(ex, axis=-1, keepdims=True)
+        p = ex * (1.0 / denom)  # materialized: it IS the residual
+        p_ref[:, hi] = p.astype(p_ref.dtype)
+        head_outs.append(
+            jax.lax.dot_general(
+                p.astype(dtype),
+                v.astype(dtype),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    attn = jnp.concatenate(head_outs, axis=-1).reshape(g * t, d)
+    attn_ref[...] = attn.reshape(g, t, d).astype(attn_ref.dtype)
+
+    out = jax.lax.dot_general(
+        attn.astype(dtype), wout_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d
+    branch = gate * out.reshape(g, t, d)
+    o_ref[...] = ((x + (branch - x) * _RES_T) / _RES_DENOM).astype(o_ref.dtype)
+
+
+def _attn_res_fwd_impl(x, shift, scale, gate, gain, w_qkv, w_out, heads):
+    n, t, d = x.shape
+    # VMEM-aware group: the `_attn_fwd_impl` budget plus the residual output
+    # blocks — p is (G, heads, T, T) f32 (4*heads*T bytes per activation row)
+    # and attn (G, T, D) adds one more weight-dtype row width.
+    weight_bytes = 4 * d * d * x.dtype.itemsize
+    budget_rows = max(
+        t,
+        ((_vmem_mb() - 1) * 2**20 - weight_bytes) // (26 * d + 4 * heads * t),
+    )
+    g = 1
+    for cand in (8, 4, 2):
+        if n % cand == 0 and cand * t <= budget_rows:
+            g = cand
+            break
+
+    return pl.pallas_call(
+        functools.partial(
+            _attn_res_kernel, group=g, heads=heads, inv_d=1.0 / math.sqrt(d)
+        ),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (g, heads, t, t), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, t, d), x.dtype),
+            jax.ShapeDtypeStruct((n, heads, t, t), jnp.float32),
+            jax.ShapeDtypeStruct((n, t, d), w_qkv.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * t * d * (3 * d + d)
+            + 4 * n * heads * t * t * (d // heads),
+            bytes_accessed=(2 * n * t * d + 4 * d * d) * 2
+            + 4 * n * heads * t * t,
+            transcendentals=n * heads * t * t,
+        ),
+        compiler_params=None if _interpret() else _compiler_params(),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(gain, jnp.float32).reshape(1, 1),
+        x, shift, scale, gate, w_qkv, w_out,
+    )
+
+
+def _attn_bwd_from_res(dy, x, shift, scale, gate, gain, w_qkv, w_out,
+                       p, attn, heads: int):
+    """Backward for ``attn_bwd="residual"``: plain XLA ops consuming the
+    kernel-saved residuals (softmax probabilities ``p``, pre-projection
+    ``attn``). Nothing expensive is recomputed — only the elementwise
+    modulate, one qkv GEMM (bit-identical to the kernel's: same operands,
+    same bf16->f32 contraction), the q/k norms, and the out-projection.
+    Gradient semantics match `_attn_bwd_math` / the reference exactly:
+    modulate's denominator is constant w.r.t. gain, normalize gets the full
+    quotient VJP."""
+    n, t, d = x.shape
+    hd = d // heads
+    dtype = w_qkv.dtype
+    inv_d = 1.0 / math.sqrt(d)
+    sqrt_hd = math.sqrt(hd)
+    x = x.astype(jnp.float32)
+    dy = dy.astype(jnp.float32)
+    shift_b = shift.astype(jnp.float32)[:, None, :]
+    scale_b = scale.astype(jnp.float32)[:, None, :]
+    gate_b = gate.astype(jnp.float32)[:, None, :]
+    denom_mod = jnp.sqrt((1.0 - gain) ** 2 + gain**2)
+
+    # ---- cheap forward re-derivations ---- #
+    u = x * scale_b
+    h = (u + (shift_b - u) * gain) / denom_mod  # (N, T, D)
+    qkv = jax.lax.dot_general(
+        h.reshape(n * t, d).astype(dtype), w_qkv,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d
+    to_heads = lambda z: z.reshape(n, t, heads, hd).transpose(0, 2, 1, 3)
+    q = to_heads(qkv[:, :d].reshape(n, t, d))
+    k = to_heads(qkv[:, d : 2 * d].reshape(n, t, d))
+    v = to_heads(qkv[:, 2 * d :].reshape(n, t, d))
+    rq = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    rk = jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True))
+    qn = q * (sqrt_hd / (rq + _NORM_EPS))
+    kn = k * (sqrt_hd / (rk + _NORM_EPS))
+    out = jax.lax.dot_general(
+        attn.reshape(n * t, d).astype(dtype), w_out,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, t, d) * inv_d
+
+    # ---- backward ---- #
+    dx = dy * ((1.0 - _RES_T) / _RES_DENOM)
+    db = dy * (_RES_T / _RES_DENOM)
+    dgate = jnp.sum(db * out, axis=1)
+    dout = db * gate_b
+
+    dattn = jax.lax.dot_general(
+        dout.reshape(n * t, d).astype(dtype), w_out,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d
+    dw_out = jax.lax.dot_general(
+        dout.reshape(n * t, d), attn.reshape(n * t, d).astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d
+
+    do = to_heads(dattn.reshape(n, t, d))  # (N, H, T, hd)
+    p = p.astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do.astype(dtype), v.astype(dtype),
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # (N, H, T, T)
+    dv = jax.lax.dot_general(
+        p.astype(dtype), do.astype(dtype),
+        dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # (N, H, T, hd)
+    dlog = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dlog = dlog * (1.0 / sqrt_hd)
+    dqn = jax.lax.dot_general(
+        dlog.astype(dtype), kn.astype(dtype),
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+    dkn = jax.lax.dot_general(
+        dlog.astype(dtype), qn.astype(dtype),
+        dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+
+    def dnorm(z, r, dzn):
+        c = sqrt_hd / (r + _NORM_EPS)
+        zdot = jnp.sum(z * dzn, axis=-1, keepdims=True)
+        return c * dzn - z * (zdot * sqrt_hd / (r * (r + _NORM_EPS) ** 2))
+
+    from_heads = lambda z: z.transpose(0, 2, 1, 3).reshape(n * t, d)
+    dqkv = jnp.concatenate(
+        [from_heads(dnorm(q, rq, dqn)), from_heads(dnorm(k, rk, dkn)),
+         from_heads(dv)],
+        axis=-1,
+    )  # (N*T, 3D)
+
+    dh = jax.lax.dot_general(
+        dqkv.astype(dtype), w_qkv,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, t, d) * inv_d
+    dw_qkv = jax.lax.dot_general(
+        dqkv, h.reshape(n * t, d),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d
+
+    du = dh * ((1.0 - gain) / denom_mod)
+    dshift = jnp.sum(dh, axis=1) * (gain / denom_mod)
+    dgain = jnp.sum(dh * (shift_b - u)) / denom_mod
+    dx = dx + du * scale_b
+    dscale = jnp.sum(du * x, axis=1)
+
+    return dx, dshift, dscale, dgate, dgain, dw_qkv, dw_out
+
+
 @functools.lru_cache(maxsize=None)
 def _make_attn(heads: int, bwd_impl: str = "pallas"):
     @jax.custom_vjp
@@ -1045,6 +1318,28 @@ def _make_attn(heads: int, bwd_impl: str = "pallas"):
         return (
             _attn_fwd_impl(x, shift, scale, gate, gain, w_qkv, w_out, heads),
             (x, shift, scale, gate, gain, w_qkv, w_out),
+        )
+
+    def fwd_residual(x, shift, scale, gate, gain, w_qkv, w_out):
+        y, p, attn = _attn_res_fwd_impl(
+            x, shift, scale, gate, gain, w_qkv, w_out, heads
+        )
+        return y, (x, shift, scale, gate, gain, w_qkv, w_out, p, attn)
+
+    def bwd_residual(res, dy):
+        x, shift, scale, gate, gain, w_qkv, w_out, p, attn = res
+        dx, dshift, dscale, dgate, dgain, dw_qkv, dw_out = _attn_bwd_from_res(
+            dy, x, shift, scale, gate, gain, w_qkv, w_out, p, attn, heads
+        )
+        gain_dtype = jnp.result_type(gain)
+        return (
+            dx.astype(x.dtype),
+            dshift.astype(shift.dtype),
+            dscale.astype(scale.dtype),
+            dgate.astype(gate.dtype),
+            dgain.reshape(jnp.shape(gain)).astype(gain_dtype),
+            dw_qkv.astype(w_qkv.dtype),
+            dw_out.astype(w_out.dtype),
         )
 
     def bwd_reference(res, g):
@@ -1072,7 +1367,10 @@ def _make_attn(heads: int, bwd_impl: str = "pallas"):
             dw_out.astype(w_out.dtype),
         )
 
-    f.defvjp(fwd, bwd_pallas if bwd_impl == "pallas" else bwd_reference)
+    if bwd_impl == "residual":
+        f.defvjp(fwd_residual, bwd_residual)
+    else:
+        f.defvjp(fwd, bwd_pallas if bwd_impl == "pallas" else bwd_reference)
     return f
 
 
@@ -1082,9 +1380,12 @@ def fused_attn_branch(
     """Attention half-block in one Pallas kernel (see _attn_kernel).
 
     ``bwd`` picks the VJP: "pallas" (default) runs the fused backward kernel
-    — the training fast path; "reference" recomputes through the plain jnp
-    ops (the r02 inference-only behavior, kept for A/B and as an escape
-    hatch)."""
+    — flash-style forward recompute + hand VJP in one Pallas residency;
+    "residual" runs the residual-emitting forward kernel (`_attn_res_kernel`)
+    and a pure-XLA backward over the saved softmax/attention residuals (no
+    forward recompute anywhere); "reference" recomputes through the plain
+    jnp ops (the r02 inference-only behavior, kept for A/B and as an escape
+    hatch). Inference (no grad) always runs the residual-free forward."""
     return _make_attn(heads, bwd)(x, shift, scale, gate, gain, w_qkv, w_out)
 
 

@@ -40,6 +40,7 @@ _MODEL_KEYS = (
     "compute_dtype",
     "attention_impl",
     "block_kernel",
+    "attn_bwd",
     "remat",
     "scan_blocks",
 )

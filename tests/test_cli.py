@@ -778,6 +778,16 @@ class TestBenchCLI:
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
         assert rec["value"] > 0 and "DDIM" in rec["unit"]
 
+    def test_train_attn_bwd_flag(self):
+        """--attn-bwd threads through train mode with the attention
+        half-block kernel (interpret mode on CPU; gradient numerics live in
+        tests/test_pallas.py — this pins the CLI wiring)."""
+        proc = run("bench.py", "--model", "DiT-XS/8", "--mode", "train",
+                   "--batch", "4", "--steps", "6",
+                   "--block-kernel", "mega_attn", "--attn-bwd", "residual")
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rec["metric"] == "train_steps_per_sec" and rec["value"] > 0
+
     def test_input_size_flag_both_modes(self):
         """--input-size must thread through to the synthetic data too
         (train mode crashed on a shape mismatch before)."""

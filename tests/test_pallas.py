@@ -376,6 +376,50 @@ class TestDiTBlockMegakernel:
             np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
         )
 
+    def test_attn_res_fwd_matches_plain_fwd(self):
+        """The residual-emitting forward kernel must produce the same primal
+        output as the residual-free forward, and its saved residuals must
+        match the reference softmax probabilities / pre-projection
+        attention (the quantities the XLA backward consumes)."""
+        from mapdit_tpu.ops.pallas import dit_block
+
+        rng = np.random.default_rng(3)
+        n, t, d, heads = 4, 16, 64, 2
+        hd = d // heads
+        f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+        args = (f(n, t, d), f(n, d), f(n, d), f(n, d),
+                jnp.asarray(0.4, jnp.float32), f(3 * d, d), f(d, d))
+        y_plain = dit_block._attn_fwd_impl(*args, heads)
+        y_res, p, attn = dit_block._attn_res_fwd_impl(*args, heads)
+        np.testing.assert_allclose(
+            np.asarray(y_res), np.asarray(y_plain), rtol=2e-5, atol=2e-5
+        )
+        assert p.shape == (n, heads, t, t) and p.dtype == jnp.float32
+        assert attn.shape == (n, t, d)
+        # rows of p are probability distributions
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(p, -1)), np.ones((n, heads, t)), atol=1e-5
+        )
+        # reference p/attn from the plain jnp math
+        from mapdit_tpu.ops.mp import normalize
+
+        x, shift, scale, gate, gain, w_qkv, w_out = args
+        denom = jnp.sqrt((1 - gain) ** 2 + gain**2)
+        u = x * scale[:, None, :]
+        h = (u + (shift[:, None, :] - u) * gain) / denom
+        qkv = h @ w_qkv.T / np.sqrt(d)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        th = lambda z: z.reshape(n, t, heads, hd).transpose(0, 2, 1, 3)
+        q, k, v = normalize(th(q)), normalize(th(k)), th(v)
+        logits = jnp.einsum("nhqd,nhkd->nhqk", q, k) / np.sqrt(hd)
+        p_ref = jax.nn.softmax(logits, axis=-1)
+        attn_ref = jnp.einsum("nhqk,nhkd->nhqd", p_ref, v)
+        attn_ref = attn_ref.transpose(0, 2, 1, 3).reshape(n, t, d)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(attn), np.asarray(attn_ref),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_attn_halfkernel_model_parity(self):
         """block_kernel=mega_attn (B-scale variant): full-model output
         matches the unfused path."""
@@ -391,14 +435,17 @@ class TestDiTBlockMegakernel:
         b = DiT(base.replace(block_kernel="mega_attn")).apply(variables, x, t, y)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
-    @pytest.mark.parametrize("variant", ["dw_in_kernel", "streaming"])
+    @pytest.mark.parametrize("variant", ["dw_in_kernel", "streaming", "residual"])
     def test_attn_halfkernel_pallas_bwd_matches_reference(self, variant, monkeypatch):
-        """The hand-written fused backward kernels (`_attn_bwd_dw_kernel`
-        for S-class D, `_attn_bwd_kernel` streaming for B/XL) must produce
-        the same cotangents as differentiating the jnp reference — for ALL
-        seven inputs (x, shift, scale, gate, gain, w_qkv, w_out). n=6
-        forces g=2 with a 3-step grid, exercising the cross-grid
-        accumulation of the modulation/gain/dW grads."""
+        """The hand-written backward paths (`_attn_bwd_dw_kernel` for
+        S-class D, `_attn_bwd_kernel` streaming for B/XL, and the
+        residual-emitting forward + pure-XLA backward of
+        ``attn_bwd="residual"``) must produce the same cotangents as
+        differentiating the jnp reference — for ALL seven inputs
+        (x, shift, scale, gate, gain, w_qkv, w_out). n=6 forces g=2 with a
+        3-step grid, exercising the cross-grid accumulation of the
+        modulation/gain/dW grads (and, for "residual", the blocked p/attn
+        residual outputs)."""
         from mapdit_tpu.ops.pallas import dit_block
 
         if variant == "dw_in_kernel":
@@ -419,7 +466,8 @@ class TestDiTBlockMegakernel:
             )
 
         argnums = tuple(range(7))
-        gp = jax.grad(loss("pallas"), argnums=argnums)(*args)
+        bwd_name = "residual" if variant == "residual" else "pallas"
+        gp = jax.grad(loss(bwd_name), argnums=argnums)(*args)
         gr = jax.grad(loss("reference"), argnums=argnums)(*args)
         for name, a, b in zip(
             ("x", "shift", "scale", "gate", "gain", "w_qkv", "w_out"), gp, gr
@@ -429,10 +477,11 @@ class TestDiTBlockMegakernel:
                 err_msg=f"cotangent mismatch for {name}",
             )
 
-    def test_attn_halfkernel_model_gradients_match(self):
+    @pytest.mark.parametrize("attn_bwd", ["pallas", "residual"])
+    def test_attn_halfkernel_model_gradients_match(self, attn_bwd):
         """Full-model training gradients through block_kernel=mega_attn
-        (which now runs the fused Pallas backward by default) match the
-        unfused path."""
+        match the unfused path — for both the fused Pallas backward and the
+        residual-emitting forward + XLA backward (``attn_bwd="residual"``)."""
         from mapdit_tpu.models import DiT, build_config, init_model
 
         base = build_config("DiT-XS/2", in_channels=4, input_size=16, num_classes=10,
@@ -452,7 +501,7 @@ class TestDiTBlockMegakernel:
             return jax.grad(f)(variables["params"])
 
         ga = loss(base)
-        gb = loss(base.replace(block_kernel="mega_attn"))
+        gb = loss(base.replace(block_kernel="mega_attn", attn_bwd=attn_bwd))
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4

@@ -47,6 +47,7 @@ class TestConfigRoundTrip:
             "modulation": "rotation",
             "use_mp_silu": False,
             "compute_dtype": "bfloat16",
+            "attn_bwd": "residual",
             "unrelated_training_field": 123,
         }
         save_config(str(tmp_path), args)
@@ -54,6 +55,7 @@ class TestConfigRoundTrip:
         assert cfg.depth == 12 and cfg.patch_size == 4
         assert cfg.num_classes == 17 and cfg.modulation == "rotation"
         assert cfg.use_mp_silu is False and cfg.compute_dtype == "bfloat16"
+        assert cfg.attn_bwd == "residual"
 
 
 class TestClassNames:

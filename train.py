@@ -539,6 +539,13 @@ if __name__ == "__main__":
                         help="block-fusion Pallas kernels: mega = whole-DiT-block "
                              "megakernel (one VMEM residency; MP+adaln family), "
                              "pallas = MP-MLP half-block only, auto/off = XLA")
+    parser.add_argument("--attn-bwd", choices=["pallas", "residual", "reference"],
+                        default="pallas",
+                        help="VJP for --block-kernel mega_attn under grad: "
+                             "pallas = fused backward kernel (flash-style "
+                             "in-kernel recompute), residual = residual-emitting "
+                             "forward kernel + pure-XLA backward (no recompute), "
+                             "reference = jnp recompute")
     parser.add_argument("--checkpointer", choices=["msgpack", "orbax"], default="msgpack",
                         help="checkpoint backend (orbax = async-capable production path)")
     parser.add_argument("--resume", type=str, default=None,
