@@ -110,6 +110,8 @@ def make_train_step(
     sampler_axis_name: Optional[str] = None,
     grad_accum: int = 1,
     grad_shardings: Any = None,
+    losses_fn: Optional[Callable] = None,
+    model_train: bool = True,
 ):
     """Build the pure train-step function (jit/donate applied by the caller
     or `mapdit_tpu.training.train_loop`).
@@ -143,6 +145,15 @@ def make_train_step(
     are the per-layer weight all-gathers FSDP requires anyway, expressed
     inefficiently by the pre-Shardy partitioner; tracked upstream as
     b/433785288.)
+
+    ``losses_fn`` swaps the per-sample objective: any callable with
+    `diffusion.training_losses`'s signature (model_fn, x, t, model_kwargs,
+    noise) -> {"loss": per_sample, ...}. Used by progressive distillation
+    (`mapdit_tpu/diffusion/distill.py`); ``diffusion`` then only provides
+    num_timesteps for the uniform t draw. ``model_train=False`` calls the
+    model without CFG label dropout (guided distillation bakes the
+    conditioning, so dropping labels would corrupt the target pairing) —
+    the flag only gates the dropout branch, nothing else keys on it.
     """
     model = DiT(cfg)
     beta_fns = {ema_key(s): ema_lib.make_beta_fn(s) for s in ema_stds}
@@ -186,11 +197,11 @@ def make_train_step(
                         xt,
                         tt,
                         y,
-                        train=True,
+                        train=model_train,
                         rngs={"label_dropout": drop_rng},
                     )
 
-                terms = diffusion.training_losses(
+                terms = (losses_fn or diffusion.training_losses)(
                     model_fn, xb, tb, model_kwargs={"y": yb}, noise=nb
                 )
                 per_sample = terms["loss"]

@@ -162,9 +162,35 @@ def main(args):
     )
 
     steps = args.num_sampling_steps
-    from mapdit_tpu.diffusion import respacing_string
+    if train_args.get("distill_rounds"):
+        # Distilled student (distill.py): the checkpoint is only valid on
+        # its own nested DDIM grid — rebuild it from the config and pin the
+        # protocol (deterministic DDIM; guidance already baked if the run
+        # used --cfg-scale > 1, so CFG re-application would compound it).
+        from mapdit_tpu.diffusion.distill import student_diffusion_from_config
 
-    diffusion = create_diffusion(respacing_string(steps, args.sampler, args.time_schedule))
+        diffusion = student_diffusion_from_config(train_args)
+        steps = diffusion.num_timesteps
+        if args.sampler != "ddim" or args.num_sampling_steps != steps:
+            print(
+                f"distilled student: forcing --sampler ddim at its "
+                f"{steps}-step grid (requested {args.sampler}/"
+                f"{args.num_sampling_steps})"
+            )
+            args.sampler = "ddim"
+        if train_args.get("distill_cfg_scale", 1.0) > 1.0 and args.cfg_scale != 1.0:
+            print(
+                f"distilled student: guidance baked at scale "
+                f"{train_args['distill_cfg_scale']}; forcing --cfg-scale 1"
+            )
+            args.cfg_scale = 1.0
+        assert args.cache_interval <= 1 and args.cfg_interval is None and (
+            not args.save_trajectory
+        ), "--cache-interval/--cfg-interval/--save-trajectory do not apply to distilled students"
+    else:
+        from mapdit_tpu.diffusion import respacing_string
+
+        diffusion = create_diffusion(respacing_string(steps, args.sampler, args.time_schedule))
     if args.cache_interval > 1:
         # Delta-DiT block-span caching: LOSSY accelerator (ddpm and dpm++;
         # stacks with --time-schedule karras) — measured deviation numbers

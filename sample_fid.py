@@ -44,9 +44,28 @@ def main(args):
     cfg = config_from_args(train_args)
     variables = load_variables(args.result_dir, train_args, args.ckpt, args.ema_std)
     steps = args.num_sampling_steps
-    from mapdit_tpu.diffusion import respacing_string
+    if train_args.get("distill_rounds"):
+        # distilled student (distill.py): pin the protocol to its own
+        # nested DDIM grid; guidance is baked, so no CFG doubling
+        from mapdit_tpu.diffusion.distill import student_diffusion_from_config
 
-    diffusion = create_diffusion(respacing_string(steps, args.sampler, args.time_schedule))
+        diffusion = student_diffusion_from_config(train_args)
+        steps = diffusion.num_timesteps
+        if args.sampler != "ddim" or args.cfg_scale > 1.0:
+            print(
+                f"distilled student: forcing ddim at its {steps}-step grid, "
+                "cfg 1 (guidance baked)"
+            )
+        args.sampler, args.cfg_scale = "ddim", 1.0
+        assert args.cfg_interval is None and not args.pit_window, (
+            "--cfg-interval/--pit-* do not apply to distilled students"
+        )
+    else:
+        from mapdit_tpu.diffusion import respacing_string
+
+        diffusion = create_diffusion(
+            respacing_string(steps, args.sampler, args.time_schedule)
+        )
 
     use_cfg = args.cfg_scale > 1.0
 

@@ -141,6 +141,13 @@ class SamplerService:
         self.result_dir = result_dir
         self.train_args = load_config(result_dir)
         self.cfg = config_from_args(self.train_args)
+        # Distilled student (distill.py): exactly ONE valid chain — its own
+        # nested DDIM grid, guidance baked. Requests are normalized onto it
+        # (sampler/steps/cfg_scale in the body are advisory for these dirs).
+        self._distilled = bool(self.train_args.get("distill_rounds"))
+        self._student_steps = (
+            int(self.train_args["distill_num_steps"]) if self._distilled else None
+        )
         if self._n_model > 1 and self.cfg.block_kernel not in ("auto", "off"):
             # fail at startup, not on the first request: build_sample_fn
             # rejects explicit Pallas kernels on a GSPMD mesh (no
@@ -219,7 +226,16 @@ class SamplerService:
                     "schedule, cache_interval, cfg_interval, cache_mode) "
                     "protocol or restart with --max-programs"
                 )
-            diffusion = create_diffusion(respacing_string(steps, sampler, schedule))
+            if self._distilled:
+                from mapdit_tpu.diffusion.distill import (
+                    student_diffusion_from_config,
+                )
+
+                diffusion = student_diffusion_from_config(self.train_args)
+            else:
+                diffusion = create_diffusion(
+                    respacing_string(steps, sampler, schedule)
+                )
             n_dev = self._mesh.shape["data"] if self._mesh is not None else 1
             if cache_interval > 1 and self._n_model > 1:
                 # the cached builder has no TP support: under the TP mesh it
@@ -308,6 +324,16 @@ class SamplerService:
         n = len(class_labels)
         if n < 1:
             raise ValueError("num_samples / class_labels must request >= 1 sample")
+        if self._distilled:
+            # one valid protocol: normalize onto the student grid; the
+            # accelerator fields cannot apply to a distilled chain
+            if int(cache_interval) > 1 or cfg_interval is not None:
+                raise ValueError(
+                    "cache_interval / cfg_interval do not apply to a "
+                    "distilled student (already a few-step exact chain)"
+                )
+            sampler, steps, schedule = "ddim", self._student_steps, "uniform"
+            cfg_scale = 1.0  # guidance baked at distill time (if any)
         self._bucket(n)  # reject oversize requests before enqueueing
         num_classes = self.cfg.num_classes
         for lab in class_labels:
@@ -582,6 +608,19 @@ class SamplerService:
             # seed reproduces its output only for identical batch
             # compositions (X-Seed-Deterministic response header per request)
             "seed_deterministic_samplers": ["dpm++", "unipc", "ddim"],
+            # distilled students pin the protocol server-side (distill.py):
+            # every request runs the student's own few-step DDIM grid
+            "distilled": (
+                {
+                    "steps": self._student_steps,
+                    "rounds": int(self.train_args["distill_rounds"]),
+                    "baked_cfg_scale": float(
+                        self.train_args.get("distill_cfg_scale", 1.0)
+                    ),
+                }
+                if self._distilled
+                else None
+            ),
         }
 
 

@@ -91,6 +91,37 @@ def trained_run(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def distilled_run(trained_run, tmp_path_factory):
+    """A 2-stage progressive distillation of `trained_run` (8 -> 4 -> 2 step
+    students, guidance baked at 1.5) shared by the distill CLI and serve
+    tests. Returns the list of stage dirs (last = 2-step student)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+    ).strip()
+    results = str(tmp_path_factory.mktemp("distilled"))
+    proc = subprocess.run(
+        [sys.executable, str(pathlib.Path(REPO) / "distill.py"),
+         "--teacher", trained_run,
+         "--data-path", "synthetic:32",
+         "--results-dir", results,
+         "--base-steps", "8",
+         "--stages", "2",
+         "--steps-per-stage", "4",
+         "--batch-size", "8",
+         "--cfg-scale", "1.5",
+         "--log-every", "2"],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, f"distill: {proc.stdout}\n{proc.stderr}"
+    stage_dirs = [l for l in proc.stdout.splitlines() if os.path.isdir(l)]
+    assert len(stage_dirs) == 2, proc.stdout
+    return stage_dirs
+
+
+@pytest.fixture(scope="session")
 def golden():
     """Load a golden npz dumped from the PyTorch reference by tools/make_goldens.py."""
 

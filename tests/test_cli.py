@@ -908,3 +908,36 @@ class TestRotationFamily:
             "--num-sampling-steps", "2",
         )
         assert os.path.exists(out)
+
+
+class TestDistillCLI:
+    """Progressive distillation end to end: distill.py halves the trained
+    run's DDIM grid twice (8 -> 4 -> 2) with guidance baked at 1.5, and
+    sample.py auto-detects the student protocol (nested grid, forced ddim,
+    forced cfg 1)."""
+
+    def test_distill_two_stages_and_sample(self, distilled_run, tmp_path):
+        final = distilled_run[-1]
+        assert final.endswith("-distill2")
+        with open(os.path.join(final, "config.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        assert cfg["distill_rounds"] == 2
+        assert cfg["distill_num_steps"] == 2
+        assert cfg["distill_cfg_scale"] == 1.5
+        assert os.path.exists(os.path.join(final, "checkpoints", "0000004.msgpack"))
+        assert os.path.exists(os.path.join(final, "constants.msgpack"))
+        # one EMA snapshot per tracked std
+        assert len(os.listdir(os.path.join(final, "ema"))) == 2
+
+        out = str(tmp_path / "distilled.png")
+        proc = run(
+            "sample.py",
+            "--result-dir", final,
+            "--use-vae", "false",
+            "--output-file", out,
+            "--num-sampling-steps", "250",  # ignored: student grid wins
+            "--cfg-scale", "4.0",           # ignored: guidance baked
+        )
+        assert os.path.exists(out)
+        assert "forcing --sampler ddim" in proc.stdout
+        assert "forcing --cfg-scale 1" in proc.stdout

@@ -683,3 +683,45 @@ class TestBackpressure:
         finally:
             srv.terminate()
             srv.wait(timeout=30)
+
+
+class TestDistilledServing:
+    """Distilled students through serve.py: the server pins every request to
+    the student's own DDIM grid (sampler/steps/cfg in the body are
+    normalized), rejects the accelerator fields, and reports the distilled
+    protocol on /healthz."""
+
+    def test_distilled_protocol(self, distilled_run):
+        final = distilled_run[-1]  # 2-step student, guidance baked at 1.5
+        srv, base = _start_server(
+            final, ["--buckets", "1,2", "--coalesce-ms", "0"]
+        )
+        try:
+            with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+                info = json.loads(resp.read())
+            assert info["distilled"] == {
+                "steps": 2, "rounds": 2, "baked_cfg_scale": 1.5,
+            }
+
+            # wildly different requested protocols normalize onto the ONE
+            # student program (no extra compiles)
+            s1 = _post(base, {"class_label": 1, "steps": 250,
+                              "sampler": "ddpm", "cfg_scale": 4.0,
+                              "format": "npz"})
+            s2 = _post(base, {"class_label": 1, "steps": 20,
+                              "sampler": "dpm++", "cfg_scale": 1.0,
+                              "format": "npz"})
+            assert s1[0] == 200 and s2[0] == 200
+            with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+                assert json.loads(resp.read())["compiled_programs"] == 1
+
+            # accelerator fields are a validation error, not a 500
+            try:
+                _post(base, {"class_label": 1, "cache_interval": 2})
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert "distilled" in json.loads(e.read())["error"]
+        finally:
+            srv.terminate()
+            assert srv.wait(timeout=30) == 0

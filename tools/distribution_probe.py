@@ -170,9 +170,22 @@ def draw_samples(
     K = int(train_args["num_classes"])
     M = samples_per_class
     N = K * M
-    diffusion = create_diffusion(
-        respacing_string(num_sampling_steps, sampler, time_schedule)
-    )
+    if train_args.get("distill_rounds"):
+        # distilled student (distill.py): only valid on its own nested DDIM
+        # grid; guidance (if any) is baked so no CFG doubling
+        from mapdit_tpu.diffusion.distill import student_diffusion_from_config
+
+        assert cache_interval <= 1 and pit is None and cfg_interval is None, (
+            "accelerator grid does not apply to distilled students"
+        )
+        diffusion = student_diffusion_from_config(train_args)
+        sampler = "ddim"
+        if train_args.get("distill_cfg_scale", 1.0) > 1.0:
+            cfg_scale = None
+    else:
+        diffusion = create_diffusion(
+            respacing_string(num_sampling_steps, sampler, time_schedule)
+        )
     if pit is not None:
         # parallel-in-time Picard chain (runtime.build_pit_sample_fn):
         # pit=(window, sweeps_or_None, shift_or_None), ddim only
@@ -447,6 +460,10 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-train", action="store_true",
                    help="reuse the existing run in work-dir/results")
+    p.add_argument("--eval-dir", type=str, default=None,
+                   help="evaluate THIS experiment dir (e.g. a distill.py "
+                        "stage) against work-dir's ground truth instead of "
+                        "the probe's own trained run (implies --skip-train)")
     p.add_argument("--skip-init-baseline", action="store_true")
     p.add_argument("--grid", action="store_true",
                    help="also arbitrate the lossy/few-step accelerator grid "
@@ -462,6 +479,8 @@ def main():
     data_dir = os.path.join(args.work_dir, "data")
     results_dir = os.path.join(args.work_dir, "results")
     gt_path = os.path.join(data_dir, "ground_truth.npz")
+    if args.eval_dir:
+        args.skip_train = True
     if os.path.exists(gt_path) and args.skip_train:
         gt = dict(np.load(gt_path))
     else:
@@ -471,7 +490,9 @@ def main():
             seed=args.seed,
         )
 
-    if args.skip_train:
+    if args.eval_dir:
+        run_dir = args.eval_dir
+    elif args.skip_train:
         run_dir = os.path.join(results_dir, sorted(os.listdir(results_dir))[-1])
     else:
         run_dir = run_train(args, data_dir, results_dir)
@@ -520,7 +541,11 @@ def main():
         "classes": args.classes,
         "train_steps": args.train_steps,
         "batch_size": args.batch_size,
-        "sampler": f"{args.sampler}:{args.num_sampling_steps}:{args.time_schedule}",
+        "sampler": (
+            f"distilled-ddim:{train_args['distill_num_steps']}"
+            if train_args.get("distill_rounds")
+            else f"{args.sampler}:{args.num_sampling_steps}:{args.time_schedule}"
+        ),
         "samples_per_class": args.samples_per_class,
         "chance_acc": 1.0 / args.classes,
         "mean_err_trained": trained["mean_err"],
