@@ -101,7 +101,29 @@ def main(args):
     b_shard = batch_sharding(mesh)
     assert args.batch_size % mesh.shape["data"] == 0
 
-    m = base_timestep_map(args.base_steps, args.base_schedule)
+    if teacher_args.get("distill_rounds"):
+        # Chained distillation (teacher is itself a distilled student): the
+        # teacher's OWN nested grid is the stage-0 map. A fresh
+        # uniform/karras subset of the same length would silently mis-span
+        # the teacher's steps (the nested-subset invariant in
+        # mapdit_tpu/diffusion/distill.py's module docstring).
+        from mapdit_tpu.diffusion.distill import distilled_map
+
+        base_steps0 = int(teacher_args["distill_base_steps"])
+        rounds0 = int(teacher_args["distill_rounds"])
+        base_schedule0 = teacher_args.get("distill_base_schedule", "uniform")
+        m = distilled_map(base_steps0, rounds0, base_schedule0)
+        if args.base_steps != len(m):
+            raise SystemExit(
+                f"--base-steps {args.base_steps} != the distilled teacher's "
+                f"grid ({len(m)} steps: {base_steps0} halved {rounds0}x); "
+                "chained distillation continues the teacher's own grid"
+            )
+    else:
+        base_steps0, rounds0, base_schedule0 = (
+            args.base_steps, 0, args.base_schedule,
+        )
+        m = base_timestep_map(args.base_steps, args.base_schedule)
     ema_stds = tuple(args.ema_stds)
     exp_index = len(os.listdir(args.results_dir))
     stage_dirs = []
@@ -179,10 +201,16 @@ def main(args):
             stage_args = dict(teacher_args)
             stage_args.update(
                 results_dir=args.results_dir,
-                distill_base_steps=args.base_steps,
-                distill_base_schedule=args.base_schedule,
-                distill_rounds=stage,
-                distill_cfg_scale=float(args.cfg_scale),
+                distill_base_steps=base_steps0,
+                distill_base_schedule=base_schedule0,
+                distill_rounds=rounds0 + stage,
+                # Guidance composes across chained runs: a scale baked by a
+                # distilled teacher stays in effect when this run adds none.
+                distill_cfg_scale=(
+                    float(teacher_args.get("distill_cfg_scale", 1.0))
+                    if args.cfg_scale == 1.0
+                    else float(args.cfg_scale)
+                ),
                 distill_teacher=os.path.abspath(args.teacher),
                 distill_num_steps=len(m_s),
             )

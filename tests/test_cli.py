@@ -941,3 +941,55 @@ class TestDistillCLI:
         assert os.path.exists(out)
         assert "forcing --sampler ddim" in proc.stdout
         assert "forcing --cfg-scale 1" in proc.stdout
+
+    def test_chained_distillation_continues_the_grid(self, distilled_run, tmp_path):
+        """Distilling FROM a distilled student continues the teacher's own
+        nested grid and lineage (original base grid, cumulative rounds,
+        baked guidance) instead of fabricating a fresh uniform subset —
+        and the resulting ONE-step student samples end to end."""
+        teacher = distilled_run[-1]  # the 2-step student (8 halved twice)
+        results = str(tmp_path / "chained")
+        proc = run(
+            "distill.py",
+            "--teacher", teacher,
+            "--data-path", "synthetic:32",
+            "--results-dir", results,
+            "--base-steps", "2",
+            "--stages", "1",
+            "--steps-per-stage", "2",
+            "--batch-size", "8",
+            "--log-every", "1",
+        )
+        final = [l for l in proc.stdout.splitlines() if os.path.isdir(l)][-1]
+        assert final.endswith("-distill1")
+        with open(os.path.join(final, "config.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        assert cfg["distill_base_steps"] == 8   # original grid, not 2
+        assert cfg["distill_rounds"] == 3       # teacher's 2 + this stage
+        assert cfg["distill_num_steps"] == 1
+        assert cfg["distill_cfg_scale"] == 1.5  # teacher's baked scale carried
+
+        out = str(tmp_path / "one_step.png")
+        run("sample.py", "--result-dir", final, "--use-vae", "false",
+            "--output-file", out)
+        assert os.path.exists(out)
+
+    def test_chained_distillation_rejects_wrong_base(self, distilled_run, tmp_path):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "distill.py"),
+             "--teacher", distilled_run[-1],
+             "--data-path", "synthetic:32",
+             "--results-dir", str(tmp_path / "bad"),
+             "--base-steps", "8",   # teacher's grid is 2 steps now
+             "--stages", "1",
+             "--steps-per-stage", "2",
+             "--batch-size", "8"],
+            capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+        )
+        assert proc.returncode != 0
+        assert "chained distillation continues the teacher's own grid" in (
+            proc.stdout + proc.stderr
+        )
