@@ -112,6 +112,22 @@ def main(args):
         base_steps0 = int(teacher_args["distill_base_steps"])
         rounds0 = int(teacher_args["distill_rounds"])
         base_schedule0 = teacher_args.get("distill_base_schedule", "uniform")
+        if float(teacher_args.get("distill_cfg_scale", 1.0)) > 1.0 and args.cfg_scale != 1.0:
+            # A second bake would compound guidance in the weights while the
+            # recorded distill_cfg_scale can only carry one number — the
+            # lineage would misstate effective guidance (ADVICE r03).
+            raise SystemExit(
+                f"teacher already baked cfg_scale "
+                f"{teacher_args['distill_cfg_scale']}; guidance is baked "
+                "exactly once — rerun with --cfg-scale 1.0 (the baked scale "
+                "stays in effect)"
+            )
+        if args.base_schedule != base_schedule0:
+            logger.warning(
+                f"--base-schedule {args.base_schedule} ignored: chained "
+                f"distillation continues the teacher's recorded "
+                f"{base_schedule0} grid"
+            )
         m = distilled_map(base_steps0, rounds0, base_schedule0)
         if args.base_steps != len(m):
             raise SystemExit(

@@ -9,6 +9,7 @@ rotation of channel pairs, which is exactly magnitude-preserving.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -43,22 +44,18 @@ def _use_fused_mlp(cfg: DiTConfig, seq_len: int) -> bool:
     )
 
 
+@functools.lru_cache(maxsize=1)
 def _mega_auto_ok() -> bool:
     """auto-dispatch environment gate: real single-chip TPU only (interpret
     mode off-TPU is debugging-speed; multi-chip GSPMD has no partitioning
-    rule for the kernel yet — explicit "mega" overrides both)."""
-    import functools
+    rule for the kernel yet — explicit "mega" overrides both).  Cached at
+    module level: backend discovery is stable for the process lifetime."""
+    try:
+        import jax
 
-    @functools.lru_cache(maxsize=1)
-    def probe():
-        try:
-            import jax
-
-            return jax.devices()[0].platform == "tpu" and jax.device_count() == 1
-        except Exception:
-            return False
-
-    return probe()
+        return jax.devices()[0].platform == "tpu" and jax.device_count() == 1
+    except Exception:
+        return False
 
 
 def _kernel_family_ok(cfg: DiTConfig) -> bool:

@@ -24,16 +24,16 @@ def _free_port() -> int:
     return port
 
 
-def _launch_two_process(results, extra_args):
+def _launch_cluster(results, extra_args, n_procs=2):
     port = _free_port()
     procs = []
-    for pid in range(2):
+    for pid in range(n_procs):
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["PALLAS_AXON_POOL_IPS"] = ""  # skip axon registration
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
         env["MAPDIT_COORDINATOR"] = f"localhost:{port}"
-        env["MAPDIT_NUM_PROCESSES"] = "2"
+        env["MAPDIT_NUM_PROCESSES"] = str(n_procs)
         env["MAPDIT_PROCESS_ID"] = str(pid)
         procs.append(
             subprocess.Popen(
@@ -68,13 +68,13 @@ def _launch_two_process(results, extra_args):
     return procs
 
 
-def _drain_two_process(procs):
-    # Drain both pipes CONCURRENTLY: the processes block on each other's
-    # collectives, so sequentially communicate()-ing one while the other
+def _drain_cluster(procs):
+    # Drain all pipes CONCURRENTLY: the processes block on each other's
+    # collectives, so sequentially communicate()-ing one while another
     # fills its 64 KB stdout pipe can deadlock the whole cluster.
     import threading
 
-    outs = [None, None]
+    outs = [None] * len(procs)
 
     def drain(i, p):
         outs[i] = p.communicate(timeout=900)[0]
@@ -90,8 +90,8 @@ def _drain_two_process(procs):
 
 
 def _run_two_process(results, extra_args):
-    procs = _launch_two_process(results, extra_args)
-    outs = _drain_two_process(procs)
+    procs = _launch_cluster(results, extra_args)
+    outs = _drain_cluster(procs)
     assert all(p.returncode == 0 for p in procs), "\n\n".join(
         o or "" for o in outs
     )
@@ -126,7 +126,7 @@ def test_two_process_preemption(tmp_path):
     import time
 
     results = str(tmp_path / "results")
-    procs = _launch_two_process(
+    procs = _launch_cluster(
         results,
         [
             "--num-steps", "100000",   # would run ~forever without the signal
@@ -171,6 +171,63 @@ def test_two_process_preemption(tmp_path):
     assert "graceful stop at step" in log
     exp = os.path.dirname(logfile)
     ckpts = [c for c in os.listdir(os.path.join(exp, "checkpoints"))]
+    assert ckpts, "no preemption checkpoint written"
+    assert all(int(c.split(".")[0]) < 100000 for c in ckpts)
+
+
+def test_four_process_preemption(tmp_path):
+    """4-rank cluster with SIGTERM to a MIDDLE rank mid-run (VERDICT r03 #6):
+    at n=4 the preemption OR-reduction, the orbax save barrier, and the init
+    watchdog all have strictly more interleavings than n=2 — uneven signal
+    arrival must still produce a single synchronized graceful stop with every
+    rank joining the collective checkpoint and exiting 0."""
+    import signal
+    import threading
+    import time
+
+    results = str(tmp_path / "results")
+    procs = _launch_cluster(
+        results,
+        ["--num-steps", "100000"],
+        n_procs=4,
+    )
+    outs = [None] * len(procs)
+
+    def drain(i, p):
+        outs[i] = p.communicate(timeout=900)[0]
+
+    threads = [
+        threading.Thread(target=drain, args=(i, p)) for i, p in enumerate(procs)
+    ]
+    for t in threads:
+        t.start()
+    try:
+        logfile, deadline = None, time.time() + 600
+        while time.time() < deadline:
+            exps = os.listdir(results) if os.path.isdir(results) else []
+            if exps:
+                lf = os.path.join(results, exps[0], "log.txt")
+                if os.path.exists(lf) and "(step=" in open(lf).read():
+                    logfile = lf
+                    break
+            assert all(p.poll() is None for p in procs), "cluster died early"
+            time.sleep(0.5)
+        assert logfile, "no training progress within deadline"
+        procs[2].send_signal(signal.SIGTERM)  # a non-lead, non-last rank
+        for t in threads:
+            t.join(timeout=600)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), "\n\n".join(
+        o or "" for o in outs
+    )
+    log = open(logfile).read()
+    assert "devices: 4x" in log  # all four ranks joined the mesh
+    assert "graceful stop at step" in log
+    exp = os.path.dirname(logfile)
+    ckpts = os.listdir(os.path.join(exp, "checkpoints"))
     assert ckpts, "no preemption checkpoint written"
     assert all(int(c.split(".")[0]) < 100000 for c in ckpts)
 
