@@ -202,6 +202,34 @@ def resolve_block_kernel_shard_local(cfg: DiTConfig, folded: bool) -> str:
     return _kernel_policy(cfg, folded, cfg.num_patches)
 
 
+def resolve_block_kernel_tp(cfg: DiTConfig, folded: bool, tp: int) -> str:
+    """Resolve ``block_kernel="auto"`` for the GSPMD tensor-parallel latency
+    layout (:func:`mapdit_tpu.runtime.build_sample_fn` with a nontrivial
+    'model' axis).
+
+    The megakernel custom-calls have no GSPMD partitioning rule, but the
+    attention half can run head-sharded inside a shard_map island
+    (``mega_attn_tp`` — see :class:`DiTBlock`): per-shard weights are
+    4D^2/tp, strictly smaller than the single-chip ``mega_attn`` footprint,
+    so the only extra gates are an even head split and the TPU platform
+    (interpret mode off-TPU is debug-speed). Whole-block ``mega`` cannot
+    split this way (no mid-kernel collectives), so S-class configs also
+    resolve to the attention island + GSPMD MLP."""
+    if cfg.block_kernel != "auto":
+        return cfg.block_kernel
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if not on_tpu:
+        return "off"
+    if tp < 2 or cfg.num_heads % tp != 0:
+        return "off"
+    if _kernel_policy(cfg, folded, cfg.num_patches) == "off":
+        return "off"
+    return "mega_attn_tp"
+
+
 def modulation_dims(cfg: DiTConfig, with_gate: bool) -> Tuple[int, ...]:
     """Output chunk sizes of one branch's modulation head.
 
@@ -312,6 +340,64 @@ class DiTBlock(nn.Module):
         n = len(dims)
         msa_mods, gate_msa = mods[: n - 1], mods[n - 1]
         mlp_mods, gate_mlp = mods[n : 2 * n - 1], mods[2 * n - 1]
+
+        if cfg.block_kernel == "mega_attn_tp":
+            # Tensor-parallel latency layout (VERDICT r03 #3): the attention
+            # half-block runs head-sharded inside a shard_map island over the
+            # mesh's 'model' axis — each shard's Pallas kernel computes its
+            # local heads' partial out-projection, one psum assembles the
+            # branch. Modulation head + MLP stay on GSPMD (param_sharding
+            # gives them the standard column/row TP split).
+            from jax.sharding import PartitionSpec as P
+
+            from mapdit_tpu.ops.pallas.dit_block import fused_attn_branch_tp
+            from mapdit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            assert _kernel_family_ok(cfg), (
+                "mega_attn_tp hard-codes the MP+adaln+cosine family"
+            )
+            mesh = jax.sharding.get_abstract_mesh()
+            assert mesh is not None and MODEL_AXIS in mesh.axis_names, (
+                "block_kernel='mega_attn_tp' needs an ambient "
+                "('data','model') mesh — run under jax.set_mesh(mesh)"
+            )
+            tp = mesh.shape[MODEL_AXIS]
+            assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
+            d = cfg.hidden_size
+
+            attn_m = Attention(cfg, d, name="attn")
+            mlp_m = MLP(cfg, d, d, mlp_ratio=cfg.mlp_ratio, name="mlp")
+            shift_msa, scale_msa = msa_mods
+            # (3, D, D) stack so the model-axis split of axis 1 is
+            # head-contiguous per q/k/v projection (see fused_attn_branch_tp)
+            wqkv3 = (
+                attn_m.qkv_proj.effective_weight()
+                .astype(cfg.dtype).reshape(3, d, d)
+            )
+            wout = attn_m.out_proj.effective_weight().astype(cfg.dtype)
+            island = jax.shard_map(
+                functools.partial(
+                    fused_attn_branch_tp,
+                    heads_local=cfg.num_heads // tp,
+                    axis_name=MODEL_AXIS,
+                ),
+                mesh=mesh,
+                in_specs=(
+                    P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                    P(), P(None, MODEL_AXIS, None), P(None, MODEL_AXIS),
+                ),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )
+            x = island(
+                x.astype(cfg.dtype),
+                shift_msa.astype(cfg.dtype), scale_msa.astype(cfg.dtype),
+                gate_msa.astype(cfg.dtype), gain_msa,
+                wqkv3, wout,
+            )
+            h = apply_modulation(x, mlp_mods, gain_mlp, cfg)
+            x = mp_sum(x, gate_mlp[:, None, :] * mlp_m(h), t=0.3)
+            return (x, None) if self.scan_mode else x
 
         if _use_attn_halfkernel(cfg, x.shape[1]):
             # B-scale variant: attention half-block in one VMEM residency

@@ -73,6 +73,11 @@ class DiTConfig:
     #              residual stream stays VMEM-resident across the stack,
     #              per-block weights stream behind compute. Outside the
     #              sampling runtime this value runs the XLA pipeline.
+    #   "mega_attn_tp" — tensor-parallel attention half-block: head-sharded
+    #              Pallas kernel inside a shard_map island over the mesh's
+    #              'model' axis (one psum per block). Runtime-only, set by
+    #              build_sample_fn(mesh=) when the TP latency layout can
+    #              keep the kernels live; needs an ambient jax.set_mesh.
     #   "pallas" — fused MP-MLP half-block only (ops/pallas/mlp_block.py);
     #              measured ~2% BEHIND XLA at S/2 — kept as A/B infra.
     #   "auto"/"off" — XLA fusion pipeline.
@@ -113,7 +118,8 @@ class DiTConfig:
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.attention_impl in ("auto", "xla", "pallas", "pallas_v2", "pallas_v3")
         assert self.block_kernel in (
-            "auto", "pallas", "mega", "mega_attn", "mega_stack", "off"
+            "auto", "pallas", "mega", "mega_attn", "mega_attn_tp",
+            "mega_stack", "off",
         )
         assert self.attn_bwd in ("pallas", "residual", "reference")
 

@@ -82,16 +82,46 @@ class DiT(nn.Module):
 
         if cfg.use_weight_normalization:
             # Bias-free MP design: appended ones column acts as input bias
-            # (reference `src/dit.py:37-41, 81-82`).
-            x = jnp.concatenate([x, jnp.ones_like(x[:, :, :1])], axis=-1)
-        x = MPLinear(
-            x.shape[-1],
-            cfg.hidden_size,
-            use_wn=cfg.use_weight_normalization,
-            folded=cfg.fold_weights,
-            dtype=cfg.dtype,
-            name="x_embedder",
-        )(x)
+            # (reference `src/dit.py:37-41, 81-82`). Identical math, two
+            # lowerings (the r03 VERDICT's "ones-column GEMM fusion" edge):
+            #   concat  — materialize the (N, T, P+1) concat and run one GEMM
+            #             (the reference's own formulation; P=16 -> 17 lanes
+            #             is an unaligned-lane relayout on TPU);
+            #   fused   — x @ W[:, :-1].T + W[:, -1]: the ones column IS a
+            #             bias row, so split the normalized weight instead of
+            #             padding the activation. Parameters, checkpoints and
+            #             gradients are identical (split happens after the
+            #             row-normalize).
+            # MAPDIT_FUSE_INPUT_BIAS=0 restores the concat form for A/B.
+            import math as _math
+            import os as _os
+
+            emb = MPLinear(
+                x.shape[-1] + 1,
+                cfg.hidden_size,
+                use_wn=True,
+                folded=cfg.fold_weights,
+                dtype=cfg.dtype,
+                name="x_embedder",
+            )
+            if _os.environ.get("MAPDIT_FUSE_INPUT_BIAS", "1") != "0":
+                w = emb.effective_weight() * (1.0 / _math.sqrt(emb.in_dim))
+                w = w.astype(cfg.dtype)
+                x = x.astype(cfg.dtype) @ w[:, :-1].T + w[:, -1]
+            else:
+                x = jnp.concatenate(
+                    [x, jnp.ones_like(x[:, :, :1])], axis=-1
+                )
+                x = emb(x)
+        else:
+            x = MPLinear(
+                x.shape[-1],
+                cfg.hidden_size,
+                use_wn=False,
+                folded=cfg.fold_weights,
+                dtype=cfg.dtype,
+                name="x_embedder",
+            )(x)
 
         if cfg.use_mp_pos_enc:
             x = mp_sum(x, normalize(pos)[None].astype(cfg.dtype), t=0.5)

@@ -682,26 +682,59 @@ def build_sample_fn(
     data axis (a data-parallel mesh leaves tp=1 and only splits the batch).
     Callers run the returned fn under ``jax.set_mesh(mesh)`` with the batch
     sharded over 'data'. The Pallas megakernels have no GSPMD partitioning
-    rule; the ``auto`` kernel policy already resolves to the XLA pipeline
-    on multi-device meshes, and explicit kernels are rejected here.
+    rule, but a nontrivial 'model' axis promotes ``auto`` to the
+    head-sharded shard_map island (``mega_attn_tp``,
+    :func:`mapdit_tpu.models.blocks.resolve_block_kernel_tp`) so the TP
+    latency layout keeps the attention kernel live; other explicit kernels
+    are rejected here.
     """
+    run_cfg = cfg
     if mesh is not None and mesh.devices.size > 1:
-        assert cfg.block_kernel in ("auto", "off"), (
+        from mapdit_tpu.models.blocks import resolve_block_kernel_tp
+        from mapdit_tpu.parallel.mesh import MODEL_AXIS
+
+        assert cfg.block_kernel in ("auto", "off", "mega_attn_tp"), (
             "explicit Pallas block kernels cannot be GSPMD-partitioned; "
-            "use block_kernel='auto' (resolves to the XLA pipeline on "
-            "multi-device meshes) or the shard_map data-parallel path"
+            "use block_kernel='auto' (promotes to the head-sharded "
+            "mega_attn_tp island when the 'model' axis supports it, XLA "
+            "pipeline otherwise) or the shard_map data-parallel path"
         )
+        tp = dict(mesh.shape).get(MODEL_AXIS, 1)
+        if cfg.block_kernel == "mega_attn_tp":
+            assert tp > 1 and cfg.num_heads % tp == 0, (cfg.num_heads, tp)
+        elif cfg.block_kernel == "auto":
+            run_cfg = cfg.replace(
+                block_kernel=resolve_block_kernel_tp(
+                    cfg, folded=fold and cfg.use_weight_normalization, tp=tp
+                )
+            )
     prepare, shared_fn = build_shared_sample_fn(
-        cfg, diffusion, cfg_scale=cfg_scale, fold=fold, sampler=sampler, eta=eta,
-        scan_unroll=scan_unroll, clip_denoised=clip_denoised,
+        run_cfg, diffusion, cfg_scale=cfg_scale, fold=fold, sampler=sampler,
+        eta=eta, scan_unroll=scan_unroll, clip_denoised=clip_denoised,
         cfg_interval=cfg_interval, batch_hint=batch_hint,
         dynamic_threshold=dynamic_threshold,
     )
     prepared = prepare(variables)
     if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from mapdit_tpu.parallel.mesh import param_sharding, shard_tree
 
-        prepared = shard_tree(prepared, param_sharding(prepared, mesh))
+        shardings = param_sharding(prepared, mesh)
+        if run_cfg.block_kernel == "mega_attn_tp":
+            # The island slices qkv per-head from a (3, D, D) view; the flat
+            # (3D, D) model split would misalign with the q/k/v blocks and
+            # force a cross-device reshard at the shard_map boundary every
+            # call. Replicate qkv (a few MB) so the boundary is a free local
+            # slice; out_proj's in-cols split already matches the island.
+            def _fix(path, s):
+                names = [p.key for p in path if hasattr(p, "key")]
+                if "qkv_proj" in names:
+                    return NamedSharding(mesh, P())
+                return s
+
+            shardings = jax.tree_util.tree_map_with_path(_fix, shardings)
+        prepared = shard_tree(prepared, shardings)
 
     def sample_fn(noise: Array, y: Array, rng: Array) -> Array:
         return shared_fn(prepared, noise, y, rng)
