@@ -104,6 +104,24 @@ class TestInitAndShapes:
         )
         assert out.shape == (2, 4, 16, 16)
 
+    def test_input_bias_lowerings_agree(self, monkeypatch):
+        """The two lowerings of the ones-column input bias — activation
+        concat (the reference's formulation) vs split-GEMM bias add
+        (MAPDIT_FUSE_INPUT_BIAS, the TPU form) — are the same math on the
+        same parameters."""
+        cfg = build_config("DiT-XS/8", in_channels=4, input_size=16,
+                           num_classes=10)
+        model, variables = init_model(cfg, seed=0)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.asarray([3.0, 7.0])
+        y = jnp.asarray([1, 2], jnp.int32)
+
+        outs = {}
+        for mode in ("1", "0"):
+            monkeypatch.setenv("MAPDIT_FUSE_INPUT_BIAS", mode)
+            outs[mode] = np.asarray(model.apply(variables, x, t, y))
+        np.testing.assert_allclose(outs["1"], outs["0"], rtol=1e-5, atol=1e-5)
+
 
 class TestFlagFamilies:
     """BASELINE configs: vanilla adaln+LN, full MP, MP+rotation(+scale)."""
