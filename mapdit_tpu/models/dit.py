@@ -92,7 +92,12 @@ class DiT(nn.Module):
             #             padding the activation. Parameters, checkpoints and
             #             gradients are identical (split happens after the
             #             row-normalize).
-            # MAPDIT_FUSE_INPUT_BIAS=0 restores the concat form for A/B.
+            # Chip A/B at the S/2 250-step headline (r04, back-to-back):
+            # concat 653.5 steps/s vs fused 647.6 — the fusion idea is
+            # REFUTED at these shapes (XLA already folds the tiny concat
+            # into the padded GEMM; the split form loses the 17-lane pad
+            # but adds a broadcast add). Concat stays the default;
+            # MAPDIT_FUSE_INPUT_BIAS=1 keeps the A/B surface.
             import math as _math
             import os as _os
 
@@ -104,7 +109,7 @@ class DiT(nn.Module):
                 dtype=cfg.dtype,
                 name="x_embedder",
             )
-            if _os.environ.get("MAPDIT_FUSE_INPUT_BIAS", "1") != "0":
+            if _os.environ.get("MAPDIT_FUSE_INPUT_BIAS", "0") == "1":
                 w = emb.effective_weight() * (1.0 / _math.sqrt(emb.in_dim))
                 w = w.astype(cfg.dtype)
                 x = x.astype(cfg.dtype) @ w[:, :-1].T + w[:, -1]
