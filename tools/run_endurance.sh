@@ -11,20 +11,23 @@
 # NUM_STEPS, the resumed log continues from the preemption step, and the
 # metrics JSONL covers the whole trajectory without a step gap.
 #
-# Usage: tools/run_endurance.sh [WORK_DIR] [NUM_STEPS] [SIGTERM_AFTER_S]
-# (TPU-sequential: nothing else may use the chip.)
+# Usage: tools/run_endurance.sh [WORK_DIR] [NUM_STEPS] [SIGTERM_AFTER_S] [BATCH]
+# (TPU-sequential: nothing else may use the chip.) Defaults sized for the
+# axon relay: CLI train runs ~4 steps/s at batch 64 (per-step host batch
+# upload dominates — BENCH_NOTES), so 8000 steps ≈ 33 min on chip.
 set -euo pipefail
 WD=${1:-/tmp/endurance}
-STEPS=${2:-36000}
+STEPS=${2:-8000}
 TERM_AFTER=${3:-900}
+BATCH=${4:-64}
 mkdir -p "$WD"
 
 ARGS=(--data-path synthetic:4096 --results-dir "$WD/results"
       --model DiT-S/2 --num-classes 10 --num-steps "$STEPS"
-      --batch-size 256 --compute-dtype bfloat16
-      --log-every 200 --ckpt-every 2000 --ema-snapshot-every 2000
+      --batch-size "$BATCH" --compute-dtype bfloat16
+      --log-every 200 --ckpt-every 1000 --ema-snapshot-every 1000
       --num-lin-warmup 100 --start-decay "$STEPS"
-      --metrics-jsonl metrics.jsonl)
+      --metrics-jsonl auto)
 
 echo "[endurance] phase 1: train (SIGTERM after ${TERM_AFTER}s)"
 python train.py "${ARGS[@]}" > "$WD/phase1.log" 2>&1 &
