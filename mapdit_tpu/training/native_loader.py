@@ -43,6 +43,11 @@ class NativeLatentLoader:
 
     @staticmethod
     def available(data_path: str) -> bool:
+        if os.environ.get("MAPDIT_NO_NATIVE_LOADER") == "1":
+            # A/B escape hatch: force the Python fallback loader so the
+            # host-stall contribution of each path can be measured on the
+            # same dataset (BENCH_NOTES loader attribution).
+            return False
         return (
             _load_lib() is not None
             and os.path.exists(os.path.join(data_path, "posterior_means.npy"))

@@ -178,6 +178,12 @@ class SamplerService:
         self._lat_sum = 0.0
         self._lat_count = 0
         self._lat_max = 0.0
+        # device-chain time per coalesced batch (the jitted sampling call
+        # only — excludes HTTP/coalesce/PNG): separates model cost from the
+        # serving floor in the /metrics latency story
+        self._chain_sum = 0.0
+        self._chain_count = 0
+        self._chain_max = 0.0
         # (sampler, steps, cfg_scale, bucket, schedule, cache_interval,
         #  cfg_interval, cache_mode) -> compiled sample fn
         self._fns = {}
@@ -529,6 +535,7 @@ class SamplerService:
             sampler, steps, cfg_scale, bucket, schedule, cache_interval,
             cfg_interval, cache_mode, dynamic_threshold,
         )
+        chain_t0 = time.perf_counter()
         if layout == "shard_map":
             # un-doubled interface: per-shard CFG doubling inside the
             # wrapper (pairs never straddle shards, megakernels stay live)
@@ -561,6 +568,10 @@ class SamplerService:
                     out = np.asarray(fn(z, y, skey))[:n]
             else:
                 out = np.asarray(fn(z, y, skey))[:n]
+        chain_s = time.perf_counter() - chain_t0  # np.asarray synced
+        self._chain_sum += chain_s
+        self._chain_count += 1
+        self._chain_max = max(self._chain_max, chain_s)
         # decode on this thread too — the dispatcher owns all device work
         from sample import decode_latents
 
@@ -601,6 +612,9 @@ class SamplerService:
             "request_latency_seconds_sum": round(self._lat_sum, 4),
             "request_latency_seconds_count": self._lat_count,
             "request_latency_seconds_max": round(self._lat_max, 4),
+            "chain_seconds_sum": round(self._chain_sum, 4),
+            "chain_seconds_count": self._chain_count,
+            "chain_seconds_max": round(self._chain_max, 4),
             "coalesce_ms": self.coalesce_ms,
             "uptime_s": round(time.time() - self.started, 1),
             "decode": "vae" if self.use_vae else "latent",

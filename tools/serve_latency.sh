@@ -36,6 +36,8 @@ for i in $(seq 1 "$N"); do
   TIMES+=("$T")
 done
 printf '%s\n' "${TIMES[@]}" | sort -n | awk '{a[NR]=$1} END {printf "median %.1f ms  min %.1f ms  max %.1f ms  n=%d\n", a[int((NR+1)/2)]*1000, a[1]*1000, a[NR]*1000, NR}'
+# device-chain share (jitted sampling call only) vs the serving floor
+curl -s "localhost:$PORT/metrics" | grep -E "chain_seconds_(sum|count)" | grep -v TYPE
 
 kill $SRV 2>/dev/null || true
 wait $SRV 2>/dev/null || true
