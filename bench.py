@@ -188,9 +188,12 @@ def main():
                         "exact chain). LOSSY: see BENCH_NOTES deviation numbers")
     p.add_argument("--cache-span", type=str, default=None,
                    help="lo,hi block span to cache (default middle half)")
-    p.add_argument("--cache-mode", choices=["hold", "forecast"], default="hold",
+    p.add_argument("--cache-mode", choices=["hold", "forecast"], default="forecast",
                    help="skip-step span delta: hold (Delta-DiT) or linear "
-                        "forecast (static Predict-to-Skip) — same FLOPs")
+                        "forecast (static Predict-to-Skip) — same FLOPs. "
+                        "forecast is the default: smaller deviation at every "
+                        "(sampler, k) on every trained checkpoint probed "
+                        "(r03s7, r04 — BENCH_NOTES)")
     p.add_argument("--cfg-interval", type=float, nargs=2, default=None,
                    metavar=("SIGMA_LO", "SIGMA_HI"),
                    help="sample mode: limited-interval guidance (arXiv "

@@ -366,7 +366,7 @@ def build_cached_sample_fn(
     clip_denoised: bool = False,
     sampler: str = "ddpm",
     cfg_interval: Optional[tuple] = None,
-    cache_mode: str = "hold",
+    cache_mode: str = "forecast",
     dynamic_threshold: Optional[float] = None,
 ):
     """Denoising chain with Delta-DiT-style block-span caching (arXiv

@@ -287,7 +287,7 @@ if __name__ == "__main__":
     parser.add_argument("--cache-interval", type=int, default=0,
                         help="Delta-DiT block-span caching every N steps "
                              "(0 = exact chain; lossy — see BENCH_NOTES)")
-    parser.add_argument("--cache-mode", choices=["hold", "forecast"], default="hold",
+    parser.add_argument("--cache-mode", choices=["hold", "forecast"], default="forecast",
                         help="skip-step span delta: hold it constant (Delta-DiT) "
                              "or linearly extrapolate from the last two full "
                              "evaluations (static Predict-to-Skip, arXiv "

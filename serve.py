@@ -28,9 +28,11 @@ Endpoints:
        "format": "png|npz"}
       cache_interval >= 2 enables Delta-DiT block-span caching (LOSSY —
       docs/BENCH_NOTES.md records the deviation; ddpm/dpm++ only, must
-      divide steps). cache_mode = "hold" (default) keeps the cached delta
-      constant across skip steps; "forecast" linearly extrapolates it
-      (static Predict-to-Skip, arXiv 2602.18093; same FLOPs).
+      divide steps). cache_mode = "forecast" (default) linearly
+      extrapolates the cached span delta across skip steps (static
+      Predict-to-Skip, arXiv 2602.18093); "hold" keeps it constant
+      (Delta-DiT). Same FLOPs; forecast measures a smaller deviation on
+      every trained checkpoint probed (BENCH_NOTES r03s7 + r04 grids).
       cfg_interval = [sigma_lo, sigma_hi] enables limited-interval guidance
       (arXiv 2404.07724): CFG only on steps with sigma(t) inside the
       interval, cond-only half-batch calls elsewhere (cheaper AND better
@@ -211,7 +213,7 @@ class SamplerService:
     def _get_fn(
         self, sampler: str, steps: int, cfg_scale: float, bucket: int,
         schedule: str = "uniform", cache_interval: int = 0, cfg_interval=None,
-        cache_mode: str = "hold", dynamic_threshold=None,
+        cache_mode: str = "forecast", dynamic_threshold=None,
     ):
         from mapdit_tpu.diffusion import create_diffusion, respacing_string
         from mapdit_tpu.runtime import build_cached_sample_fn, build_sample_fn
@@ -319,7 +321,7 @@ class SamplerService:
     def sample(
         self, class_labels, steps, sampler, cfg_scale, seed=None,
         schedule="uniform", cache_interval=0, cfg_interval=None,
-        cache_mode="hold", dynamic_threshold=None,
+        cache_mode="forecast", dynamic_threshold=None,
     ):
         """(labels, protocol) -> float latents/images (n, C, H, W) in [-1, 1].
 
@@ -717,7 +719,7 @@ def make_handler(service: SamplerService, defaults: dict):
                     labels, steps, sampler, cfg_scale, seed=req.get("seed"),
                     schedule=schedule, cache_interval=cache_interval,
                     cfg_interval=req.get("cfg_interval"),
-                    cache_mode=req.get("cache_mode", "hold"),
+                    cache_mode=req.get("cache_mode", "forecast"),
                     dynamic_threshold=req.get("dynamic_threshold"),
                 )
             except QueueFullError as e:
