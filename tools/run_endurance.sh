@@ -48,16 +48,25 @@ echo "[endurance] preemption checkpoint: $PRE_CKPT (step $PRE_STEP)"
 [ "$PRE_STEP" -lt "$STEPS" ] || { echo "no mid-run preemption happened"; exit 1; }
 
 echo "[endurance] phase 2: resume to $STEPS"
+# --resume loads state + data cursor but keeps run dirs immutable: the
+# continuation gets a NEW experiment dir (the next index).
 python train.py "${ARGS[@]}" --resume "$EXP" > "$WD/phase2.log" 2>&1
-grep "resumed from" "$EXP/log.txt"
-grep -q "done!" "$EXP/log.txt" || { echo "phase 2 did not finish"; exit 1; }
+EXP2=$(ls -d "$WD"/results/* | sort | tail -1)
+[ "$EXP2" != "$EXP" ] || { echo "no continuation experiment dir"; exit 1; }
+grep "resumed from" "$EXP2/log.txt"
+grep -q "done!" "$EXP2/log.txt" || { echo "phase 2 did not finish"; exit 1; }
 FINAL=$(printf '%07d' "$STEPS")
-ls "$EXP/checkpoints" | grep -q "$FINAL" || { echo "no final checkpoint"; ls "$EXP/checkpoints"; exit 1; }
+ls "$EXP2/checkpoints" | grep -q "$FINAL" || { echo "no final checkpoint"; ls "$EXP2/checkpoints"; exit 1; }
 
-python - "$EXP" "$PRE_STEP" "$STEPS" <<'EOF'
+python - "$EXP" "$EXP2" "$PRE_STEP" "$STEPS" <<'EOF'
 import json, sys
-exp, pre, steps = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
-rows = [json.loads(l) for l in open(f"{exp}/metrics.jsonl") if l.strip()]
+exp, exp2, pre, steps = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+rows = [
+    json.loads(l)
+    for path in (f"{exp}/metrics.jsonl", f"{exp2}/metrics.jsonl")
+    for l in open(path)
+    if l.strip()
+]
 got = [r["step"] for r in rows if "step" in r]
 assert got, "empty metrics jsonl"
 gaps = [(a, b) for a, b in zip(got, got[1:]) if b - a not in (0, 200, 400)]
