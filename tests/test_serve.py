@@ -310,11 +310,13 @@ class TestServe:
     def test_cache_interval_protocol(self, server):
         """Delta-DiT span caching is a first-class serving protocol knob
         (VERDICT r02 item #4): a cached dpm++ request runs end-to-end."""
+        # cache_mode pinned explicitly: the request default is forecast
+        # (r04 trained-weight arbitration), and this test needs both modes
         status, ctype, body = _post(
             server,
             {"class_label": 2, "steps": 4, "sampler": "dpm++",
              "cache_interval": 2, "cfg_scale": 1.0, "format": "npz",
-             "seed": 5},
+             "seed": 5, "cache_mode": "hold"},
         )
         assert status == 200 and ctype == "application/x-npz"
         with np.load(io.BytesIO(body)) as f:
