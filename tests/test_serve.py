@@ -110,6 +110,8 @@ class TestServe:
         assert "# TYPE mapdit_compiled_programs gauge" in text
         assert "mapdit_request_latency_seconds_sum " in text
         assert "mapdit_request_latency_seconds_count " in text
+        assert "mapdit_chain_seconds_sum " in text
+        assert "mapdit_chain_seconds_count " in text
 
     def test_latency_counters_advance(self, server):
         info0 = json.loads(urllib.request.urlopen(server + "/healthz", timeout=60).read())
@@ -121,6 +123,9 @@ class TestServe:
         assert info1["request_latency_seconds_count"] > info0["request_latency_seconds_count"]
         assert info1["request_latency_seconds_sum"] > info0["request_latency_seconds_sum"]
         assert info1["request_latency_seconds_max"] > 0
+        # device-chain share (the jitted sampling call) is tracked separately
+        assert info1["chain_seconds_count"] > info0["chain_seconds_count"]
+        assert info1["chain_seconds_sum"] > info0["chain_seconds_sum"]
 
     def test_png_grid(self, server):
         status, ctype, body = _post(
