@@ -44,12 +44,17 @@ def _use_fused_mlp(cfg: DiTConfig, seq_len: int) -> bool:
     )
 
 
-@functools.lru_cache(maxsize=1)
 def _mega_auto_ok() -> bool:
     """auto-dispatch environment gate: real single-chip TPU only (interpret
     mode off-TPU is debugging-speed; multi-chip GSPMD has no partitioning
-    rule for the kernel yet — explicit "mega" overrides both).  Cached at
-    module level: backend discovery is stable for the process lifetime."""
+    rule for the kernel yet — explicit "mega" overrides both).
+
+    Deliberately UNCACHED: this process may switch backends mid-life
+    (jax.config.update("jax_platforms", ...) + clear_backends — the
+    CLAUDE.md pattern used by tests/conftest.py and dryrun_multichip), and
+    a cached platform probe would then dispatch interpret-mode kernels on
+    CPU or silently disable them on TPU. jax.devices() itself is cached by
+    jax per live backend, so the per-dispatch cost is attribute access."""
     try:
         import jax
 
@@ -375,6 +380,17 @@ class DiTBlock(nn.Module):
                 .astype(cfg.dtype).reshape(3, d, d)
             )
             wout = attn_m.out_proj.effective_weight().astype(cfg.dtype)
+            # Batch spec chosen at trace time: a batch the data axis does
+            # not divide (serving buckets smaller than the fleet — the
+            # divisible=False branch in serve._run_group replicates inputs)
+            # stays replicated inside the island too; each shard then runs
+            # the full batch over its local heads, which is exactly the TP
+            # latency intent at small batches.
+            b_spec = (
+                P(DATA_AXIS)
+                if x.shape[0] % dict(mesh.shape).get(DATA_AXIS, 1) == 0
+                else P()
+            )
             island = jax.shard_map(
                 functools.partial(
                     fused_attn_branch_tp,
@@ -383,10 +399,10 @@ class DiTBlock(nn.Module):
                 ),
                 mesh=mesh,
                 in_specs=(
-                    P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                    b_spec, b_spec, b_spec, b_spec,
                     P(), P(None, MODEL_AXIS, None), P(None, MODEL_AXIS),
                 ),
-                out_specs=P(DATA_AXIS),
+                out_specs=b_spec,
                 check_vma=False,
             )
             x = island(

@@ -600,15 +600,74 @@ class TestTpKernelIsland:
             out = np.asarray(fn(zs, ys, key))[:n]
         np.testing.assert_allclose(ref, out, rtol=1e-4, atol=1e-4)
 
+    def test_island_non_divisible_batch_replicates(self, setup):
+        """Serving buckets smaller than the data axis (serve._run_group's
+        divisible=False branch feeds REPLICATED inputs): the island must
+        fall back to replicated batch specs at trace time instead of
+        demanding data-axis divisibility (r04 review finding)."""
+        from mapdit_tpu.runtime import build_sample_fn
+
+        cfg = setup[0]
+        variables = self._variables(cfg)
+        d = create_diffusion("2")
+        z = jax.random.normal(jax.random.PRNGKey(9), (1, 4, 16, 16))
+        y = jnp.zeros((1,), jnp.int32)
+        z2 = jnp.concatenate([z, z], axis=0)  # 2 CFG rows, data axis = 4
+        y2 = jnp.concatenate([y, jnp.full((1,), cfg.num_classes, jnp.int32)])
+        key = jax.random.PRNGKey(10)
+
+        plain = build_sample_fn(
+            cfg, variables, d, cfg_scale=1.5, sampler="ddim",
+            clip_denoised=True,
+        )
+        ref = np.asarray(plain(z2, y2, key))[:1]
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        fn = build_sample_fn(
+            cfg.replace(block_kernel="mega_attn_tp"), variables, d,
+            cfg_scale=1.5, sampler="ddim", clip_denoised=True, mesh=mesh,
+        )
+        with jax.set_mesh(mesh):
+            out = np.asarray(
+                fn(jax.device_put(z2, replicated(mesh)),
+                   jax.device_put(y2, replicated(mesh)), key)
+            )[:1]
+        np.testing.assert_allclose(ref, out, rtol=1e-4, atol=1e-4)
+
     def test_auto_resolution_off_tpu(self, setup):
         """'auto' must resolve to 'off' off-TPU (interpret mode is
-        debug-speed); the uneven-head split must also refuse."""
+        debug-speed)."""
         from mapdit_tpu.models.blocks import resolve_block_kernel_tp
 
         cfg = setup[0]
         assert resolve_block_kernel_tp(cfg, folded=True, tp=2) == "off"
+
+    def test_auto_resolution_gates_on_faked_tpu(self, setup, monkeypatch):
+        """The head-split / tp / policy gates with the platform probe
+        bypassed — off-TPU the probe short-circuits first and would mask a
+        broken gate (the real-TPU path must refuse uneven splits at
+        resolution time, not mid-trace)."""
+        import mapdit_tpu.models.blocks as blocks
+
+        class _FakeDev:
+            platform = "tpu"
+
+        monkeypatch.setattr(blocks.jax, "devices", lambda: [_FakeDev()])
+        cfg = setup[0].replace(block_kernel="auto")  # resolution only
+        # applies to "auto"; explicit values pass through verbatim
+        assert blocks.resolve_block_kernel_tp(cfg, folded=True, tp=2) == "mega_attn_tp"
         assert (
-            resolve_block_kernel_tp(cfg, folded=True, tp=cfg.num_heads + 1)
+            blocks.resolve_block_kernel_tp(cfg, folded=True, tp=cfg.num_heads + 1)
+            == "off"
+        )
+        assert blocks.resolve_block_kernel_tp(cfg, folded=True, tp=1) == "off"
+        # un-folded (training) trees never take the island
+        assert blocks.resolve_block_kernel_tp(cfg, folded=False, tp=2) == "off"
+        # explicit values pass through untouched
+        assert (
+            blocks.resolve_block_kernel_tp(
+                cfg.replace(block_kernel="off"), folded=True, tp=2
+            )
             == "off"
         )
 

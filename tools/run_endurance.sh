@@ -39,7 +39,9 @@ kill -TERM "$PID"
 if wait "$PID"; then echo "[endurance] phase 1 exit 0"; else
   echo "phase 1 non-zero exit"; tail -20 "$WD/phase1.log"; exit 1; fi
 
-EXP=$(ls -d "$WD"/results/* | head -1)
+EXP=$(ls -d "$WD"/results/* | sort | tail -1)  # NEWEST run — a reused
+# WORK_DIR may hold earlier experiments; validating an old one would pass
+# the greps against a stale trajectory and resume the wrong run
 echo "[endurance] experiment: $EXP"
 grep "graceful stop at step" "$EXP/log.txt" || { echo "no graceful stop line"; exit 1; }
 PRE_CKPT=$(ls "$EXP/checkpoints" | sort | tail -1)

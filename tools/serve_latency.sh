@@ -13,7 +13,8 @@
 # (TPU-sequential: do not run while another TPU process is live.)
 set -euo pipefail
 DIR=$1; shift
-N=${1:-10}; [ $# -gt 0 ] && shift
+N=10
+if [ $# -gt 0 ] && [[ $1 =~ ^[0-9]+$ ]]; then N=$1; shift; fi
 LOG=$(mktemp /tmp/serve_lat.XXXX.log)
 
 python serve.py --result-dir "$DIR" --port 0 --buckets 1 \
@@ -38,6 +39,10 @@ warm_code=$(curl -s -X POST "localhost:$PORT/v1/sample" \
   -d '{"class_label": 1, "num_samples": 1, "seed": 0}' -o /dev/null -w "%{http_code}")
 echo "warm0 $warm_code"
 [ "$warm_code" = "200" ] || { echo "warm request failed"; tail -5 "$LOG"; exit 1; }
+# snapshot the cumulative chain counters AFTER warmup so the printed
+# device-chain share covers only the measured window (the warmup batch's
+# chain time includes the multi-minute first compile)
+chain0=$(curl -s "localhost:$PORT/healthz" | python -c 'import json,sys; d=json.load(sys.stdin); print(d["chain_seconds_sum"], d["chain_seconds_count"])')
 TIMES=()
 for i in $(seq 1 "$N"); do
   OUT=$(curl -s -X POST "localhost:$PORT/v1/sample" \
@@ -49,8 +54,17 @@ for i in $(seq 1 "$N"); do
   TIMES+=("$T")
 done
 printf '%s\n' "${TIMES[@]}" | sort -n | awk '{a[NR]=$1} END {printf "median %.1f ms  min %.1f ms  max %.1f ms  n=%d\n", a[int((NR+1)/2)]*1000, a[1]*1000, a[NR]*1000, NR}'
-# device-chain share (jitted sampling call only) vs the serving floor
-curl -s "localhost:$PORT/metrics" | grep -E "chain_seconds_(sum|count)" | grep -v TYPE || true
+# device-chain share (jitted sampling call only) vs the serving floor —
+# deltas over the measured window, compile excluded
+curl -s "localhost:$PORT/healthz" | python -c '
+import json, sys
+d = json.load(sys.stdin)
+s0, c0 = map(float, sys.argv[1].split())
+ds = d["chain_seconds_sum"] - s0
+dc = d["chain_seconds_count"] - c0
+if dc > 0:
+    print(f"chain (measured window) {ds/dc*1000:.1f} ms/batch over {int(dc)} batches")
+' "$chain0" || true
 
 kill $SRV 2>/dev/null || true
 wait $SRV 2>/dev/null || true

@@ -30,7 +30,11 @@ def check(name, n, t, d, heads, tp):
     heads_local = heads // tp
     hd = d // heads
     d_l = heads_local * hd
-    ks = jax.random.split(jax.random.PRNGKey(hash(name) % 2**31), 6)
+    # crc32, not hash(): str hash is salted per interpreter, which would
+    # make a marginal rel_err irreproducible across runs
+    import zlib
+
+    ks = jax.random.split(jax.random.PRNGKey(zlib.crc32(name.encode())), 6)
     x = jax.random.normal(ks[0], (n, t, d), jnp.float32).astype(jnp.bfloat16)
     shift = (jax.random.normal(ks[1], (n, d)) * 0.1).astype(jnp.bfloat16)
     scale = (jax.random.normal(ks[2], (n, d)) * 0.1 + 1.0).astype(jnp.bfloat16)
