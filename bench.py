@@ -317,6 +317,20 @@ def main():
     best = min(times)
     value = args.steps / best  # full-chain denoise steps per second, one chip
 
+    # Relay-health stamp: the axon relay's per-dispatch latency fluctuated
+    # 10x intra-day in r04 (BENCH_NOTES degradation+recovery) — record the
+    # sync round-trip of a tiny jitted op alongside the row so a throughput
+    # outlier is attributable to relay state rather than code.
+    tiny = jax.jit(lambda a: a + 1.0)
+    tz = jnp.zeros((8, 128))
+    tiny(tz).block_until_ready()
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        tiny(tz).block_until_ready()
+        rtts.append(time.perf_counter() - t0)
+    dispatch_ms = round(sorted(rtts)[2] * 1000, 2)
+
     # per-step MFU: one CFG model forward is ~all of a chain step's FLOPs.
     # The forward is analyzed UNROLLED (scan_blocks=False — XLA's
     # cost_analysis counts a scan body once) with abstract shape-only
@@ -370,6 +384,7 @@ def main():
                 ),
                 "vs_baseline": round(value / TORCH_EAGER_BASELINE_STEPS_PER_SEC, 2),
                 "mfu_pct": mfu,
+                "dispatch_ms": dispatch_ms,
             }
         )
     )
