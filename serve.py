@@ -182,10 +182,16 @@ class SamplerService:
         self._lat_max = 0.0
         # device-chain time per coalesced batch (the jitted sampling call
         # only — excludes HTTP/coalesce/PNG): separates model cost from the
-        # serving floor in the /metrics latency story
+        # serving floor in the /metrics latency story. The FIRST invocation
+        # of each compiled protocol carries the multi-minute XLA compile —
+        # it is recorded separately as compile_seconds so chain_seconds
+        # reflects steady-state device time (ADVICE r04).
         self._chain_sum = 0.0
         self._chain_count = 0
         self._chain_max = 0.0
+        self._compile_sum = 0.0
+        self._compile_count = 0
+        self._warm_keys = set()
         # (sampler, steps, cfg_scale, bucket, schedule, cache_interval,
         #  cfg_interval, cache_mode) -> compiled sample fn
         self._fns = {}
@@ -537,6 +543,12 @@ class SamplerService:
             sampler, steps, cfg_scale, bucket, schedule, cache_interval,
             cfg_interval, cache_mode, dynamic_threshold,
         )
+        # compiled-program identity (includes bucket): first run per program
+        # is the compile call, kept out of the steady-state chain window
+        fn_key = (
+            sampler, steps, float(cfg_scale), bucket, schedule,
+            cache_interval, cfg_interval, cache_mode, dynamic_threshold,
+        )
         chain_t0 = time.perf_counter()
         if layout == "shard_map":
             # un-doubled interface: per-shard CFG doubling inside the
@@ -571,9 +583,16 @@ class SamplerService:
             else:
                 out = np.asarray(fn(z, y, skey))[:n]
         chain_s = time.perf_counter() - chain_t0  # np.asarray synced
-        self._chain_sum += chain_s
-        self._chain_count += 1
-        self._chain_max = max(self._chain_max, chain_s)
+        if fn_key in self._warm_keys:
+            self._chain_sum += chain_s
+            self._chain_count += 1
+            self._chain_max = max(self._chain_max, chain_s)
+        else:
+            # first call of this compiled protocol: XLA compile dominates —
+            # keep it out of the steady-state chain window
+            self._warm_keys.add(fn_key)
+            self._compile_sum += chain_s
+            self._compile_count += 1
         # decode on this thread too — the dispatcher owns all device work
         from sample import decode_latents
 
@@ -617,6 +636,10 @@ class SamplerService:
             "chain_seconds_sum": round(self._chain_sum, 4),
             "chain_seconds_count": self._chain_count,
             "chain_seconds_max": round(self._chain_max, 4),
+            # first-invocation-per-protocol time (XLA compile + first run),
+            # excluded from the chain_seconds steady-state window
+            "compile_seconds_sum": round(self._compile_sum, 4),
+            "compile_seconds_count": self._compile_count,
             "coalesce_ms": self.coalesce_ms,
             "uptime_s": round(time.time() - self.started, 1),
             "decode": "vae" if self.use_vae else "latent",

@@ -148,6 +148,9 @@ def draw_samples(
     seed: int,
     batch_hint_cap: int = 1024,
     cache_interval: int = 0,
+    # 'hold' on purpose (serve.py defaults to 'forecast'): this probe's grid
+    # passes cache_mode explicitly per row to A/B both modes against the
+    # same exact chain — the function default never decides a measurement.
     cache_mode: str = "hold",
     cfg_scale=None,
     cfg_interval=None,

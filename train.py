@@ -121,6 +121,13 @@ def main(args):
 
     diffusion = create_diffusion(timestep_respacing="")
     cfg = config_from_args(vars(args))
+    if cfg.block_kernel == "mega_attn_tp":
+        # inference-only island (no VJP on the partial kernel, needs an
+        # ambient mesh) — fail at setup, not mid-trace inside DiTBlock
+        raise SystemExit(
+            "--block-kernel mega_attn_tp is an inference-only TP layout; "
+            "training uses the XLA path (leave --block-kernel auto)"
+        )
 
     if args.ema_snapshot_every is None:
         args.ema_snapshot_every = args.num_steps // 250
