@@ -59,6 +59,22 @@ def _mfu_pct(step_fn, example_args, steps: int, chain_seconds: float):
     return None
 
 
+def _gate_relay(args, stats):
+    """Refuse (--require-healthy-relay) or loudly flag a degraded window."""
+    if stats["healthy"]:
+        return
+    import sys
+
+    msg = (
+        f"relay probe DEGRADED: tiny-op p50 {stats['p50_ms']} ms > "
+        f"{stats['healthy_ms']} ms healthy ceiling (r04 postmortem band)"
+    )
+    if getattr(args, "require_healthy_relay", False):
+        print(json.dumps({"error": "relay_degraded", **stats}), file=sys.stderr)
+        raise SystemExit(3)
+    print(f"WARNING: {msg} — row stamped relay_healthy=false", file=sys.stderr)
+
+
 def bench_train(args, cfg):
     """Secondary metric: train steps/sec at DiT-S/2 (BASELINE.md)."""
     from mapdit_tpu.training import (
@@ -121,12 +137,18 @@ def bench_train(args, cfg):
             print(f"hlo dump failed: {e!r}", file=sys.stderr)
         print(f"trace written to {args.profile_dir}", file=sys.stderr)
 
+    from mapdit_tpu.utils.relay_health import probe_relay
+
+    relay_pre = probe_relay()
+    _gate_relay(args, relay_pre)
+
     n_steps = max(args.steps, 10)
     start = time.perf_counter()
     for _ in range(n_steps):
         state, m = step_fn(state, next(batches))
     jax.block_until_ready(m["loss"])
     elapsed = time.perf_counter() - start
+    relay_post = probe_relay()
 
     # per-step MFU (fwd + bwd + optimizer); with --scan-blocks the depth
     # scan's body is counted once by cost_analysis, under-reporting.
@@ -144,6 +166,9 @@ def bench_train(args, cfg):
                 ),
                 "vs_baseline": None,
                 "mfu_pct": mfu,
+                "dispatch_ms": relay_pre["p50_ms"],
+                "relay": {"pre": relay_pre, "post": relay_post},
+                "relay_healthy": relay_pre["healthy"] and relay_post["healthy"],
             }
         )
     )
@@ -211,6 +236,14 @@ def main():
                    help="capture a jax.profiler trace (with perfetto json) of "
                         "one timed chain run into this directory; analyze with "
                         "tools/trace_breakdown.py")
+    p.add_argument("--probe-relay", action="store_true",
+                   help="run ONLY the relay-health probe (tiny-op dispatch "
+                        "round-trip) and print its JSON row; exit 3 if the "
+                        "p50 is outside the healthy band")
+    p.add_argument("--require-healthy-relay", action="store_true",
+                   help="refuse to record a row when the pre-measurement "
+                        "relay probe is degraded (exit 3) instead of "
+                        "stamping relay_healthy=false")
     p.add_argument("--prng", choices=["threefry", "rbg"], default="threefry",
                    help="PRNG impl for sampler step noise. A/B at the "
                         "250-step protocol measured NO difference (410.0 vs "
@@ -224,6 +257,24 @@ def main():
     fail_fast_on_dead_backend(
         float(os.environ.get("MAPDIT_BACKEND_TIMEOUT_S", "300")), label="bench"
     )
+
+    if args.probe_relay:
+        from mapdit_tpu.utils.relay_health import probe_relay
+
+        row = probe_relay()
+        print(
+            json.dumps(
+                {
+                    "metric": "relay_dispatch_ms_p50",
+                    "value": row["p50_ms"],
+                    "unit": "ms (tiny-op sync round-trip; healthy <= "
+                            f"{row['healthy_ms']:g} ms)",
+                    "vs_baseline": None,
+                    "relay": row,
+                }
+            )
+        )
+        return 0 if row["healthy"] else 3
 
     cfg = build_config(
         args.model,
@@ -308,6 +359,15 @@ def main():
             print(f"hlo dump failed: {e!r}", file=sys.stderr)
         print(f"trace written to {args.profile_dir}", file=sys.stderr)
 
+    # Relay-health watchdog (VERDICT r04 #5): probe BEFORE and AFTER the
+    # timed window so the row carries evidence that the whole measurement
+    # sat inside a healthy relay band — a 10x dispatch degradation mid-run
+    # (r04 postmortem) otherwise masquerades as a code regression.
+    from mapdit_tpu.utils.relay_health import probe_relay
+
+    relay_pre = probe_relay()
+    _gate_relay(args, relay_pre)
+
     times = []
     for i in range(args.repeats):
         start = time.perf_counter()
@@ -317,19 +377,8 @@ def main():
     best = min(times)
     value = args.steps / best  # full-chain denoise steps per second, one chip
 
-    # Relay-health stamp: the axon relay's per-dispatch latency fluctuated
-    # 10x intra-day in r04 (BENCH_NOTES degradation+recovery) — record the
-    # sync round-trip of a tiny jitted op alongside the row so a throughput
-    # outlier is attributable to relay state rather than code.
-    tiny = jax.jit(lambda a: a + 1.0)
-    tz = jnp.zeros((8, 128))
-    tiny(tz).block_until_ready()
-    rtts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        tiny(tz).block_until_ready()
-        rtts.append(time.perf_counter() - t0)
-    dispatch_ms = round(sorted(rtts)[2] * 1000, 2)
+    relay_post = probe_relay()
+    dispatch_ms = relay_pre["p50_ms"]
 
     # per-step MFU: one CFG model forward is ~all of a chain step's FLOPs.
     # The forward is analyzed UNROLLED (scan_blocks=False — XLA's
@@ -385,6 +434,8 @@ def main():
                 "vs_baseline": round(value / TORCH_EAGER_BASELINE_STEPS_PER_SEC, 2),
                 "mfu_pct": mfu,
                 "dispatch_ms": dispatch_ms,
+                "relay": {"pre": relay_pre, "post": relay_post},
+                "relay_healthy": relay_pre["healthy"] and relay_post["healthy"],
             }
         )
     )

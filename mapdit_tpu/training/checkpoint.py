@@ -38,6 +38,90 @@ def save_state(exp_dir: str, step: int, state) -> str:
     return path
 
 
+class AsyncMsgpackSaver:
+    """Non-blocking msgpack checkpointing (VERDICT r04 #3).
+
+    The sync `save_state` stalls the train loop for the full host fetch —
+    ~2 min per save through the axon relay (~600 MB device_get at
+    ~5 MB/s; BENCH_NOTES r04 endurance leg spent ~10% of wall-clock
+    saving). `save()` instead:
+
+    1. snapshots the state ON DEVICE with one jitted buffer copy
+       (HBM-bandwidth, milliseconds) — so the live state can keep being
+       donated by the next train step, and
+    2. device_gets the snapshot + writes the atomic msgpack file from a
+       background thread, overlapped with training.
+
+    Same on-disk format as `save_state` (restore_state reads both).
+    One save in flight at a time: a new save joins the previous write
+    first. The device snapshot transiently doubles state memory; if that
+    allocation fails (XL-scale), the save falls back to the sync path.
+    """
+
+    def __init__(self):
+        self._thread = None  # background writer (one in flight)
+        self._copy_fn = None
+        self._error: Optional[BaseException] = None
+
+    def _snapshot(self, state):
+        import jax
+        import jax.numpy as jnp
+
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        arr_idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
+        if self._copy_fn is None:
+            # one compiled call for ALL array leaves: per-leaf jnp.copy
+            # would pay a relay dispatch round-trip per leaf
+            self._copy_fn = jax.jit(lambda xs: [jnp.copy(x) for x in xs])
+        copied = self._copy_fn([leaves[i] for i in arr_idx])
+        out = list(leaves)
+        for i, c in zip(arr_idx, copied):
+            out[i] = c
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def save(self, exp_dir: str, step: int, state) -> str:
+        import threading
+
+        import jax
+
+        self.wait()  # one in-flight write; also surfaces a prior failure
+        try:
+            snap = self._snapshot(state)
+        except Exception:
+            # allocation failure (state copy does not fit next to the live
+            # state + optimizer) — degrade to the synchronous path rather
+            # than lose the checkpoint
+            return save_state(exp_dir, step, state)
+        path = checkpoint_path(exp_dir, step)
+
+        def _write():
+            try:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(serialization.to_bytes(jax.device_get(snap)))
+                os.replace(tmp, path)
+            except BaseException as e:  # surfaced on the next save()/close()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_write, daemon=True, name="ckpt-write"
+        )
+        self._thread.start()
+        return path
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise e
+
+    def close(self):
+        self.wait()
+
+
 _CKPT_RE = re.compile(r"^(\d+)\.msgpack$")
 
 

@@ -1,0 +1,88 @@
+"""In-process relay-health probe (VERDICT r04 #5).
+
+The axon tunnel's per-dispatch latency fluctuated ~10x intra-day in r04
+(BENCH_NOTES "Relay degradation + recovery": warm bucket-1 chain calls
+37-46 ms -> 250-430 ms, recovered after ~20 min idle). Any wall-clock row
+measured in such a window is attributable to relay state, not code — so
+every recorded row must carry probe evidence, and ±5% A/B claims are only
+admissible between two healthy-window probes.
+
+The probe is the sync round-trip of a tiny jitted op (8x128 add): it
+costs microseconds on-device, so its wall time IS the dispatch+fetch
+overhead ("F" in the perf-probe decomposition — 12-31 ms on a healthy
+tunnel, sub-ms on a direct-attached host).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+# Healthy ceiling for the tiny-op round-trip, in ms. Healthy-tunnel
+# sessions measure 10-40 ms (BENCH_NOTES r03/r04); degraded windows are
+# 100-500 ms. 60 ms splits the two observed bands with margin on both
+# sides. Direct-attached hosts measure sub-ms and always pass.
+DEFAULT_HEALTHY_MS = 60.0
+
+
+def probe_relay(n: int = 7, healthy_ms: float | None = None) -> dict:
+    """Measure the per-dispatch round-trip; return stats + health verdict.
+
+    Returns a dict designed to be embedded verbatim into bench rows:
+    {p50_ms, p90_ms, min_ms, max_ms, n, healthy_ms, healthy, platform}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if healthy_ms is None:
+        healthy_ms = float(
+            os.environ.get("MAPDIT_RELAY_HEALTHY_MS", DEFAULT_HEALTHY_MS)
+        )
+    platform = jax.devices()[0].platform
+    tiny = jax.jit(lambda a: a + 1.0)
+    tz = jnp.zeros((8, 128))
+    tiny(tz).block_until_ready()  # compile outside the timed window
+    rtts = []
+    for _ in range(max(n, 3)):
+        t0 = time.perf_counter()
+        tiny(tz).block_until_ready()
+        rtts.append((time.perf_counter() - t0) * 1000.0)
+    rtts.sort()
+    k = len(rtts)
+    stats = {
+        "p50_ms": round(rtts[k // 2], 2),
+        "p90_ms": round(rtts[min(k - 1, int(k * 0.9))], 2),
+        "min_ms": round(rtts[0], 2),
+        "max_ms": round(rtts[-1], 2),
+        "n": k,
+        "healthy_ms": healthy_ms,
+        "platform": platform,
+    }
+    # p50, not max: a single GC/OS hiccup must not flag a healthy window,
+    # but a degraded relay shifts the whole distribution (r04 evidence).
+    stats["healthy"] = stats["p50_ms"] <= healthy_ms
+    return stats
+
+
+def main():
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n", type=int, default=7)
+    p.add_argument("--healthy-ms", type=float, default=None)
+    p.add_argument("--watch", type=float, default=None, metavar="SECONDS",
+                   help="repeat the probe every SECONDS, printing one JSON "
+                        "line each time, until interrupted")
+    args = p.parse_args()
+    while True:
+        row = probe_relay(args.n, args.healthy_ms)
+        row["t"] = round(time.time(), 1)
+        print(json.dumps(row), flush=True)
+        if args.watch is None:
+            return 0 if row["healthy"] else 3
+        time.sleep(args.watch)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -439,6 +439,99 @@ class TestOrbaxBackend:
         )
 
 
+class TestAsyncMsgpackSaver:
+    def test_nonblocking_save_snapshots_at_save_time(self, tiny_setup, tmp_path):
+        """AsyncMsgpackSaver (VERDICT r04 #3): save() snapshots on device and
+        returns before the file write; donating/advancing the live state
+        while the background fetch+write runs must not corrupt the
+        checkpoint — the restored params equal the state AT SAVE TIME."""
+        from mapdit_tpu.training.checkpoint import (
+            AsyncMsgpackSaver,
+            latest_checkpoint,
+            restore_state,
+        )
+
+        cfg, ds, step_fn, _ = tiny_setup
+        tx = create_optimizer(warmup_flat_invsqrt(1e-2, 5, 50))
+        state = create_train_state(cfg, tx, seed=7)
+        it = ds.batches(batch_size=8, seed=7)
+
+        saver = AsyncMsgpackSaver()
+        state, _ = step_fn(state, next(it))
+        at_save = jax.device_get(state.params)
+        path = saver.save(str(tmp_path), 1, state)
+        # advance twice immediately: donated buffers are reused while the
+        # background thread is still fetching the snapshot
+        for _ in range(2):
+            state, _ = step_fn(state, next(it))
+        saver.close()
+
+        assert latest_checkpoint(str(tmp_path)) == path
+        template = create_train_state(cfg, tx, seed=9)
+        restored = restore_state(path, template)
+        assert int(restored.step) == 1
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            at_save,
+            restored.params,
+        )
+        # the advanced live state diverged from the snapshot (donation-safe)
+        assert not np.allclose(
+            np.asarray(jax.tree_util.tree_leaves(at_save)[0]),
+            np.asarray(jax.tree_util.tree_leaves(jax.device_get(state.params))[0]),
+        )
+
+    def test_write_error_surfaces_on_next_wait(self, tiny_setup, tmp_path):
+        from mapdit_tpu.training.checkpoint import AsyncMsgpackSaver
+
+        cfg, ds, step_fn, _ = tiny_setup
+        tx = create_optimizer(warmup_flat_invsqrt(1e-2, 5, 50))
+        state = create_train_state(cfg, tx, seed=3)
+
+        saver = AsyncMsgpackSaver()
+        # point the write at an unwritable location
+        blocked = tmp_path / "blocked"
+        blocked.write_text("not a dir")
+        saver.save(str(blocked / "sub"), 1, state)
+        with pytest.raises(Exception):
+            saver.wait()
+        # saver is reusable after the error surfaced
+        saver.save(str(tmp_path), 2, state)
+        saver.close()
+
+
+class TestDevicePrefetcher:
+    def test_order_preserved_and_exhaustion(self):
+        from mapdit_tpu.training.device_prefetch import DevicePrefetcher
+
+        batches = ({"x": np.full((2,), i)} for i in range(6))
+        staged = DevicePrefetcher(batches, lambda b: {"x": b["x"] + 100})
+        seen = [int(b["x"][0]) for b in staged]
+        assert seen == [100 + i for i in range(6)]
+        with pytest.raises(StopIteration):
+            next(staged)
+
+    def test_stage_error_propagates(self):
+        from mapdit_tpu.training.device_prefetch import DevicePrefetcher
+
+        def bad_stage(b):
+            raise RuntimeError("stage boom")
+
+        staged = DevicePrefetcher(iter([{"x": 1}]), bad_stage)
+        with pytest.raises(RuntimeError, match="stage boom"):
+            next(staged)
+
+    def test_close_unblocks_producer(self):
+        from mapdit_tpu.training.device_prefetch import DevicePrefetcher
+
+        batches = ({"x": i} for i in range(1000))
+        staged = DevicePrefetcher(batches, lambda b: b, depth=1)
+        assert next(staged)["x"] == 0
+        staged.close()  # producer blocked on the full queue must exit
+        staged._t.join(timeout=5)
+        assert not staged._t.is_alive()
+
+
 class TestDeterminism:
     def test_same_seed_identical_trajectory(self, tiny_setup):
         """Bitwise training determinism: two runs from the same seed produce

@@ -292,6 +292,7 @@ def main(args):
 
     logger.info(f"training for {args.num_steps} steps...")
     orbax_saver = None  # lazy async checkpointer (--checkpointer orbax)
+    msgpack_saver = None  # lazy non-blocking msgpack writer (default backend)
     train_steps = int(state.step)
     log_steps = 0
     loss_buf = []  # on-device scalars; fetched once per log interval
@@ -300,7 +301,7 @@ def main(args):
     def save_checkpoint(step, st):
         """One checkpoint write (both backends). Orbax saves are collective —
         every process must call this; msgpack writes on the lead only."""
-        nonlocal orbax_saver
+        nonlocal orbax_saver, msgpack_saver
         if args.checkpointer == "orbax":
             # collective: EVERY process must join the orbax save
             # barriers, or the lead deadlocks on a multi-host pod.
@@ -312,9 +313,23 @@ def main(args):
                 orbax_saver = AsyncOrbaxSaver()
             path = orbax_saver.save(exp_dir, step, st)
             logger.info(f"saving checkpoint to {path} at step {step}...")
+        elif args.checkpointer == "msgpack-sync":
+            if is_lead:
+                path = save_state(exp_dir, step, st)
+                logger.info(f"saving checkpoint to {path} at step {step}...")
         elif is_lead:
-            path = save_state(exp_dir, step, st)
-            logger.info(f"saving checkpoint to {path} at step {step}...")
+            # Default: non-blocking msgpack (VERDICT r04 #3) — a jitted
+            # on-device snapshot copy returns in milliseconds; the host
+            # fetch (~2 min/save through the relay) + atomic file write
+            # run on a background thread, overlapped with training.
+            if msgpack_saver is None:
+                from mapdit_tpu.training.checkpoint import AsyncMsgpackSaver
+
+                msgpack_saver = AsyncMsgpackSaver()
+            path = msgpack_saver.save(exp_dir, step, st)
+            logger.info(
+                f"saving checkpoint to {path} at step {step} (async write)..."
+            )
 
     def save_ema_snapshots(step, st):
         ema_dir = os.path.join(exp_dir, "ema")
@@ -370,9 +385,26 @@ def main(args):
             }
         return {k: jax.device_put(v, b_shard) for k, v in host_batch.items()}
 
+    # Double-buffer device staging (VERDICT r04 #2): a background thread
+    # device_puts batch k+1 while step k runs, hiding the per-step
+    # host->device upload (~22 ms/step through the relay) behind compute.
+    # stage_batch uses explicit shardings, so it is thread-safe without
+    # the (thread-local) ambient mesh. --device-prefetch off = inline A/B.
+    dev_prefetch = None
+    if getattr(args, "device_prefetch", "auto") != "off":
+        from mapdit_tpu.training.device_prefetch import DevicePrefetcher
+
+        dev_prefetch = DevicePrefetcher(batches, stage_batch, depth=2)
+        logger.info("device prefetch: double-buffered batch staging on")
+
+    def next_staged():
+        if dev_prefetch is not None:
+            return next(dev_prefetch)
+        return stage_batch(next(batches))
+
     with jax.set_mesh(mesh):
         while train_steps < args.num_steps:
-            batch = stage_batch(next(batches))
+            batch = next_staged()
             state, metrics = step_fn(state, batch)
             train_steps += 1
             log_steps += 1
@@ -448,6 +480,10 @@ def main(args):
                 )
                 break
 
+    if dev_prefetch is not None:
+        dev_prefetch.close()
+    if msgpack_saver is not None:
+        msgpack_saver.close()  # join the in-flight background write
     if orbax_saver is not None:
         orbax_saver.close()  # join the in-flight background write
     if args.profile_dir:
@@ -477,6 +513,11 @@ if __name__ == "__main__":
     parser.add_argument("--num-workers", type=int, default=4,
                         help="accepted for reference CLI parity; the host "
                              "pipeline is index-gather only and needs no workers")
+    parser.add_argument("--device-prefetch", choices=["auto", "off"],
+                        default="auto",
+                        help="double-buffer the host->device batch upload in "
+                             "a background thread (default on; 'off' stages "
+                             "inline for host-stall A/B attribution)")
     parser.add_argument("--log-every", type=int, default=100)
     parser.add_argument("--ckpt-every", type=int, default=50_000)
 
@@ -553,8 +594,15 @@ if __name__ == "__main__":
                              "in-kernel recompute), residual = residual-emitting "
                              "forward kernel + pure-XLA backward (no recompute), "
                              "reference = jnp recompute")
-    parser.add_argument("--checkpointer", choices=["msgpack", "orbax"], default="msgpack",
-                        help="checkpoint backend (orbax = async-capable production path)")
+    parser.add_argument("--checkpointer",
+                        choices=["msgpack", "msgpack-sync", "orbax"],
+                        default="msgpack",
+                        help="checkpoint backend. msgpack (default) snapshots "
+                             "on device and writes from a background thread "
+                             "(non-blocking); msgpack-sync is the old "
+                             "stall-the-loop path (A/B + low-memory escape "
+                             "hatch); orbax = async directory checkpoints "
+                             "(required for multi-host FSDP)")
     parser.add_argument("--resume", type=str, default=None,
                         help="checkpoint file or experiment dir to resume from")
     parser.add_argument("--profile-dir", type=str, default=None,
