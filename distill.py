@@ -74,7 +74,7 @@ def main(args):
     if args.compute_dtype:
         teacher_args = dict(teacher_args, compute_dtype=args.compute_dtype)
     cfg = config_from_args(teacher_args)
-    if cfg.block_kernel == "mega_attn_tp":
+    if cfg.block_kernel in ("mega_attn_tp", "mega_tp"):
         # inference-only TP island (no VJP): distillation trains the
         # student, so fall back to auto kernel resolution
         cfg = cfg.replace(block_kernel="auto")

@@ -232,6 +232,10 @@ def resolve_block_kernel_tp(cfg: DiTConfig, folded: bool, tp: int) -> str:
         return "off"
     if _kernel_policy(cfg, folded, cfg.num_patches) == "off":
         return "off"
+    # Full-block island when the MLP hidden width also splits evenly
+    # (VERDICT r04 #1); attention-only island as the uneven-hidden fallback.
+    if int(cfg.hidden_size * cfg.mlp_ratio) % tp == 0:
+        return "mega_tp"
     return "mega_attn_tp"
 
 
@@ -338,6 +342,69 @@ class DiTBlock(nn.Module):
                 mlp_m.fc1.effective_weight().astype(cfg.dtype),
                 mlp_m.fc2.effective_weight().astype(cfg.dtype),
                 cfg.num_heads,
+            )
+            return (x, None) if self.scan_mode else x
+
+        if cfg.block_kernel == "mega_tp":
+            # FULL-block tensor-parallel island (VERDICT r04 #1): the
+            # modulation head (replicated math), head-sharded attention AND
+            # hidden-sharded MLP all run in Pallas kernels inside one
+            # shard_map over the mesh's 'model' axis — two psums assemble
+            # the branch partials; nothing is left on GSPMD.
+            from jax.sharding import PartitionSpec as P
+
+            from mapdit_tpu.ops.pallas.dit_block import fused_dit_block_tp
+            from mapdit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            assert _kernel_family_ok(cfg), (
+                "mega_tp hard-codes the MP+adaln+cosine family"
+            )
+            mesh = jax.sharding.get_abstract_mesh()
+            assert mesh is not None and MODEL_AXIS in mesh.axis_names, (
+                "block_kernel='mega_tp' needs an ambient "
+                "('data','model') mesh — run under jax.set_mesh(mesh)"
+            )
+            tp = mesh.shape[MODEL_AXIS]
+            d = cfg.hidden_size
+            assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
+
+            attn_m = Attention(cfg, d, name="attn")
+            mlp_m = MLP(cfg, d, d, mlp_ratio=cfg.mlp_ratio, name="mlp")
+            wqkv3 = (
+                attn_m.qkv_proj.effective_weight()
+                .astype(cfg.dtype).reshape(3, d, d)
+            )
+            wout = attn_m.out_proj.effective_weight().astype(cfg.dtype)
+            w1 = mlp_m.fc1.effective_weight().astype(cfg.dtype)  # (H, D)
+            w2 = mlp_m.fc2.effective_weight().astype(cfg.dtype)  # (D, H)
+            wmod = mod_head.linear.effective_weight().astype(cfg.dtype)
+            assert w1.shape[0] % tp == 0, (w1.shape, tp)
+            b_spec = (
+                P(DATA_AXIS)
+                if x.shape[0] % dict(mesh.shape).get(DATA_AXIS, 1) == 0
+                else P()
+            )
+            island = jax.shard_map(
+                functools.partial(
+                    fused_dit_block_tp,
+                    heads_local=cfg.num_heads // tp,
+                    hidden_total=w1.shape[0],
+                    axis_name=MODEL_AXIS,
+                ),
+                mesh=mesh,
+                in_specs=(
+                    b_spec, b_spec, P(), P(),
+                    P(None, MODEL_AXIS, None), P(None, MODEL_AXIS),
+                    P(MODEL_AXIS, None), P(None, MODEL_AXIS),
+                ),
+                out_specs=b_spec,
+                check_vma=False,
+            )
+            x = island(
+                x.astype(cfg.dtype),
+                activation(c, cfg).astype(cfg.dtype),
+                jnp.stack([gain_msa, gain_mlp]),
+                wmod, wqkv3, wout, w1, w2,
             )
             return (x, None) if self.scan_mode else x
 

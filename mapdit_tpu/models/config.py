@@ -119,7 +119,7 @@ class DiTConfig:
         assert self.attention_impl in ("auto", "xla", "pallas", "pallas_v2", "pallas_v3")
         assert self.block_kernel in (
             "auto", "pallas", "mega", "mega_attn", "mega_attn_tp",
-            "mega_stack", "off",
+            "mega_tp", "mega_stack", "off",
         )
         assert self.attn_bwd in ("pallas", "residual", "reference")
 

@@ -1542,6 +1542,273 @@ def fused_attn_branch_tp(
     return ((xf + (branch - xf) * _RES_T) / _RES_DENOM).astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Tensor-parallel FULL block: modulation head + attention + MLP all inside
+# the shard_map island (VERDICT r04 #1 — "finish the block").
+#
+# mega_attn_tp islanded only the attention half; the MLP half and the
+# modulation head stayed on GSPMD, paying exactly the relayout/normalize
+# HBM traffic the single-chip megakernel exists to remove. The full-block
+# recipe ("mega_tp"):
+#
+#   kernel 1 (per shard): modulation-head GEMM (REPLICATED math — the
+#     (6D, D) weight is tiny and shift/scale are consumed full-D by every
+#     shard, so replicating beats a column-split + all-gather) + the
+#     head-sharded attention partial (same math as _attn_tp_kernel). Two
+#     outputs: the f32 partial out-projection and the f32 (G, 6, D)
+#     modulation chunks.
+#   psum #1 over 'model' -> replicated gated-MP attention residual.
+#   kernel 2 (per shard): MLP partial — modulate prologue + column-split
+#     fc1 rows (MP-SiLU is elementwise on local hidden lanes, so the split
+#     is exact) + row-split fc2 -> f32 partial.
+#   psum #2 -> replicated gated-MP MLP residual.
+#
+# Two psums are the GSPMD-TP minimum for this dependency chain (the MLP
+# input needs the completed attention residual); the win over GSPMD is that
+# every GEMM + modulate + normalize runs inside Pallas with no head
+# relayout and no standalone elementwise HBM passes. Reference math:
+# `src/blocks/dit_block.py:10-37`, `src/layers/mlp.py:7-25`,
+# `src/layers/attention.py:9-51`. Inference-only, like the other islands.
+# ---------------------------------------------------------------------------
+
+
+def _block_tp_kernel(
+    gains_ref,  # SMEM (1, 2): gain_msa, gain_mlp (gain_mlp consumed by
+    #             kernel 2; one array so the caller stacks gains once)
+    x_ref,      # (G, T, D) residual stream (full channels, replicated)
+    a_ref,      # (N, D) activated conditioning, full, program_id-sliced
+    wmod_ref,   # (6D, D) modulation head weight, REPLICATED
+    wqkv_ref,   # (3*Dl, D) LOCAL head rows
+    wout_ref,   # (D, Dl) LOCAL in-columns of the out-projection
+    o_ref,      # (G, T, D) f32 out: PARTIAL pre-gate out-projection
+    mods_ref,   # (G, 6, D) f32 out: modulation chunks (replicated math)
+    *,
+    group: int,
+    heads_local: int,
+    inv_d: float,
+):
+    g, t, d = x_ref.shape
+    d_l = wqkv_ref.shape[0] // 3
+    dtype = wqkv_ref.dtype
+    row0 = pl.program_id(0) * group
+
+    # ---- modulation head (replicated): (G, D) @ (6D, D)^T / sqrt(D) ---- #
+    a_g = _row_select(a_ref, row0, group, dtype)  # (G, D) f32
+    mods = jax.lax.dot_general(
+        a_g.astype(dtype),
+        wmod_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d  # (G, 6D): [shift|scale|gate]_msa, [shift|scale|gate]_mlp
+    mods_ref[...] = mods.reshape(g, 6, d)
+
+    # ---- attention partial on the local heads (== _attn_tp_kernel) ---- #
+    x = x_ref[...].astype(jnp.float32)
+    shift = mods[:, 0 * d : 1 * d].reshape(g, 1, d)
+    scale = mods[:, 1 * d : 2 * d].reshape(g, 1, d)
+    gain = gains_ref[0, 0]
+
+    h_in = _modulate(x, shift, scale, gain)
+    qkv = jax.lax.dot_general(
+        h_in.reshape(g * t, d).astype(dtype),
+        wqkv_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d  # (G*T, 3*Dl)
+
+    attn = _attention_core(qkv, g, t, d_l, heads_local, dtype)
+    out = jax.lax.dot_general(
+        attn.astype(dtype), wout_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d  # (G*T, D) partial
+    o_ref[...] = out.reshape(g, t, d)
+
+
+def _block_tp_attn_impl(x, a, gains, w_mod, w_qkv_l, w_out_l, heads_local):
+    """pallas_call wrapper for kernel 1; returns (partial, mods)."""
+    n, t, d = x.shape
+    d_l = w_qkv_l.shape[0] // 3
+    weight_bytes = (6 * d * d + 4 * d * d_l) * w_qkv_l.dtype.itemsize
+    budget_rows = max(t, ((_vmem_mb() - 1) * 2**20 - weight_bytes) // (24 * d))
+    g = 1
+    for cand in (8, 4, 2):
+        if n % cand == 0 and cand * t <= budget_rows:
+            g = cand
+            break
+
+    return pl.pallas_call(
+        functools.partial(
+            _block_tp_kernel, group=g, heads_local=heads_local,
+            inv_d=1.0 / math.sqrt(d),
+        ),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((6 * d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d_l, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d_l), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # 3D (G, 6, D) block: a 2D (G, 6D) block would violate
+            # Mosaic's sublane divisibility at small G (see _kernel's
+            # a_ref note); as the trailing two dims, (6, D) just pads
+            pl.BlockSpec((g, 6, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, 6, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * d * 6 * d
+            + 2 * n * t * d * (3 * d_l + d_l)
+            + 4 * n * heads_local * t * t * (d_l // heads_local),
+            bytes_accessed=(2 * n * t * d + 6 * d * d + 4 * d * d_l) * 2
+            + 4 * n * t * d,
+            transcendentals=n * heads_local * t * t,
+        ),
+        compiler_params=None if _interpret() else _compiler_params(),
+        interpret=_interpret(),
+    )(
+        jnp.stack(
+            [jnp.asarray(gains[0], jnp.float32), jnp.asarray(gains[1], jnp.float32)]
+        ).reshape(1, 2),
+        x, a, w_mod, w_qkv_l, w_out_l,
+    )
+
+
+def _mlp_tp_kernel(
+    gains_ref,  # SMEM (1, 2): gain_msa (unused), gain_mlp
+    x_ref,      # (G, T, D) post-attention residual stream
+    shift_ref,  # (N, D) full, program_id-sliced (shift_mlp)
+    scale_ref,  # (N, D) (scale_mlp)
+    w1_ref,     # (Hl, D) LOCAL fc1 out-rows (column-parallel)
+    w2_ref,     # (D, Hl) LOCAL fc2 in-columns (row-parallel)
+    o_ref,      # (G, T, D) f32 out: PARTIAL fc2 projection
+    *,
+    group: int,
+    inv_d: float,
+    inv_h: float,
+):
+    """MLP half-block partial on a hidden-lane shard: modulate prologue +
+    local fc1 + MP-SiLU (elementwise on local hidden lanes — the split is
+    exact) + local fc2 in-columns. ``inv_h`` is 1/sqrt(H_GLOBAL): the MP
+    fan-in normalization of fc2 uses the full hidden width, not Hl."""
+    g, t, d = x_ref.shape
+    dtype = w1_ref.dtype
+    row0 = pl.program_id(0) * group
+
+    x = x_ref[...].astype(jnp.float32)
+    shift = _row_select(shift_ref, row0, group, dtype).reshape(g, 1, d)
+    scale = _row_select(scale_ref, row0, group, dtype).reshape(g, 1, d)
+    gain = gains_ref[0, 1]
+
+    h_in = _modulate(x, shift, scale, gain)
+    h1 = jax.lax.dot_general(
+        h_in.reshape(g * t, d).astype(dtype),
+        w1_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_d  # (G*T, Hl)
+    h1 = (jax.nn.silu(h1) / _SILU_DIV).astype(dtype)
+    h2 = jax.lax.dot_general(
+        h1,
+        w2_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_h  # (G*T, D) partial
+    o_ref[...] = h2.reshape(g, t, d)
+
+
+def _mlp_tp_partial_impl(x, shift, scale, gains, w1_l, w2_l, inv_h):
+    n, t, d = x.shape
+    h_l = w1_l.shape[0]
+    weight_bytes = 2 * d * h_l * w1_l.dtype.itemsize
+    budget_rows = max(
+        t, ((_vmem_mb() - 1) * 2**20 - weight_bytes) // (16 * d + 8 * h_l)
+    )
+    g = 1
+    for cand in (8, 4, 2):
+        if n % cand == 0 and cand * t <= budget_rows:
+            g = cand
+            break
+
+    return pl.pallas_call(
+        functools.partial(
+            _mlp_tp_kernel, group=g, inv_d=1.0 / math.sqrt(d), inv_h=inv_h,
+        ),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_l, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h_l), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * t * d * 2 * h_l,
+            bytes_accessed=(2 * n * t * d + 2 * d * h_l) * 2 + 4 * n * t * d,
+            transcendentals=n * t * h_l,
+        ),
+        compiler_params=None if _interpret() else _compiler_params(),
+        interpret=_interpret(),
+    )(
+        jnp.stack(
+            [jnp.asarray(gains[0], jnp.float32), jnp.asarray(gains[1], jnp.float32)]
+        ).reshape(1, 2),
+        x, shift, scale, w1_l, w2_l,
+    )
+
+
+def _mlp_tp_partial_reference(x, shift, scale, gain, w1_l, w2_l, inv_h):
+    """jnp oracle for the per-shard MLP partial (parity tests)."""
+    n, t, d = x.shape
+    zs = x * scale[:, None, :]
+    denom = jnp.sqrt((1.0 - gain) ** 2 + gain**2)
+    h = (zs + (shift[:, None, :] - zs) * gain) / denom
+    h1 = h @ w1_l.T / math.sqrt(d)
+    h1 = jax.nn.silu(h1) / _SILU_DIV
+    return (h1 @ w2_l.T * inv_h).astype(jnp.float32)
+
+
+def fused_dit_block_tp(
+    x, a, gains, w_mod, w_qkv3, w_out_l, w1_l, w2_l, *,
+    heads_local: int, hidden_total: int, axis_name: str,
+):
+    """Full-block tensor-parallel island for a shard_map body.
+
+    ``w_qkv3``: (3, Dl, D) local head rows (see fused_attn_branch_tp);
+    ``w_out_l``: (D, Dl); ``w1_l``: (Hl, D) local fc1 rows; ``w2_l``:
+    (D, Hl) local fc2 columns; ``w_mod``: (6D, D) replicated.
+    ``hidden_total`` = global MLP hidden width H (fc2's MP fan-in).
+    Returns the updated residual stream, replicated over the model axis.
+    Inference-only (no VJP on the partial kernels)."""
+    three, d_l, d = w_qkv3.shape
+    assert three == 3, w_qkv3.shape
+    partial, mods = _block_tp_attn_impl(
+        x, a, gains, w_mod, w_qkv3.reshape(3 * d_l, d), w_out_l, heads_local,
+    )
+    attn_out = jax.lax.psum(partial, axis_name)
+    xf = x.astype(jnp.float32)
+    branch = mods[:, 2][:, None, :] * attn_out  # gate_msa
+    x1 = (xf + (branch - xf) * _RES_T) / _RES_DENOM
+
+    mlp_partial = _mlp_tp_partial_impl(
+        x1.astype(x.dtype), mods[:, 3], mods[:, 4], gains, w1_l, w2_l,
+        inv_h=1.0 / math.sqrt(hidden_total),
+    )
+    mlp_out = jax.lax.psum(mlp_partial, axis_name)
+    branch = mods[:, 5][:, None, :] * mlp_out  # gate_mlp
+    x2 = (x1 + (branch - x1) * _RES_T) / _RES_DENOM
+    return x2.astype(x.dtype)
+
+
 @functools.lru_cache(maxsize=None)
 def _make(heads: int):
     @jax.custom_vjp

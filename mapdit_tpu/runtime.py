@@ -693,15 +693,19 @@ def build_sample_fn(
         from mapdit_tpu.models.blocks import resolve_block_kernel_tp
         from mapdit_tpu.parallel.mesh import MODEL_AXIS
 
-        assert cfg.block_kernel in ("auto", "off", "mega_attn_tp"), (
+        assert cfg.block_kernel in ("auto", "off", "mega_attn_tp", "mega_tp"), (
             "explicit Pallas block kernels cannot be GSPMD-partitioned; "
-            "use block_kernel='auto' (promotes to the head-sharded "
-            "mega_attn_tp island when the 'model' axis supports it, XLA "
+            "use block_kernel='auto' (promotes to the full-block mega_tp "
+            "island when the 'model' axis supports it, XLA "
             "pipeline otherwise) or the shard_map data-parallel path"
         )
         tp = dict(mesh.shape).get(MODEL_AXIS, 1)
-        if cfg.block_kernel == "mega_attn_tp":
+        if cfg.block_kernel in ("mega_attn_tp", "mega_tp"):
             assert tp > 1 and cfg.num_heads % tp == 0, (cfg.num_heads, tp)
+            if cfg.block_kernel == "mega_tp":
+                assert int(cfg.hidden_size * cfg.mlp_ratio) % tp == 0, (
+                    cfg.hidden_size, cfg.mlp_ratio, tp,
+                )
         elif cfg.block_kernel == "auto":
             run_cfg = cfg.replace(
                 block_kernel=resolve_block_kernel_tp(
@@ -721,12 +725,14 @@ def build_sample_fn(
         from mapdit_tpu.parallel.mesh import param_sharding, shard_tree
 
         shardings = param_sharding(prepared, mesh)
-        if run_cfg.block_kernel == "mega_attn_tp":
+        if run_cfg.block_kernel in ("mega_attn_tp", "mega_tp"):
             # The island slices qkv per-head from a (3, D, D) view; the flat
             # (3D, D) model split would misalign with the q/k/v blocks and
             # force a cross-device reshard at the shard_map boundary every
             # call. Replicate qkv (a few MB) so the boundary is a free local
-            # slice; out_proj's in-cols split already matches the island.
+            # slice; out_proj's in-cols split already matches the island —
+            # as do fc1's out-rows and fc2's in-cols splits for mega_tp,
+            # and the (replicated) modulation-head weight.
             def _fix(path, s):
                 names = [p.key for p in path if hasattr(p, "key")]
                 if "qkv_proj" in names:

@@ -39,13 +39,16 @@ def probe_relay(n: int = 7, healthy_ms: float | None = None) -> dict:
             os.environ.get("MAPDIT_RELAY_HEALTHY_MS", DEFAULT_HEALTHY_MS)
         )
     platform = jax.devices()[0].platform
-    tiny = jax.jit(lambda a: a + 1.0)
+    tiny = jax.jit(lambda a, s: a + s)
     tz = jnp.zeros((8, 128))
-    tiny(tz).block_until_ready()  # compile outside the timed window
+    tiny(tz, jnp.float32(0)).block_until_ready()  # compile outside the window
     rtts = []
-    for _ in range(max(n, 3)):
+    for i in range(max(n, 3)):
+        # varying operand: a repeated identical call can be served from a
+        # result cache on some relay paths (measured 0.02 ms "round-trips"
+        # with a constant input — physically impossible through a tunnel)
         t0 = time.perf_counter()
-        tiny(tz).block_until_ready()
+        tiny(tz, jnp.float32(i + 1)).block_until_ready()
         rtts.append((time.perf_counter() - t0) * 1000.0)
     rtts.sort()
     k = len(rtts)

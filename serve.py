@@ -111,6 +111,7 @@ class SamplerService:
         max_programs: int = 32,
         max_pending: int = 64,
         request_timeout_s: float = 600.0,
+        preamble: str = "host",
     ):
         import jax
 
@@ -168,6 +169,13 @@ class SamplerService:
 
             self._decoder = load_decoder(vae_path)  # load weights ONCE
         self.buckets = tuple(sorted(set(buckets)))
+        assert preamble in ("host", "fused"), preamble
+        if preamble == "fused" and self._mesh is not None:
+            # fused wrapping targets the plain single-device path; sharded
+            # layouts keep the host preamble (their device_put IS the
+            # sharding boundary)
+            raise ValueError("--preamble fused requires a single device")
+        self.preamble = preamble
         self.coalesce_ms = coalesce_ms
         self.max_programs = max_programs
         self.max_pending = max_pending
@@ -221,6 +229,9 @@ class SamplerService:
         schedule: str = "uniform", cache_interval: int = 0, cfg_interval=None,
         cache_mode: str = "forecast", dynamic_threshold=None,
     ):
+        import jax
+        import jax.numpy as jnp
+
         from mapdit_tpu.diffusion import create_diffusion, respacing_string
         from mapdit_tpu.runtime import build_cached_sample_fn, build_sample_fn
 
@@ -309,6 +320,51 @@ class SamplerService:
                 )
             if not isinstance(fn, tuple):
                 fn = (fn, "plain")
+            if (
+                fn[1] == "plain"
+                and self._mesh is None
+                and self.preamble == "fused"
+            ):
+                # Fused preamble (VERDICT r04 #8): the per-request device
+                # preamble (per-job key derivation + z draws + CFG
+                # doubling + chain-key fold_in) used to run eagerly — each
+                # op a relay dispatch round-trip (~80-100 ms/request tax
+                # through a degraded tunnel). Fold it ALL into the jitted
+                # chain: one dispatch per request. Seed contract: per-ROW
+                # z keys are fold_in(fold_in(zroot, seed), row) — seeded
+                # outputs are batch-composition-independent AND
+                # server-independent, but differ numerically from the
+                # 'host' preamble's draws (hence the opt-in flag).
+                base_fn = fn[0]
+                c = self.train_args["in_channels"]
+                s = self.train_args["input_size"]
+                num_classes = self.cfg.num_classes
+                zroot = jax.random.PRNGKey(0)
+                ckey = self._base_key
+                double = cfg_scale > 1.0
+
+                @jax.jit
+                def fused(seeds, rows, y_rows, chain_ctr):
+                    keys = jax.vmap(
+                        lambda sd, r: jax.random.fold_in(
+                            jax.random.fold_in(zroot, sd), r
+                        )
+                    )(seeds, rows)
+                    z = jax.vmap(
+                        lambda k: jax.random.normal(k, (c, s, s))
+                    )(keys)
+                    skey = jax.random.fold_in(ckey, chain_ctr)
+                    if double:
+                        z = jnp.concatenate([z, z], axis=0)
+                        y = jnp.concatenate([
+                            y_rows,
+                            jnp.full((y_rows.shape[0],), num_classes, jnp.int32),
+                        ])
+                    else:
+                        y = y_rows
+                    return base_fn(z, y, skey)
+
+                fn = (fused, "fused")
             self._fns[key] = fn
         return fn
 
@@ -516,6 +572,50 @@ class SamplerService:
         c = self.train_args["in_channels"]
         s = self.train_args["input_size"]
 
+        fn, layout = self._get_fn(
+            sampler, steps, cfg_scale, bucket, schedule, cache_interval,
+            cfg_interval, cache_mode, dynamic_threshold,
+        )
+        # compiled-program identity (includes bucket): first run per program
+        # is the compile call, kept out of the steady-state chain window
+        fn_key = (
+            sampler, steps, float(cfg_scale), bucket, schedule,
+            cache_interval, cfg_interval, cache_mode, dynamic_threshold,
+        )
+
+        if layout == "fused":
+            # One-dispatch preamble (VERDICT r04 #8): everything below is
+            # host-side numpy; the single jit call derives per-row z keys
+            # (fold_in(fold_in(zroot, seed), row)), draws z, doubles for
+            # CFG and folds the chain key — no eager device ops at all.
+            seeds, rows, labels = [], [], []
+            for job in group:
+                if job.seed is None:
+                    self._request_counter += 1
+                    sd = self._request_counter
+                else:
+                    sd = int(job.seed)
+                k = len(job.labels)
+                seeds.extend([sd] * k)
+                rows.extend(range(k))
+                labels.append(job.labels)
+            pad = bucket - n
+            if pad:
+                seeds.extend([0] * pad)
+                rows.extend(range(pad))
+                labels.append(np.zeros((pad,), np.int32))
+            self._request_counter += 1
+            chain_ctr = np.uint32(self._request_counter)
+            seeds_np = np.asarray(seeds, np.uint32)
+            rows_np = np.asarray(rows, np.uint32)
+            y_np = np.asarray(np.concatenate(labels), np.int32)
+
+            chain_t0 = time.perf_counter()
+            out = np.asarray(fn(seeds_np, rows_np, y_np, chain_ctr))[:n]
+            chain_s = time.perf_counter() - chain_t0
+            self._finish_group(group, out, fn_key, chain_s)
+            return
+
         # Per-request z keys: row noise is independent of batch position,
         # so deterministic samplers give coalescing-invariant outputs.
         zs, labels = [], []
@@ -539,16 +639,6 @@ class SamplerService:
         self._request_counter += 1
         skey = jax.random.fold_in(self._base_key, self._request_counter)
 
-        fn, layout = self._get_fn(
-            sampler, steps, cfg_scale, bucket, schedule, cache_interval,
-            cfg_interval, cache_mode, dynamic_threshold,
-        )
-        # compiled-program identity (includes bucket): first run per program
-        # is the compile call, kept out of the steady-state chain window
-        fn_key = (
-            sampler, steps, float(cfg_scale), bucket, schedule,
-            cache_interval, cfg_interval, cache_mode, dynamic_threshold,
-        )
         chain_t0 = time.perf_counter()
         if layout == "shard_map":
             # un-doubled interface: per-shard CFG doubling inside the
@@ -583,6 +673,10 @@ class SamplerService:
             else:
                 out = np.asarray(fn(z, y, skey))[:n]
         chain_s = time.perf_counter() - chain_t0  # np.asarray synced
+        self._finish_group(group, out, fn_key, chain_s)
+
+    def _finish_group(self, group, out, fn_key, chain_s):
+        """Shared tail of _run_group: chain accounting, decode, fan-out."""
         if fn_key in self._warm_keys:
             self._chain_sum += chain_s
             self._chain_count += 1
@@ -640,6 +734,7 @@ class SamplerService:
             # excluded from the chain_seconds steady-state window
             "compile_seconds_sum": round(self._compile_sum, 4),
             "compile_seconds_count": self._compile_count,
+            "preamble": self.preamble,
             "coalesce_ms": self.coalesce_ms,
             "uptime_s": round(time.time() - self.started, 1),
             "decode": "vae" if self.use_vae else "latent",
@@ -806,6 +901,7 @@ def main(args):
         max_programs=args.max_programs,
         max_pending=args.max_pending,
         request_timeout_s=args.request_timeout_s,
+        preamble=args.preamble,
     )
     defaults = {
         "steps": args.default_steps,
@@ -904,6 +1000,13 @@ if __name__ == "__main__":
                              "its matmuls over it (GSPMD psums over ICI) — "
                              "the latency layout for buckets too small to "
                              "fill a data axis; must divide the device count")
+    parser.add_argument("--preamble", choices=["host", "fused"], default="host",
+                        help="request preamble: host = eager per-job key/z "
+                             "device ops (the original seed contract); fused "
+                             "= fold key derivation, z draws and CFG "
+                             "doubling into the jitted chain — ONE device "
+                             "dispatch per request (single-device servers; "
+                             "changes seeded outputs, see SERVING.md)")
     parser.add_argument("--coalesce-ms", type=float, default=3.0,
                         help="how long the dispatcher waits to merge concurrent "
                              "same-protocol requests into one device batch "

@@ -564,11 +564,165 @@ class TestTpKernelIsland:
         )
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=5e-5, atol=5e-5)
 
+    def test_mlp_partials_sum_to_full_branch(self):
+        """Algebra check (VERDICT r04 #1): two hidden-lane shards' fc1/fc2
+        partials psum'd + the gated-MP epilogue == the full MLP branch
+        (column-split w1 rows / row-split w2 cols; MP-SiLU is elementwise
+        on local hidden lanes, so the split is exact)."""
+        from mapdit_tpu.ops.mp import mp_silu, mp_sum
+        from mapdit_tpu.ops.pallas.dit_block import (
+            _RES_T,
+            _mlp_tp_partial_reference,
+        )
+
+        n, t, d, h = 2, 8, 64, 256
+        ks = jax.random.split(jax.random.PRNGKey(11), 7)
+        x = jax.random.normal(ks[0], (n, t, d))
+        shift = jax.random.normal(ks[1], (n, d)) * 0.1
+        scale = jax.random.normal(ks[2], (n, d)) * 0.1 + 1.0
+        gate = jax.random.normal(ks[3], (n, d)) * 0.1
+        gain = jnp.float32(0.25)
+        w1 = jax.random.normal(ks[4], (h, d)) / np.sqrt(d)
+        w2 = jax.random.normal(ks[5], (d, h)) / np.sqrt(h)
+
+        # full branch (== _reference's MLP half)
+        zs = x * scale[:, None, :]
+        denom = jnp.sqrt((1.0 - gain) ** 2 + gain**2)
+        h_in = (zs + (shift[:, None, :] - zs) * gain) / denom
+        y = mp_silu(h_in @ w1.T / np.sqrt(d)) @ w2.T / np.sqrt(h)
+        full = mp_sum(x, gate[:, None, :] * y, t=_RES_T)
+
+        h_l = h // 2
+        partials = [
+            _mlp_tp_partial_reference(
+                x, shift, scale, gain,
+                w1[s * h_l : (s + 1) * h_l],
+                w2[:, s * h_l : (s + 1) * h_l],
+                inv_h=1.0 / np.sqrt(h),
+            )
+            for s in range(2)
+        ]
+        out = partials[0] + partials[1]
+        got = mp_sum(x, gate[:, None, :] * out, t=_RES_T)
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(got), rtol=2e-5, atol=2e-5
+        )
+
+    def test_mlp_partial_kernel_matches_reference(self):
+        """The Pallas MLP partial kernel (interpret mode on CPU) against
+        the jnp oracle on a hidden-lane shard."""
+        from mapdit_tpu.ops.pallas.dit_block import (
+            _mlp_tp_partial_impl,
+            _mlp_tp_partial_reference,
+        )
+
+        n, t, d, h_l = 4, 16, 128, 192
+        ks = jax.random.split(jax.random.PRNGKey(12), 6)
+        x = jax.random.normal(ks[0], (n, t, d), jnp.float32)
+        shift = jax.random.normal(ks[1], (n, d)) * 0.1
+        scale = jax.random.normal(ks[2], (n, d)) * 0.1 + 1.0
+        gains = jnp.asarray([0.7, 0.2])  # kernel consumes gains[1]
+        w1_l = jax.random.normal(ks[3], (h_l, d)) / np.sqrt(d)
+        w2_l = jax.random.normal(ks[4], (d, h_l)) / np.sqrt(2 * h_l)
+        inv_h = 1.0 / np.sqrt(2 * h_l)
+
+        ref = _mlp_tp_partial_reference(
+            x, shift, scale, gains[1], w1_l, w2_l, inv_h
+        )
+        got = _mlp_tp_partial_impl(x, shift, scale, gains, w1_l, w2_l, inv_h)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=5e-5, atol=5e-5
+        )
+
+    def test_block_tp_kernel_matches_references(self):
+        """Kernel 1 of the full-block island: the (partial, mods) pair
+        against the modulation-head GEMM + the attention-partial oracle."""
+        from mapdit_tpu.ops.pallas.dit_block import (
+            _attn_tp_partial_reference,
+            _block_tp_attn_impl,
+        )
+
+        n, t, d, heads_local = 4, 16, 128, 2
+        d_l = 64
+        ks = jax.random.split(jax.random.PRNGKey(13), 7)
+        x = jax.random.normal(ks[0], (n, t, d), jnp.float32)
+        a = jax.random.normal(ks[1], (n, d))
+        gains = jnp.asarray([0.3, 0.6])
+        w_mod = jax.random.normal(ks[2], (6 * d, d)) / np.sqrt(d)
+        w_qkv_l = jax.random.normal(ks[3], (3 * d_l, d)) / np.sqrt(d)
+        w_out_l = jax.random.normal(ks[4], (d, d_l)) / np.sqrt(d)
+
+        mods_ref = (a @ w_mod.T) / np.sqrt(d)  # (n, 6d)
+        shift, scale = mods_ref[:, :d], mods_ref[:, d : 2 * d]
+        partial_ref = _attn_tp_partial_reference(
+            x, shift, scale, gains[0], w_qkv_l, w_out_l, heads_local
+        )
+        partial, mods = _block_tp_attn_impl(
+            x, a, gains, w_mod, w_qkv_l, w_out_l, heads_local
+        )
+        np.testing.assert_allclose(
+            np.asarray(mods_ref.reshape(n, 6, d)), np.asarray(mods),
+            rtol=5e-5, atol=5e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(partial_ref), np.asarray(partial), rtol=5e-5, atol=5e-5
+        )
+
+    def test_full_block_island_matches_block_reference(self):
+        """fused_dit_block_tp inside a real shard_map over 'model' (tp=2,
+        interpret-mode kernels) == the single-chip whole-block reference."""
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        from mapdit_tpu.ops.pallas.dit_block import (
+            _reference,
+            fused_dit_block_tp,
+        )
+
+        n, t, d, heads, h = 4, 16, 128, 4, 256
+        ks = jax.random.split(jax.random.PRNGKey(14), 8)
+        x = jax.random.normal(ks[0], (n, t, d), jnp.float32)
+        a = jax.random.normal(ks[1], (n, d))
+        gains = jnp.asarray([0.3, 0.6])
+        w_mod = jax.random.normal(ks[2], (6 * d, d)) / np.sqrt(d)
+        w_qkv = jax.random.normal(ks[3], (3 * d, d)) / np.sqrt(d)
+        w_out = jax.random.normal(ks[4], (d, d)) / np.sqrt(d)
+        w1 = jax.random.normal(ks[5], (h, d)) / np.sqrt(d)
+        w2 = jax.random.normal(ks[6], (d, h)) / np.sqrt(h)
+
+        ref = _reference(x, a, gains, w_mod, w_qkv, w_out, w1, w2, heads)
+
+        mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+        island = jax.shard_map(
+            functools.partial(
+                fused_dit_block_tp,
+                heads_local=heads // 2, hidden_total=h, axis_name="model",
+            ),
+            mesh=mesh,
+            in_specs=(
+                P("data"), P("data"), P(), P(),
+                P(None, "model", None), P(None, "model"),
+                P("model", None), P(None, "model"),
+            ),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+        with jax.set_mesh(mesh):
+            got = island(
+                x, a, gains, w_mod, w_qkv.reshape(3, d, d), w_out, w1, w2
+            )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=1e-4, atol=1e-4
+        )
+
     @pytest.mark.parametrize("layout", [(2, 2), (1, 4)])
-    def test_island_chain_matches_single_device(self, setup, layout):
-        """build_sample_fn with explicit mega_attn_tp on a (dp, tp) mesh —
+    @pytest.mark.parametrize("kernel", ["mega_attn_tp", "mega_tp"])
+    def test_island_chain_matches_single_device(self, setup, layout, kernel):
+        """build_sample_fn with an explicit TP island on a (dp, tp) mesh —
         the full CFG ddim chain through the shard_map islands (interpret-
-        mode kernels) reproduces the unsharded XLA chain."""
+        mode kernels) reproduces the unsharded XLA chain. mega_tp is the
+        full-block island (modulation head + attention + MLP, r05)."""
         from mapdit_tpu.runtime import build_sample_fn
 
         n_data, n_model = layout
@@ -591,7 +745,7 @@ class TestTpKernelIsland:
         mesh = make_mesh(n_data=n_data, n_model=n_model,
                          devices=jax.devices()[: n_data * n_model])
         fn = build_sample_fn(
-            cfg.replace(block_kernel="mega_attn_tp"), variables, d,
+            cfg.replace(block_kernel=kernel), variables, d,
             cfg_scale=1.5, sampler="ddim", clip_denoised=True, mesh=mesh,
         )
         zs = jax.device_put(z2, batch_sharding(mesh))
@@ -654,8 +808,15 @@ class TestTpKernelIsland:
 
         monkeypatch.setattr(blocks.jax, "devices", lambda: [_FakeDev()])
         cfg = setup[0].replace(block_kernel="auto")  # resolution only
-        # applies to "auto"; explicit values pass through verbatim
-        assert blocks.resolve_block_kernel_tp(cfg, folded=True, tp=2) == "mega_attn_tp"
+        # applies to "auto"; explicit values pass through verbatim.
+        # Full-block island when heads AND mlp hidden divide (r05);
+        # attention-only island when only heads do.
+        assert blocks.resolve_block_kernel_tp(cfg, folded=True, tp=2) == "mega_tp"
+        odd_hidden = cfg.replace(mlp_ratio=4.0078125)  # hidden 1026, % 4 != 0
+        assert (
+            blocks.resolve_block_kernel_tp(odd_hidden, folded=True, tp=4)
+            == "mega_attn_tp"
+        )
         assert (
             blocks.resolve_block_kernel_tp(cfg, folded=True, tp=cfg.num_heads + 1)
             == "off"

@@ -549,6 +549,58 @@ class TestBackpressure:
             srv.terminate()
             srv.wait(timeout=30)
 
+    def test_fused_preamble_serving(self, trained_exp):
+        """--preamble fused (VERDICT r04 #8): the whole request preamble
+        (per-row key derivation, z draws, CFG doubling, chain key) runs
+        inside the jitted chain — one device dispatch per request. Checks:
+        200s across protocols, seed determinism under the new per-row
+        contract, batch-composition invariance of seeded requests, and the
+        preamble advertised in /healthz."""
+        srv, base = _start_server(
+            trained_exp,
+            ["--preamble", "fused", "--buckets", "1,4",
+             "--default-steps", "4"],
+        )
+        try:
+            info = json.loads(
+                urllib.request.urlopen(base + "/healthz", timeout=60).read()
+            )
+            assert info["preamble"] == "fused"
+            payload = {
+                "class_labels": [1, 2], "steps": 4, "sampler": "ddim",
+                "seed": 7, "format": "npz", "cfg_scale": 1.0,
+            }
+            status, ctype, body1 = _post(base, payload)
+            assert status == 200 and ctype == "application/x-npz"
+            _, _, body2 = _post(base, payload)
+            with np.load(io.BytesIO(body1)) as f1, np.load(io.BytesIO(body2)) as f2:
+                a, b = f1["arr_0"], f2["arr_0"]
+            assert a.shape == (2, 16, 16, 4)
+            np.testing.assert_array_equal(a, b)
+
+            # composition invariance: row 0 of a seeded request must be
+            # identical whether it runs alone (bucket 1) or inside a
+            # larger request (bucket 4, padded) — per-row keys are
+            # fold_in(fold_in(zroot, seed), row), independent of batch
+            # position and padding by construction
+            one = {"class_labels": [1], "steps": 4, "sampler": "ddim",
+                   "seed": 3, "format": "npz", "cfg_scale": 1.0}
+            _, _, alone = _post(base, one)
+            _, _, pair = _post(base, dict(one, class_labels=[1, 1]))
+            with np.load(io.BytesIO(alone)) as f1, np.load(io.BytesIO(pair)) as f2:
+                np.testing.assert_array_equal(f1["arr_0"][0], f2["arr_0"][0])
+
+            # CFG-doubled protocol also serves (in-jit doubling branch)
+            status, _, _ = _post(
+                base,
+                {"class_label": 1, "num_samples": 1, "steps": 4,
+                 "sampler": "dpm++", "cfg_scale": 4.0, "format": "npz"},
+            )
+            assert status == 200
+        finally:
+            srv.terminate()
+            assert srv.wait(timeout=30) == 0
+
     def test_queue_overflow_503(self, trained_exp):
         import threading
 

@@ -29,3 +29,8 @@ run python bench.py --sampler dpm++ --time-schedule karras --steps 20 \
 
 # 4. paired-sample megakernel attention A/B (session-2 pending item)
 run env MAPDIT_MEGA_PACK=1 python bench.py --steps 250 --repeats 3
+
+# 5. TP island kernels on-chip Mosaic lowering + parity (re-runs whenever
+#    the kernels change — VERDICT r04 weak #7: the chip check is a lane,
+#    not a one-off)
+run python tools/tp_kernel_chip_check.py

@@ -121,12 +121,12 @@ def main(args):
 
     diffusion = create_diffusion(timestep_respacing="")
     cfg = config_from_args(vars(args))
-    if cfg.block_kernel == "mega_attn_tp":
-        # inference-only island (no VJP on the partial kernel, needs an
+    if cfg.block_kernel in ("mega_attn_tp", "mega_tp"):
+        # inference-only islands (no VJP on the partial kernels, need an
         # ambient mesh) — fail at setup, not mid-trace inside DiTBlock
         raise SystemExit(
-            "--block-kernel mega_attn_tp is an inference-only TP layout; "
-            "training uses the XLA path (leave --block-kernel auto)"
+            f"--block-kernel {cfg.block_kernel} is an inference-only TP "
+            "layout; training uses the XLA path (leave --block-kernel auto)"
         )
 
     if args.ema_snapshot_every is None:
@@ -385,13 +385,18 @@ def main(args):
             }
         return {k: jax.device_put(v, b_shard) for k, v in host_batch.items()}
 
-    # Double-buffer device staging (VERDICT r04 #2): a background thread
-    # device_puts batch k+1 while step k runs, hiding the per-step
-    # host->device upload (~22 ms/step through the relay) behind compute.
-    # stage_batch uses explicit shardings, so it is thread-safe without
-    # the (thread-local) ambient mesh. --device-prefetch off = inline A/B.
+    # Device staging (VERDICT r04 #2, REFUTED on chip — BENCH_NOTES r05
+    # "Host-stall attribution"): a background thread device_put'ing batch
+    # k+1 while step k runs measured ~40% SLOWER than inline staging
+    # through the axon relay, in both A/B orders with healthy relay
+    # probes bracketing — the relay client serializes the second thread's
+    # uploads against the main thread's dispatches, while the inline path
+    # already overlaps the host work with the asynchronously-dispatched
+    # step. Default is therefore inline; the thread stays as an explicit
+    # opt-in for direct-attached hosts (stage_batch uses explicit
+    # shardings, so it is thread-safe without the thread-local mesh).
     dev_prefetch = None
-    if getattr(args, "device_prefetch", "auto") != "off":
+    if getattr(args, "device_prefetch", "off") == "thread":
         from mapdit_tpu.training.device_prefetch import DevicePrefetcher
 
         dev_prefetch = DevicePrefetcher(batches, stage_batch, depth=2)
@@ -513,11 +518,14 @@ if __name__ == "__main__":
     parser.add_argument("--num-workers", type=int, default=4,
                         help="accepted for reference CLI parity; the host "
                              "pipeline is index-gather only and needs no workers")
-    parser.add_argument("--device-prefetch", choices=["auto", "off"],
-                        default="auto",
-                        help="double-buffer the host->device batch upload in "
-                             "a background thread (default on; 'off' stages "
-                             "inline for host-stall A/B attribution)")
+    parser.add_argument("--device-prefetch", choices=["off", "thread"],
+                        default="off",
+                        help="'thread' double-buffers the host->device batch "
+                             "upload in a background thread — measured SLOWER "
+                             "through the axon relay (BENCH_NOTES r05: the "
+                             "relay serializes cross-thread uploads against "
+                             "dispatch), kept as an A/B surface for "
+                             "direct-attached hosts; default stages inline")
     parser.add_argument("--log-every", type=int, default=100)
     parser.add_argument("--ckpt-every", type=int, default=50_000)
 
