@@ -409,3 +409,97 @@ class TestEndToEndSampleParity:
         assert err.max() < 2e-2, err.max()
         assert err.mean() < 1e-4, err.mean()
         assert (err < 2e-3).mean() > 0.99, (err >= 2e-3).sum()
+
+
+class TestTrainedReferenceInterop:
+    """Interop on TRAINED reference artifacts (VERDICT r04 #7): the golden
+    checkpoint comes from 200 REAL reference training steps (Adam +
+    in-forward forced WN + embedding dropout; loss 1.63 -> 1.04), so the
+    stored weights are NOT unit-norm rows — the post-opt.step() state the
+    normalize-at-load/in-graph-WN path must reproduce, which init-state
+    goldens cannot exercise."""
+
+    @pytest.fixture(scope="class")
+    def trained(self, golden):
+        g = golden("trained_reference")
+        sd = {k[len("sd.") :]: v for k, v in g.items() if k.startswith("sd.")}
+        return g, variables_from_torch_state_dict(sd)
+
+    def test_weights_are_not_normalized(self, trained):
+        """Provenance check: trained weights must deviate from unit-norm
+        rows (otherwise this fixture degenerates to the init-state case).
+        The deviation is second-order small — the forced-WN copy runs at
+        forward START, and the gradient through normalize() is tangential
+        to the row, so one Adam step moves row norms by ~lr^2/2 (measured
+        max ~6e-4 at lr 1e-2) — but it must be present."""
+        _, variables = trained
+        w = np.asarray(
+            variables["params"]["blocks_0"]["attn"]["qkv_proj"]["weight"]
+        )
+        row_norm = np.sqrt((w**2).mean(axis=1))
+        assert np.abs(row_norm - 1.0).max() > 1e-4, row_norm
+
+    def test_forward_matches_trained_reference(self, trained):
+        g, variables = trained
+        cfg = build_config("DiT-XS/4", **XS2)
+        model = DiT(cfg)
+        out = model.apply(
+            variables, jnp.asarray(g["x"]), jnp.asarray(g["t"]),
+            jnp.asarray(g["y"]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), g["fwd"], rtol=5e-4, atol=5e-4
+        )
+
+    @pytest.mark.parametrize("fold", [False, True])
+    def test_ddim_chain_matches_trained_reference(self, trained, fold):
+        """8-step DDIM eta=0 CFG chain at the trained weights — the full
+        sampler-chain composition (respace remap, CFG split, x0 clip,
+        eta-0 update) against the reference's own chain output."""
+        from mapdit_tpu.diffusion import create_diffusion
+        from mapdit_tpu.runtime import build_model_fn
+
+        g, variables = trained
+        cfg = build_config("DiT-XS/4", **XS2)
+        model_fn = build_model_fn(
+            cfg, variables, cfg_scale=float(g["cfg_scale"]), fold=fold
+        )
+        d8 = create_diffusion("ddim8")
+        run = jax.jit(
+            lambda z, y: d8.ddim_sample_loop(
+                model_fn, z, jax.random.PRNGKey(0), clip_denoised=True,
+                model_kwargs={"y": y}, eta=0.0,
+            )
+        )
+        out = np.asarray(run(jnp.asarray(g["z_cfg"]), jnp.asarray(g["y_cfg"])))
+        err = np.abs(out - g["ddim_final"])
+        assert err.max() < 2e-2, err.max()
+        assert err.mean() < 1e-4, err.mean()
+        assert (err < 2e-3).mean() > 0.99, (err >= 2e-3).sum()
+
+    def test_pt_checkpoint_ingestion(self, golden, trained):
+        """The actual train.py-format .pt ({model, opt}) through
+        tools/convert_checkpoint.do_import — present only on hosts that
+        regenerated goldens (the 89 MB binary is not committed; the npz
+        state dict carries the same weights for the numeric tests)."""
+        import os
+
+        pt = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "golden",
+            "trained_reference.pt",
+        )
+        if not os.path.exists(pt):
+            pytest.skip("trained_reference.pt not regenerated on this host")
+        torch = pytest.importorskip("torch")
+        blob = torch.load(pt, map_location="cpu", weights_only=True)
+        assert set(blob) == {"model", "opt"}
+        got = variables_from_torch_state_dict(
+            {k: v.numpy() for k, v in blob["model"].items()}
+        )
+        _, from_npz = trained
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            got["params"], from_npz["params"],
+        )

@@ -400,6 +400,92 @@ def make_gradient_golden(ref, out_dir, rng):
     )
 
 
+def make_trained_checkpoint(ref, out_dir, rng):
+    """TRAINED-artifact interop golden (VERDICT r04 #7): run the reference's
+    own training recipe for 200 real steps — Adam(0.9,0.99) lr 1e-2 as in
+    `train.py:57`, in-forward forced weight normalization, embedding
+    dropout active via model.train() (`train.py:69`) — then dump:
+
+    * ``trained_reference.pt``: the exact `train.py:124-132` checkpoint
+      format ({model, opt} state dicts) for the .pt ingestion path;
+    * ``trained_reference.npz``: the same state_dict as arrays plus
+      eval-mode forward outputs and a deterministic 8-step DDIM eta=0 CFG
+      chain at the trained weights — numeric parity WITHOUT torch.
+
+    Trained weights exercise the normalize-at-load path that init-state
+    goldens cannot: after the last opt.step() the stored weights are NOT
+    unit-norm rows (the forced-WN copy happens at the START of forward),
+    so an importer that skips re-normalization diverges.
+    """
+    from diffusion import create_diffusion
+    from src.models import DIT_MODELS
+
+    torch.manual_seed(7)
+    model = DIT_MODELS["DiT-XS/4"](in_channels=4, input_size=16, num_classes=10)
+    d = create_diffusion("")
+    opt = torch.optim.Adam(model.parameters(), lr=1e-2, betas=(0.9, 0.99))
+    model.train()
+    g = torch.Generator().manual_seed(11)
+    first_loss = last_loss = None
+    for step in range(200):
+        x0 = torch.randn(16, 4, 16, 16, generator=g)
+        y = torch.randint(0, 10, (16,), generator=g)
+        t = torch.randint(0, d.num_timesteps, (16,), generator=g)
+        loss = d.training_losses(
+            lambda xx, tt, **kw: model(xx, tt.float(), kw["y"]), x0, t,
+            model_kwargs={"y": y},
+        )["loss"].mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if first_loss is None:
+            first_loss = float(loss)
+        last_loss = float(loss)
+    print(f"trained reference 200 steps: loss {first_loss:.4f} -> {last_loss:.4f}")
+
+    torch.save(
+        {"model": model.state_dict(), "opt": opt.state_dict()},
+        os.path.join(out_dir, "trained_reference.pt"),
+    )
+
+    model.eval()
+    x = torch.tensor(rng.standard_normal((4, 4, 16, 16)), dtype=torch.float32)
+    tt = torch.tensor([0.0, 123.0, 500.0, 999.0])
+    yy = torch.tensor([0, 3, 7, 10])
+    with torch.no_grad():
+        fwd = model(x, tt, yy)
+
+    n = 2
+    z = torch.tensor(rng.standard_normal((n, 4, 16, 16)), dtype=torch.float32)
+    z_cfg = torch.cat([z, z], dim=0)
+    y_cfg = torch.tensor([1, 5, 10, 10])
+    cfg_scale = 1.5
+    dd = create_diffusion("ddim8")
+    wrapped = dd._wrap_model(
+        lambda xx, tq, **kw: model.forward_with_cfg(xx, tq, kw["y"], cfg_scale)
+    )
+    xc = z_cfg.clone()
+    with torch.no_grad():
+        for i in reversed(range(dd.num_timesteps)):
+            t_row = torch.full((xc.shape[0],), i, dtype=torch.long)
+            xc = dd.ddim_sample(
+                wrapped, xc, t_row, clip_denoised=True, eta=0.0,
+                model_kwargs={"y": y_cfg},
+            )["sample"]
+
+    sd = {f"sd.{k}": t2n(v) for k, v in model.state_dict().items()}
+    dump(
+        out_dir,
+        "trained_reference",
+        x=t2n(x), t=t2n(tt), y=t2n(yy), fwd=t2n(fwd),
+        z_cfg=t2n(z_cfg), y_cfg=t2n(y_cfg),
+        cfg_scale=np.float32(cfg_scale),
+        ddim_final=t2n(xc),
+        loss_first=np.float32(first_loss), loss_last=np.float32(last_loss),
+        **sd,
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--reference", default="/root/reference")
@@ -418,6 +504,7 @@ def main():
     make_gradient_golden(args.reference, args.out, rng)
     make_ema(args.reference, args.out, rng)
     make_e2e_sample(args.reference, args.out, rng)
+    make_trained_checkpoint(args.reference, args.out, rng)
 
 
 if __name__ == "__main__":
