@@ -25,11 +25,30 @@ import time
 DEFAULT_HEALTHY_MS = 60.0
 
 
-def probe_relay(n: int = 7, healthy_ms: float | None = None) -> dict:
-    """Measure the per-dispatch round-trip; return stats + health verdict.
+# Healthy floor for the bulk device_get leg, in MB/s. The tunnel's bulk
+# path runs ~5 MB/s healthy; the r05 wedge class (big transfers hang
+# INDEFINITELY while tiny ops stay sub-ms — observed twice: an initial
+# state upload and a mid-run EMA fetch, both futex-parked forever) makes
+# ANY finite measurement pass, so the real protection is the timeout via
+# the caller's `timeout` on the probe process. 0.5 MB/s flags the
+# merely-degraded band.
+DEFAULT_BULK_MIN_MBS = 0.5
+
+
+def probe_relay(
+    n: int = 7, healthy_ms: float | None = None, bulk_mb: float = 4.0
+) -> dict:
+    """Measure the per-dispatch round-trip AND the bulk-fetch bandwidth;
+    return stats + health verdict.
+
+    Two legs because the r05 wedge taught us they fail independently:
+    tiny-op dispatch stayed at 0.1-0.25 ms while ~100 MB transfers hung
+    forever. ``bulk_mb`` sizes the device_get leg (4 MB ≈ 1 s on a
+    healthy 5 MB/s tunnel; sub-ms direct-attached); 0 disables it.
 
     Returns a dict designed to be embedded verbatim into bench rows:
-    {p50_ms, p90_ms, min_ms, max_ms, n, healthy_ms, healthy, platform}.
+    {p50_ms, p90_ms, min_ms, max_ms, n, healthy_ms, bulk_mb_s, healthy,
+    platform}.
     """
     import jax
     import jax.numpy as jnp
@@ -64,6 +83,23 @@ def probe_relay(n: int = 7, healthy_ms: float | None = None) -> dict:
     # p50, not max: a single GC/OS hiccup must not flag a healthy window,
     # but a degraded relay shifts the whole distribution (r04 evidence).
     stats["healthy"] = stats["p50_ms"] <= healthy_ms
+
+    if bulk_mb and bulk_mb > 0:
+        elems = int(bulk_mb * 2**20 // 4)
+        rows = max(1, elems // 128)
+        fill = jax.jit(lambda s: jnp.full((rows, 128), s, jnp.float32))
+        arr = fill(jnp.float32(1.0))
+        arr.block_until_ready()
+        t0 = time.perf_counter()
+        host = jax.device_get(arr)
+        dt = time.perf_counter() - t0
+        mbs = (host.nbytes / 2**20) / max(dt, 1e-9)
+        stats["bulk_mb"] = round(host.nbytes / 2**20, 2)
+        stats["bulk_mb_s"] = round(mbs, 2)
+        min_mbs = float(
+            os.environ.get("MAPDIT_RELAY_BULK_MIN_MBS", DEFAULT_BULK_MIN_MBS)
+        )
+        stats["healthy"] = stats["healthy"] and mbs >= min_mbs
     return stats
 
 
