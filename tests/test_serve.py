@@ -123,9 +123,18 @@ class TestServe:
         assert info1["request_latency_seconds_count"] > info0["request_latency_seconds_count"]
         assert info1["request_latency_seconds_sum"] > info0["request_latency_seconds_sum"]
         assert info1["request_latency_seconds_max"] > 0
-        # device-chain share (the jitted sampling call) is tracked separately
-        assert info1["chain_seconds_count"] > info0["chain_seconds_count"]
-        assert info1["chain_seconds_sum"] > info0["chain_seconds_sum"]
+        # the FIRST call of a compiled program lands in the compile
+        # counters (ADVICE r04: XLA compile must not skew chain_seconds);
+        # only repeat calls advance the steady-state chain window
+        assert (
+            info1["compile_seconds_count"] + info1["chain_seconds_count"]
+            > info0["compile_seconds_count"] + info0["chain_seconds_count"]
+        )
+        _post(server, {"class_labels": [1, 2], "steps": 4,
+                       "sampler": "ddim", "cfg_scale": 1.0})
+        info2 = json.loads(urllib.request.urlopen(server + "/healthz", timeout=60).read())
+        assert info2["chain_seconds_count"] > info1["chain_seconds_count"]
+        assert info2["chain_seconds_sum"] > info1["chain_seconds_sum"]
 
     def test_png_grid(self, server):
         status, ctype, body = _post(
