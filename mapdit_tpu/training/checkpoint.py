@@ -38,36 +38,35 @@ def save_state(exp_dir: str, step: int, state) -> str:
     return path
 
 
-class AsyncMsgpackSaver:
-    """Non-blocking msgpack checkpointing (VERDICT r04 #3).
+class AsyncTreeWriter:
+    """Background device-fetch + write for pytrees.
 
-    The sync `save_state` stalls the train loop for the full host fetch —
-    ~2 min per save through the axon relay (~600 MB device_get at
-    ~5 MB/s; BENCH_NOTES r04 endurance leg spent ~10% of wall-clock
-    saving). `save()` instead:
+    ``submit(tree, write_fn)`` snapshots ``tree`` ON DEVICE with one jitted
+    buffer copy (so the caller may keep donating/mutating the live arrays)
+    and queues ``write_fn(host_tree)`` on a worker thread that does the
+    device_get + write. Shared engine of :class:`AsyncMsgpackSaver` and
+    train.py's EMA snapshots — through the axon relay the host fetch is
+    the minutes-long stage, and it never belongs on the train loop.
 
-    1. snapshots the state ON DEVICE with one jitted buffer copy
-       (HBM-bandwidth, milliseconds) — so the live state can keep being
-       donated by the next train step, and
-    2. device_gets the snapshot + writes the atomic msgpack file from a
-       background thread, overlapped with training.
-
-    Same on-disk format as `save_state` (restore_state reads both).
-    One save in flight at a time: a new save joins the previous write
-    first. The device snapshot transiently doubles state memory; if that
-    allocation fails (XL-scale), the save falls back to the sync path.
+    One worker, unbounded-but-joined queue; errors surface on the next
+    submit()/close(). Device memory: one extra copy per queued snapshot —
+    callers submit at checkpoint cadence, so at most ~one is in flight.
     """
 
     def __init__(self):
-        self._thread = None  # background writer (one in flight)
-        self._copy_fn = None
-        self._error: Optional[BaseException] = None
+        self._thread = None
+        self._copy_fn = None  # one jit; retraces per new list signature
+        self._error = None
+        self._outstanding = 0
+        import threading
 
-    def _snapshot(self, state):
+        self._lock = threading.Lock()
+
+    def _snapshot(self, tree):
         import jax
         import jax.numpy as jnp
 
-        leaves, treedef = jax.tree_util.tree_flatten(state)
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
         arr_idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
         if self._copy_fn is None:
             # one compiled call for ALL array leaves: per-leaf jnp.copy
@@ -79,47 +78,101 @@ class AsyncMsgpackSaver:
             out[i] = c
         return jax.tree_util.tree_unflatten(treedef, out)
 
-    def save(self, exp_dir: str, step: int, state) -> str:
+    def submit(self, tree, write_fn):
         import threading
 
         import jax
 
-        self.wait()  # one in-flight write; also surfaces a prior failure
-        try:
-            snap = self._snapshot(state)
-        except Exception:
-            # allocation failure (state copy does not fit next to the live
-            # state + optimizer) — degrade to the synchronous path rather
-            # than lose the checkpoint
-            return save_state(exp_dir, step, state)
-        path = checkpoint_path(exp_dir, step)
+        self._raise_pending()
+        with self._lock:
+            backlog = self._outstanding
+        if backlog >= 2:
+            # bound device memory: at most 2 snapshots in flight — a
+            # persistent backlog degrades to the old blocking behavior
+            # instead of stacking device copies toward OOM
+            self.wait()
+            self._raise_pending()
+        snap = self._snapshot(tree)
+        with self._lock:
+            self._outstanding += 1
 
-        def _write():
+        def _run(prev):
+            if prev is not None:
+                prev.join()
             try:
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                tmp = path + ".tmp"
-                with open(tmp, "wb") as f:
-                    f.write(serialization.to_bytes(jax.device_get(snap)))
-                os.replace(tmp, path)
-            except BaseException as e:  # surfaced on the next save()/close()
+                write_fn(jax.device_get(snap))
+            except BaseException as e:  # surfaced on next submit/close
                 self._error = e
+            finally:
+                with self._lock:
+                    self._outstanding -= 1
 
+        prev = self._thread
         self._thread = threading.Thread(
-            target=_write, daemon=True, name="ckpt-write"
+            target=_run, args=(prev,), daemon=True, name="tree-writer"
         )
         self._thread.start()
-        return path
+
+    def _raise_pending(self):
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise e
 
     def wait(self):
         if self._thread is not None:
             self._thread.join()
             self._thread = None
-        if self._error is not None:
-            e, self._error = self._error, None
-            raise e
+        self._raise_pending()
 
     def close(self):
         self.wait()
+
+
+class AsyncMsgpackSaver:
+    """Non-blocking msgpack checkpointing (VERDICT r04 #3).
+
+    The sync `save_state` stalls the train loop for the full host fetch —
+    ~2 min per save through the axon relay (~600 MB device_get at
+    ~5 MB/s; BENCH_NOTES r04 endurance leg spent ~10% of wall-clock
+    saving). `save()` instead snapshots the state ON DEVICE (one jitted
+    buffer copy, HBM-bandwidth) and writes the atomic msgpack file from a
+    background thread via :class:`AsyncTreeWriter` — same on-disk format
+    as `save_state` (restore_state reads both). The device snapshot
+    transiently doubles state memory; if that allocation fails
+    (XL-scale), the save falls back to the sync path.
+    """
+
+    def __init__(self):
+        self._writer = AsyncTreeWriter()
+
+    def save(self, exp_dir: str, step: int, state) -> str:
+        path = checkpoint_path(exp_dir, step)
+
+        def _write(host_state):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(serialization.to_bytes(host_state))
+            os.replace(tmp, path)
+
+        try:
+            self._writer.submit(state, _write)
+        except MemoryError:
+            return save_state(exp_dir, step, state)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e):
+                # state copy does not fit next to the live state + optimizer
+                # — degrade to the synchronous path rather than lose the
+                # checkpoint
+                return save_state(exp_dir, step, state)
+            raise
+        return path
+
+    def wait(self):
+        self._writer.wait()
+
+    def close(self):
+        self._writer.close()
 
 
 _CKPT_RE = re.compile(r"^(\d+)\.msgpack$")

@@ -293,6 +293,7 @@ def main(args):
     logger.info(f"training for {args.num_steps} steps...")
     orbax_saver = None  # lazy async checkpointer (--checkpointer orbax)
     msgpack_saver = None  # lazy non-blocking msgpack writer (default backend)
+    ema_writer = None  # lazy non-blocking EMA snapshot writer
     train_steps = int(state.step)
     log_steps = 0
     loss_buf = []  # on-device scalars; fetched once per log interval
@@ -332,6 +333,7 @@ def main(args):
             )
 
     def save_ema_snapshots(step, st):
+        nonlocal ema_writer
         ema_dir = os.path.join(exp_dir, "ema")
         for std in ema_stds:
             tree = st.ema[ema_key(std)]
@@ -341,7 +343,19 @@ def main(args):
                 # so the lead holds full arrays to snapshot.
                 tree = gather_replicated(tree)
             if is_lead:
-                ema_lib.save_snapshot(ema_dir, std, step, tree)
+                # Non-blocking like the checkpoints: on-device snapshot
+                # now, fp16 fetch + write on the background writer (the
+                # relay fetch is seconds-to-minutes the loop need not pay)
+                if ema_writer is None:
+                    from mapdit_tpu.training.checkpoint import AsyncTreeWriter
+
+                    ema_writer = AsyncTreeWriter()
+                ema_writer.submit(
+                    tree,
+                    lambda host, _std=std, _step=step: ema_lib.save_snapshot(
+                        ema_dir, _std, _step, host
+                    ),
+                )
         if is_lead:
             logger.info(f"saving ema snapshot to {ema_dir} at step {step}...")
 
@@ -487,6 +501,8 @@ def main(args):
 
     if dev_prefetch is not None:
         dev_prefetch.close()
+    if ema_writer is not None:
+        ema_writer.close()  # join the in-flight snapshot writes
     if msgpack_saver is not None:
         msgpack_saver.close()  # join the in-flight background write
     if orbax_saver is not None:
