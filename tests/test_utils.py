@@ -102,3 +102,30 @@ class TestCompileCache:
         finally:
             jax.config.update("jax_compilation_cache_dir", old_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", old_min)
+
+
+class TestRelayHealth:
+    def test_probe_fields_and_verdict(self):
+        from mapdit_tpu.utils.relay_health import probe_relay
+
+        row = probe_relay(n=3, bulk_mb=1.0)
+        for k in ("p50_ms", "p90_ms", "min_ms", "max_ms", "n", "healthy_ms",
+                  "platform", "healthy", "bulk_mb", "bulk_mb_s"):
+            assert k in row, k
+        # CPU backend: sub-ms dispatch and GB/s bulk — healthy by huge margin
+        assert row["healthy"] is True
+        assert row["bulk_mb_s"] > 1.0
+
+    def test_bulk_leg_disabled(self):
+        from mapdit_tpu.utils.relay_health import probe_relay
+
+        row = probe_relay(n=3, bulk_mb=0)
+        assert "bulk_mb_s" not in row
+        assert row["healthy"] is True
+
+    def test_degraded_threshold(self, monkeypatch):
+        from mapdit_tpu.utils import relay_health
+
+        monkeypatch.setenv("MAPDIT_RELAY_HEALTHY_MS", "0.0000001")
+        row = relay_health.probe_relay(n=3, bulk_mb=0)
+        assert row["healthy"] is False
