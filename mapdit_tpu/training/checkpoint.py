@@ -78,21 +78,52 @@ class AsyncTreeWriter:
             out[i] = c
         return jax.tree_util.tree_unflatten(treedef, out)
 
+    def check(self):
+        """Surface a previous background-write failure NOW (raises it).
+        Callers invoke this before logging a new save so an older
+        checkpoint that silently never hit disk becomes a loud error at
+        the next save, attributed to the async write — not swallowed by
+        the new save's own fallback handling."""
+        self._raise_pending()
+
+    def snapshot(self, tree):
+        """Public on-device snapshot (see _snapshot); callers that need to
+        distinguish snapshot-allocation failures (fall back to a sync
+        save) from write failures (loud) take this two-step path."""
+        return self._snapshot(tree)
+
     def submit(self, tree, write_fn):
+        self._raise_pending()
+        self.submit_snapshot(self._snapshot(tree), write_fn)
+
+    def submit_snapshot(self, snap, write_fn):
         import threading
 
         import jax
 
-        self._raise_pending()
         with self._lock:
             backlog = self._outstanding
         if backlog >= 2:
-            # bound device memory: at most 2 snapshots in flight — a
-            # persistent backlog degrades to the old blocking behavior
-            # instead of stacking device copies toward OOM
-            self.wait()
+            # Bound device memory: at most 2 snapshots in flight. A
+            # BOUNDED wait — the relay's bulk-wedge mode (BENCH_NOTES
+            # r05) parks device_get forever, and an unbounded join here
+            # would re-freeze the train loop at a save far from the
+            # wedged fetch. On timeout the save is SKIPPED with a
+            # TimeoutError the caller can log-and-continue on.
+            deadline = float(
+                os.environ.get("MAPDIT_ASYNC_WRITER_WAIT_S", "900")
+            )
+            t = self._thread
+            if t is not None:
+                t.join(timeout=deadline)
+                if t.is_alive():
+                    raise TimeoutError(
+                        "async writer backlogged: a background device "
+                        f"fetch has not finished in {deadline:.0f}s "
+                        "(wedged relay bulk path?) — skipping this save"
+                    )
+                self._thread = None
             self._raise_pending()
-        snap = self._snapshot(tree)
         with self._lock:
             self._outstanding += 1
 
@@ -101,7 +132,7 @@ class AsyncTreeWriter:
                 prev.join()
             try:
                 write_fn(jax.device_get(snap))
-            except BaseException as e:  # surfaced on next submit/close
+            except BaseException as e:  # surfaced on next check()/close()
                 self._error = e
             finally:
                 with self._lock:
@@ -146,6 +177,11 @@ class AsyncMsgpackSaver:
         self._writer = AsyncTreeWriter()
 
     def save(self, exp_dir: str, step: int, state) -> str:
+        # a FAILED previous write surfaces loudly here, attributed to the
+        # async write of an OLDER step — it must never be eaten by this
+        # step's fallback handling (the older file silently missing
+        # while its save was already logged would poison --resume)
+        self._writer.check()
         path = checkpoint_path(exp_dir, step)
 
         def _write(host_state):
@@ -156,7 +192,7 @@ class AsyncMsgpackSaver:
             os.replace(tmp, path)
 
         try:
-            self._writer.submit(state, _write)
+            snap = self._writer.snapshot(state)
         except MemoryError:
             return save_state(exp_dir, step, state)
         except Exception as e:
@@ -166,6 +202,7 @@ class AsyncMsgpackSaver:
                 # checkpoint
                 return save_state(exp_dir, step, state)
             raise
+        self._writer.submit_snapshot(snap, _write)
         return path
 
     def wait(self):

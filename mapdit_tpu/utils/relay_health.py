@@ -73,7 +73,9 @@ def probe_relay(
     k = len(rtts)
     stats = {
         "p50_ms": round(rtts[k // 2], 2),
-        "p90_ms": round(rtts[min(k - 1, int(k * 0.9))], 2),
+        # index on k-1: int(k*0.9) equals k-1 for all k <= 10, which
+        # would report max-of-n as "p90" at the default n=7 (r05 review)
+        "p90_ms": round(rtts[min(k - 1, round((k - 1) * 0.9))], 2),
         "min_ms": round(rtts[0], 2),
         "max_ms": round(rtts[-1], 2),
         "n": k,

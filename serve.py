@@ -331,25 +331,39 @@ class SamplerService:
                 # op a relay dispatch round-trip (~80-100 ms/request tax
                 # through a degraded tunnel). Fold it ALL into the jitted
                 # chain: one dispatch per request. Seed contract: per-ROW
-                # z keys are fold_in(fold_in(zroot, seed), row) — seeded
-                # outputs are batch-composition-independent AND
-                # server-independent, but differ numerically from the
-                # 'host' preamble's draws (hence the opt-in flag).
+                # z keys for SEEDED requests are
+                # fold_in(fold_in(fold_in(zroot, seed_lo32), seed_hi32), row)
+                # — batch-composition-independent AND server-independent
+                # (two folds because fold_in data is 32-bit and sample()
+                # accepts 63-bit seeds); UNSEEDED rows keep the host
+                # contract's entropy source (the server --seed key + a
+                # fresh counter), so restarts do not replay the stream and
+                # counter N never collides with explicit seed=N.
                 base_fn = fn[0]
                 c = self.train_args["in_channels"]
                 s = self.train_args["input_size"]
                 num_classes = self.cfg.num_classes
                 zroot = jax.random.PRNGKey(0)
-                ckey = self._base_key
+                anon_root, ckey = jax.random.split(self._base_key)
                 double = cfg_scale > 1.0
 
                 @jax.jit
-                def fused(seeds, rows, y_rows, chain_ctr):
-                    keys = jax.vmap(
-                        lambda sd, r: jax.random.fold_in(
-                            jax.random.fold_in(zroot, sd), r
+                def fused(sd_lo, sd_hi, rows, is_seeded, y_rows, chain_ctr):
+                    def row_key(lo, hi, r, seeded):
+                        k_seed = jax.random.fold_in(
+                            jax.random.fold_in(
+                                jax.random.fold_in(zroot, lo), hi
+                            ),
+                            r,
                         )
-                    )(seeds, rows)
+                        k_anon = jax.random.fold_in(
+                            jax.random.fold_in(anon_root, lo), r
+                        )
+                        # raw uint32 keys (PRNGKey family): the key IS
+                        # its data, so a plain where selects between them
+                        return jnp.where(seeded, k_seed, k_anon)
+
+                    keys = jax.vmap(row_key)(sd_lo, sd_hi, rows, is_seeded)
                     z = jax.vmap(
                         lambda k: jax.random.normal(k, (c, s, s))
                     )(keys)
@@ -585,33 +599,43 @@ class SamplerService:
 
         if layout == "fused":
             # One-dispatch preamble (VERDICT r04 #8): everything below is
-            # host-side numpy; the single jit call derives per-row z keys
-            # (fold_in(fold_in(zroot, seed), row)), draws z, doubles for
-            # CFG and folds the chain key — no eager device ops at all.
-            seeds, rows, labels = [], [], []
+            # host-side numpy; the single jit call derives per-row z keys,
+            # draws z, doubles for CFG and folds the chain key — no eager
+            # device ops at all. 63-bit seeds ride as two uint32 halves
+            # (fold_in data is 32-bit; truncating would alias seed 2^32+k
+            # with seed k and overflow-crash on numpy 2.x).
+            lo, hi, rows, seeded, labels = [], [], [], [], []
             for job in group:
                 if job.seed is None:
                     self._request_counter += 1
-                    sd = self._request_counter
+                    sd, is_seeded = self._request_counter, 0
                 else:
-                    sd = int(job.seed)
+                    sd, is_seeded = int(job.seed), 1
                 k = len(job.labels)
-                seeds.extend([sd] * k)
+                lo.extend([sd & 0xFFFFFFFF] * k)
+                hi.extend([(sd >> 32) & 0x7FFFFFFF] * k)
+                seeded.extend([is_seeded] * k)
                 rows.extend(range(k))
                 labels.append(job.labels)
             pad = bucket - n
             if pad:
-                seeds.extend([0] * pad)
+                lo.extend([0] * pad)
+                hi.extend([0] * pad)
+                seeded.extend([0] * pad)
                 rows.extend(range(pad))
                 labels.append(np.zeros((pad,), np.int32))
             self._request_counter += 1
             chain_ctr = np.uint32(self._request_counter)
-            seeds_np = np.asarray(seeds, np.uint32)
-            rows_np = np.asarray(rows, np.uint32)
-            y_np = np.asarray(np.concatenate(labels), np.int32)
+            args_np = (
+                np.asarray(lo, np.uint32),
+                np.asarray(hi, np.uint32),
+                np.asarray(rows, np.uint32),
+                np.asarray(seeded, np.bool_),
+                np.asarray(np.concatenate(labels), np.int32),
+            )
 
             chain_t0 = time.perf_counter()
-            out = np.asarray(fn(seeds_np, rows_np, y_np, chain_ctr))[:n]
+            out = np.asarray(fn(*args_np, chain_ctr))[:n]
             chain_s = time.perf_counter() - chain_t0
             self._finish_group(group, out, fn_key, chain_s)
             return

@@ -993,3 +993,67 @@ class TestDistillCLI:
         assert "chained distillation continues the teacher's own grid" in (
             proc.stdout + proc.stderr
         )
+
+
+class TestR05Flags:
+    """CLI wiring for the r05 flag families (CLAUDE.md convention: every
+    flag family is driven through the real scripts in subprocesses)."""
+
+    def test_probe_relay_json_and_exit(self):
+        proc = run("bench.py", "--probe-relay")
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rec["metric"] == "relay_dispatch_ms_p50"
+        assert rec["relay"]["healthy"] is True  # CPU backend: sub-ms + GB/s
+        assert rec["relay"]["bulk_mb_s"] > 1.0
+
+    def test_device_prefetch_thread_trains(self, tmp_path):
+        """--device-prefetch thread through the real train loop: identical
+        data order means the final loss matches the inline default."""
+        losses = {}
+        for mode in ("off", "thread"):
+            out = tmp_path / f"dp_{mode}"
+            proc = run(
+                "train.py", "--data-path", "synthetic:64", "--results-dir",
+                str(out), "--model", "DiT-XS/8", "--num-classes", "10",
+                "--num-steps", "8", "--batch-size", "8", "--log-every", "8",
+                "--ckpt-every", "100", "--ema-snapshot-every", "100",
+                "--num-lin-warmup", "2", "--start-decay", "6",
+                "--device-prefetch", mode,
+            )
+            log = proc.stdout + proc.stderr  # logging emits to stderr
+            line = [l for l in log.splitlines() if "train loss" in l][-1]
+            losses[mode] = line.split("train loss: ")[1].split(",")[0]
+        assert losses["off"] == losses["thread"], losses
+
+    def test_msgpack_sync_checkpointer(self, tmp_path):
+        out = tmp_path / "sync"
+        run(
+            "train.py", "--data-path", "synthetic:64", "--results-dir",
+            str(out), "--model", "DiT-XS/8", "--num-classes", "10",
+            "--num-steps", "6", "--batch-size", "8", "--log-every", "6",
+            "--ckpt-every", "6", "--ema-snapshot-every", "100",
+            "--num-lin-warmup", "2", "--start-decay", "5",
+            "--checkpointer", "msgpack-sync",
+        )
+        exp = os.path.join(str(out), os.listdir(str(out))[0])
+        assert os.path.exists(
+            os.path.join(exp, "checkpoints", "0000006.msgpack")
+        )
+
+    def test_train_rejects_inference_only_kernels(self, tmp_path):
+        """config.yaml/resume paths can carry the TP island kernels;
+        train.py must refuse them at setup (ADVICE r04 #4). argparse
+        already rejects the flag, so drive the guard via --train-args-free
+        surface: a direct main() call is out of CLI scope — assert the
+        argparse rejection instead."""
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "train.py"),
+             "--data-path", "synthetic:64", "--results-dir", str(tmp_path),
+             "--model", "DiT-XS/8", "--block-kernel", "mega_tp"],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=120,
+        )
+        assert proc.returncode != 0
+        assert "invalid choice" in proc.stderr

@@ -606,6 +606,18 @@ class TestBackpressure:
                  "sampler": "dpm++", "cfg_scale": 4.0, "format": "npz"},
             )
             assert status == 200
+
+            # 63-bit seeds ride as two uint32 halves: a seed past 2^32
+            # must neither crash (numpy 2.x OverflowError) nor alias the
+            # truncated seed (r05 review finding)
+            big = dict(one, seed=2**40 + 3)
+            status, _, body_big = _post(base, big)
+            assert status == 200
+            _, _, body_small = _post(base, dict(one, seed=3))
+            with np.load(io.BytesIO(body_big)) as f1, np.load(
+                io.BytesIO(body_small)
+            ) as f2:
+                assert not np.array_equal(f1["arr_0"], f2["arr_0"])
         finally:
             srv.terminate()
             assert srv.wait(timeout=30) == 0

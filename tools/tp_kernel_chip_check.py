@@ -77,9 +77,12 @@ def check(name, n, t, d, heads, tp):
         f"{name} attn: n={n} t={t} d={d} heads={heads} tp={tp} (Dl={d_l}) "
         f"rel_err={err:.2e} {'OK' if ok else 'FAIL'} {dt*1e6:.0f} us/call"
     )
-    return ok and check_block(name, n, t, d, heads, tp) and check_mlp(
-        name, n, t, d, tp
-    )
+    # evaluate ALL legs even when one fails: each chip run costs a
+    # sequential TPU slot, and hiding the block/MLP lowering status
+    # behind a failing attn leg wastes a full queue cycle (r05 review)
+    ok_block = check_block(name, n, t, d, heads, tp)
+    ok_mlp = check_mlp(name, n, t, d, tp)
+    return ok and ok_block and ok_mlp
 
 
 def check_block(name, n, t, d, heads, tp):
@@ -171,7 +174,8 @@ def main():
         # tp=1 degenerate (full heads — the mega_attn-equivalent geometry)
         ("S tp1", 64, 64, 384, 6, 1),
     ]
-    ok = all(check(*c) for c in cases)
+    results = [check(*c) for c in cases]  # no short-circuit across cases
+    ok = all(results)
     print("ALL OK" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
 

@@ -327,7 +327,13 @@ def main(args):
                 from mapdit_tpu.training.checkpoint import AsyncMsgpackSaver
 
                 msgpack_saver = AsyncMsgpackSaver()
-            path = msgpack_saver.save(exp_dir, step, st)
+            try:
+                path = msgpack_saver.save(exp_dir, step, st)
+            except TimeoutError as e:
+                # wedged relay bulk path (BENCH_NOTES r05): skip this save
+                # rather than re-freeze the loop on an unbounded join
+                logger.warning(f"checkpoint at step {step} SKIPPED: {e}")
+                return
             logger.info(
                 f"saving checkpoint to {path} at step {step} (async write)..."
             )
@@ -350,12 +356,17 @@ def main(args):
                     from mapdit_tpu.training.checkpoint import AsyncTreeWriter
 
                     ema_writer = AsyncTreeWriter()
-                ema_writer.submit(
-                    tree,
-                    lambda host, _std=std, _step=step: ema_lib.save_snapshot(
-                        ema_dir, _std, _step, host
-                    ),
-                )
+                try:
+                    ema_writer.submit(
+                        tree,
+                        lambda host, _std=std, _step=step: (
+                            ema_lib.save_snapshot(ema_dir, _std, _step, host)
+                        ),
+                    )
+                except TimeoutError as e:
+                    logger.warning(
+                        f"ema snapshot std={std} step={step} SKIPPED: {e}"
+                    )
         if is_lead:
             logger.info(f"saving ema snapshot to {ema_dir} at step {step}...")
 
@@ -421,7 +432,8 @@ def main(args):
             return next(dev_prefetch)
         return stage_batch(next(batches))
 
-    with jax.set_mesh(mesh):
+    try:
+      with jax.set_mesh(mesh):
         while train_steps < args.num_steps:
             batch = next_staged()
             state, metrics = step_fn(state, batch)
@@ -499,18 +511,23 @@ def main(args):
                 )
                 break
 
-    if dev_prefetch is not None:
-        dev_prefetch.close()
-    if ema_writer is not None:
-        ema_writer.close()  # join the in-flight snapshot writes
-    if msgpack_saver is not None:
-        msgpack_saver.close()  # join the in-flight background write
-    if orbax_saver is not None:
-        orbax_saver.close()  # join the in-flight background write
-    if args.profile_dir:
-        jax.profiler.stop_trace()
-    if metrics_sink is not None:
-        metrics_sink.close()
+    finally:
+        # ALSO on a mid-run exception: daemon writer threads holding
+        # already-logged saves must drain before the interpreter exits,
+        # or --resume silently restarts from an older step than the log
+        # claims (r05 review finding)
+        if dev_prefetch is not None:
+            dev_prefetch.close()
+        if ema_writer is not None:
+            ema_writer.close()  # join the in-flight snapshot writes
+        if msgpack_saver is not None:
+            msgpack_saver.close()  # join the in-flight background write
+        if orbax_saver is not None:
+            orbax_saver.close()  # join the in-flight background write
+        if args.profile_dir:
+            jax.profiler.stop_trace()
+        if metrics_sink is not None:
+            metrics_sink.close()
     logger.info("done!")
 
 
